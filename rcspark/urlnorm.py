@@ -1,0 +1,104 @@
+"""URL canonicalization — SURVEY.md A2 (w3lib.canonicalize_url semantics +
+north_star tracking-param strip).
+
+Two twin implementations that MUST agree byte-for-byte (tests assert it):
+
+- ``canon_col(url)``   — pure Spark column expression (parse_url + lower +
+  higher-order filter/array_sort on the query kv array). Stays JVM-side /
+  whole-stage-codegen: no Python in the hot path, filters/pruning push
+  through it.
+- ``canon_py(url)``    — pure Python, used by the oracle simulator and by
+  the fixture generator.
+
+Spec (rcspark.constants):
+  1. scheme and host lowercased; userinfo stripped; default port stripped
+     (http:80, https:443).
+  2. fragment dropped.
+  3. query split on '&'; empty parts and tracking params
+     (TRACKING_PARAM_RE on the key) dropped; remaining "k=v" strings sorted
+     lexicographically; rejoined with '&'.
+  4. empty path → '/'.
+  5. reassembled scheme://host[:port]path[?query]. Percent-encoding is
+     preserved as-is; no dot-segment resolution (generator never emits them).
+
+Malformed URLs (no scheme/host) canonicalize to NULL/None and are dropped
+by the frontier.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .constants import DEFAULT_PORTS, TRACKING_PARAM_RE
+
+_KEY_RE = TRACKING_PARAM_RE
+
+
+def _canon_query_col(query: Column) -> Column:
+    parts = F.split(query, "&")
+    kept = F.filter(
+        parts,
+        lambda p: (p != F.lit(""))
+        & ~F.substring_index(p, "=", 1).rlike(_KEY_RE),
+    )
+    return F.concat_ws("&", F.array_sort(kept))
+
+
+def canon_col(url: Column) -> Column:
+    """Canonical URL as a Spark column expression (NULL if unparseable)."""
+    url = F.trim(url)
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    # AUTHORITY = [userinfo@]host[:port]; strip userinfo, lowercase.
+    auth = F.lower(F.substring_index(F.parse_url(url, F.lit("AUTHORITY")), "@", -1))
+    # strip default port per scheme
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    q = _canon_query_col(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")))
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(scheme.isNull() | auth.isNull() | (auth == ""), F.lit(None)).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
+# Python twin (oracle / fixtures)
+# ---------------------------------------------------------------------------
+
+import re
+
+_TRACK = re.compile(TRACKING_PARAM_RE)
+
+
+def canon_py(url: str) -> str | None:
+    """Pure-Python twin of canon_col; None for unparseable URLs."""
+    try:
+        sp = urlsplit(url.strip())
+    except ValueError:
+        return None
+    if not sp.scheme or not sp.netloc:
+        return None
+    scheme = sp.scheme.lower()
+    netloc = sp.netloc.rsplit("@", 1)[-1].lower()
+    host, colon, port = netloc.partition(":")
+    if colon and port.isdigit() and DEFAULT_PORTS.get(scheme) == int(port):
+        netloc = host
+    path = sp.path or "/"
+    kept = [
+        p
+        for p in sp.query.split("&")
+        if p != "" and not _TRACK.match(p.split("=", 1)[0])
+    ]
+    q = "&".join(sorted(kept))
+    return f"{scheme}://{netloc}{path}" + (f"?{q}" if q else "")
