@@ -1,0 +1,155 @@
+"""URL-seen dedup — SURVEY.md A4 (Scrapy RFPDupeFilter → Spark-native).
+
+Two-stage, as mandated by the north_star ("partitioned Bloom/cuckoo URL-seen
+filter implemented as vectorized Arrow UDFs over xxhash64 digests"):
+
+1. **Partitioned Bloom probe** — the persistent `bloom` table holds one
+   bitmap per shard (shard = pmod(digest, P)). Candidate digests are
+   cogrouped with their shard's bitmap and probed in a single vectorized
+   numpy pass (`applyInPandas`, Arrow-batched — no per-row Python). A miss
+   is *definitely new*; only hits ("maybe seen") continue to stage 2.
+2. **Exact anti-join backstop** — maybe-seen candidates `left_anti`-join the
+   exact `seen` table on (digest, url_canon) to kill Bloom false positives.
+   Joining on url_canon too protects the 10^10-scale case where 64-bit
+   digest collisions have expectation ≈ 2.7 (SURVEY.md §1.2).
+
+Sizing for a 10^10-URL frontier: P = 4096 shards × m = 3 GiB·8/4096 ≈
+6.1e7 bits/shard at ~9.6 bits/element gives FPR ≈ 1%; each shard bitmap is
+~7.3 MB — comfortably inside an executor grouped-map task, and stage 2 then
+anti-joins only ~1% of candidates instead of all of them. Locally we run
+P=32, m=2^20 (constants.py).
+
+The Bloom update is itself a cogrouped map: new digests are OR-ed into their
+shard's bitmap and the full (small) bloom table is rewritten as the wave's
+snapshot — the classic "sketch as data, not as service" Spark pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .constants import BLOOM_BITS_PER_SHARD, BLOOM_NUM_HASHES, BLOOM_SHARDS
+from .tables import BLOOM_SCHEMA
+from .xxh import splitmix64
+
+
+def shard_col(digest):
+    return F.pmod(digest, F.lit(BLOOM_SHARDS)).cast("int")
+
+
+def _positions(digests: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions for each digest — double hashing over splitmix64."""
+    d = digests.astype(np.uint64)
+    h1 = splitmix64(d)
+    h2 = splitmix64(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(nbits)).astype(np.int64)
+
+
+def _probe_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """True where ALL k positions are set (maybe-seen)."""
+    byte_idx = pos >> 3
+    masks = np.uint8(1) << (pos & 7).astype(np.uint8)
+    return ((bits[byte_idx] & masks) == masks).all(axis=1)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    byte_idx = (pos >> 3).ravel()
+    masks = (np.uint8(1) << (pos & 7).astype(np.uint8)).ravel()
+    np.bitwise_or.at(bits, byte_idx, masks)
+
+
+def empty_bloom(spark) -> DataFrame:
+    rows = [
+        (s, bytes(BLOOM_BITS_PER_SHARD // 8), BLOOM_BITS_PER_SHARD, BLOOM_NUM_HASHES)
+        for s in range(BLOOM_SHARDS)
+    ]
+    return spark.createDataFrame(rows, BLOOM_SCHEMA)
+
+
+def bloom_probe(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """candidates(digest, ...) → same rows + boolean `maybe_seen`.
+
+    Cogroup by shard; one Arrow batch per shard probes all its digests in
+    one vectorized pass. A shard with no bloom row (fresh filter) probes
+    all-False.
+    """
+    from pyspark.sql import types as T
+
+    cand = candidates.withColumn("_shard", shard_col(F.col("digest")))
+    # (copy — StructType.add mutates the DataFrame's cached schema in place)
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        nbits = int(right["nbits"].iloc[0])
+        k = int(right["k"].iloc[0])
+        pos = _positions(left["digest"].to_numpy(), nbits, k)
+        return left.assign(maybe_seen=_probe_bits(bits, pos))
+
+    return (
+        cand.groupBy("_shard")
+        .cogroup(bloom.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+        .drop("_shard")
+    )
+
+
+def bloom_update(new_digests: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Return the bloom table with `new_digests`(digest) OR-ed in.
+
+    Shards with no new digests pass through unchanged (cogroup keeps them:
+    full outer over group keys).
+    """
+
+    def update(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if right.empty:
+            # brand-new shard (fresh warehouse): allocate
+            shard = int(left["_shard"].iloc[0])
+            bits = np.zeros(BLOOM_BITS_PER_SHARD // 8, dtype=np.uint8)
+            nbits, k = BLOOM_BITS_PER_SHARD, BLOOM_NUM_HASHES
+        else:
+            shard = int(right["shard"].iloc[0])
+            bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8).copy()
+            nbits = int(right["nbits"].iloc[0])
+            k = int(right["k"].iloc[0])
+        if not left.empty:
+            _set_bits(bits, _positions(left["digest"].to_numpy(), nbits, k))
+        return pd.DataFrame(
+            {"shard": [shard], "bits": [bits.tobytes()], "nbits": [nbits], "k": [k]}
+        )
+
+    cand = new_digests.select("digest").withColumn("_shard", shard_col(F.col("digest")))
+    return (
+        cand.groupBy("_shard")
+        .cogroup(bloom.groupBy("shard"))
+        .applyInPandas(update, BLOOM_SCHEMA)
+    )
+
+
+def filter_unseen(candidates: DataFrame, bloom: DataFrame, seen: DataFrame) -> DataFrame:
+    """Rows of `candidates` whose (digest, url_canon) is NOT in the seen set.
+
+    Bloom-negative rows skip the join entirely; bloom-positive rows are
+    verified with an exact left_anti join (false-positive kill). Columns of
+    `candidates` pass through unchanged.
+    """
+    probed = bloom_probe(candidates, bloom)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(
+        seen.select("digest", "url_canon"), on=["digest", "url_canon"], how="left_anti"
+    )
+    return fresh.unionByName(survived)

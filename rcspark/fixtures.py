@@ -1,0 +1,245 @@
+"""Deterministic synthetic web / corpus / robots fixtures — FIXTURES.md §1-4.
+
+The sandbox has no network, so "fetching" is an equi-join against the `web`
+table (SURVEY.md A10) and image bytes come from the `corpus_src` table whose
+shape is exactly BASELINE.json's input_hint:
+(image_id string, bytes binary, w int32, h int32, fmt string, caption string,
+ phash int64).
+
+Everything is generated from one numpy Generator seeded with `seed`, in a
+single deterministic pass — the Spark engine and the pure-Python oracle
+consume the SAME pandas frames, which is what makes crawl-order /
+seen-set / pixel / caption equality meaningful.
+
+Host sizes follow a Zipf(s≈1.2) distribution so one or two hosts dominate —
+the skew target the north rule's salted partitioning exists for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .codecs import decode_image, encode_ppm, encode_qppm, phash64
+from .urlnorm import canon_py
+from .xxh import xxh64
+
+ADJ = ["rapid", "carbon", "micro", "quad", "alpha", "turbo", "nano", "lite"]
+PART = ["motor", "esc", "frame", "prop", "fc", "vtx", "camera", "antenna"]
+MAKER = ["acme", "volt", "aero", "pulse", "orbit", "zenith", "nimbus", "koax"]
+
+TRACK_NOISE = ["utm_source=g", "utm_medium=cpc", "ref=home", "fbclid=xyz", "gclid=abc"]
+
+
+@dataclass
+class Fixture:
+    web: pd.DataFrame        # url url_canon host path status redirect_to links image_url caption body body_size
+    corpus: pd.DataFrame     # url image_id bytes w h fmt caption phash
+    robots: pd.DataFrame     # host allow_rules deny_rules crawl_delay
+    seeds: pd.DataFrame      # url priority
+    allowed_hosts: list[str]
+
+
+def _noisy(canon: str, rng: np.random.Generator) -> str:
+    """A raw variant of a canonical URL exercising every A2 rule."""
+    scheme, rest = canon.split("://", 1)
+    host, slash, pathq = rest.partition("/")
+    pathq = slash + pathq
+    path, qmark, query = pathq.partition("?")
+    if rng.random() < 0.5:  # mixed-case host
+        host = "".join(c.upper() if rng.random() < 0.5 else c for c in host)
+    if rng.random() < 0.3:  # explicit default port
+        host += ":80"
+    params = [p for p in query.split("&") if p] if query else []
+    if rng.random() < 0.4:  # tracking noise
+        params.append(TRACK_NOISE[rng.integers(0, len(TRACK_NOISE))])
+    rng.shuffle(params)
+    q = ("?" + "&".join(params)) if params else ""
+    frag = "#sec%d" % rng.integers(0, 9) if rng.random() < 0.3 else ""
+    return f"{scheme}://{host}{path}{q}{frag}"
+
+
+def _zipf_sizes(n_hosts: int, total: int, s: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_hosts + 1) ** s
+    sizes = np.maximum(1, np.floor(total * w / w.sum())).astype(np.int64)
+    sizes[0] += total - sizes.sum()
+    return sizes
+
+
+def make_image(image_id: str) -> tuple[bytes, int, int, str, int]:
+    """Deterministic image for an id → (bytes, w, h, fmt, phash)."""
+    h64 = xxh64(image_id.encode())
+    dims = (16, 32, 64)
+    w = dims[h64 % 3]
+    h = dims[(h64 >> 8) % 3]
+    fmt = "ppm" if (h64 >> 16) % 10 < 7 else "qppm"
+    pix = np.random.default_rng(h64 & 0xFFFFFFFF).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    data = encode_ppm(pix) if fmt == "ppm" else encode_qppm(pix)
+    stored, _ = decode_image(data)
+    return data, w, h, fmt, phash64(stored)
+
+
+def make_fixture(
+    n_hosts: int = 6,
+    urls_per_host: int = 40,
+    link_fanout: float = 3.0,
+    image_fraction: float = 0.4,
+    seed: int = 42,
+    n_seeds: int = 3,
+    n_offsite_hosts: int = 2,
+) -> Fixture:
+    rng = np.random.default_rng(seed)
+    hosts = [f"site{i}.example" for i in range(n_hosts)]
+    off_hosts = [f"off{i}.example" for i in range(n_offsite_hosts)]
+    sizes = _zipf_sizes(n_hosts, n_hosts * urls_per_host)
+
+    # --- canonical page universe -----------------------------------------
+    pages: list[tuple[str, str, str]] = []  # (canon, host, path)
+    for hi, host in enumerate(hosts):
+        for j in range(sizes[hi]):
+            r = rng.random()
+            if r < 0.15:
+                path = f"/private/p/{j}"
+            elif r < 0.45:
+                path = f"/parts/{j}?id={j}&s={int(rng.integers(0, 5))}"
+            else:
+                path = f"/p/{j}"
+            canon = f"http://{host}{path}"
+            pages.append((canon, host, canon.split(host, 1)[1].split("?")[0]))
+    canon_urls = [p[0] for p in pages]
+    canon_set = set(canon_urls)
+    n = len(pages)
+
+    # --- statuses ---------------------------------------------------------
+    statuses = rng.choice([200, 500, 301, 404], size=n, p=[0.92, 0.03, 0.03, 0.02])
+
+    # --- images -----------------------------------------------------------
+    img_counter = 0
+    image_urls: list[str | None] = []
+    captions: list[str | None] = []
+    corpus_rows = []
+    for i, (canon, host, _) in enumerate(pages):
+        if statuses[i] == 200 and rng.random() < image_fraction:
+            image_id = f"img{img_counter:08d}"
+            img_counter += 1
+            iurl = f"http://{host}/img/{image_id}.ppm"
+            cap = (
+                f"{ADJ[img_counter % len(ADJ)]} {PART[img_counter % len(PART)]} "
+                f"by {MAKER[img_counter % len(MAKER)]} #{img_counter}"
+            )
+            data, w, h, fmt, ph = make_image(image_id)
+            corpus_rows.append(
+                {
+                    "url": iurl,
+                    "image_id": image_id,
+                    "bytes": data,
+                    "w": np.int32(w),
+                    "h": np.int32(h),
+                    "fmt": fmt,
+                    "caption": cap,
+                    "phash": np.int64(ph),
+                }
+            )
+            image_urls.append(iurl)
+            captions.append(cap)
+        else:
+            image_urls.append(None)
+            captions.append(None)
+
+    # --- links (raw noisy variants) ---------------------------------------
+    host_pages: dict[str, list[str]] = {}
+    for canon, host, _ in pages:
+        host_pages.setdefault(host, []).append(canon)
+    all_links: list[list[str]] = []
+    redirect_to: list[str | None] = []
+    for i, (canon, host, _) in enumerate(pages):
+        k = rng.poisson(link_fanout)
+        links = []
+        for _ in range(k):
+            r = rng.random()
+            if r < 0.70:  # same host
+                tgt = host_pages[host][rng.integers(0, len(host_pages[host]))]
+            elif r < 0.95:  # other allowed host
+                oh = hosts[rng.integers(0, n_hosts)]
+                tgt = host_pages[oh][rng.integers(0, len(host_pages[oh]))]
+            else:  # offsite
+                tgt = f"http://{off_hosts[rng.integers(0, n_offsite_hosts)]}/x/{int(rng.integers(0, 99))}"
+            links.append(_noisy(tgt, rng))
+            if rng.random() < 0.10:  # duplicate link
+                links.append(_noisy(tgt, rng))
+        if rng.random() < 0.03:  # dangling link → fetch miss path
+            links.append(f"http://{host}/missing/{int(rng.integers(0, 999))}")
+        all_links.append(links)
+        if statuses[i] == 301:
+            tgt = host_pages[host][rng.integers(0, len(host_pages[host]))]
+            redirect_to.append(_noisy(tgt, rng))
+        else:
+            redirect_to.append(None)
+
+    # --- body bytes (what the parse UDF actually parses) -------------------
+    bodies = []
+    for i in range(n):
+        parts = [f"<title>{captions[i] or ''}</title>"]
+        if image_urls[i]:
+            parts.append(f'<img src="{image_urls[i]}">')
+        parts.extend(f'<a href="{l}">l</a>' for l in all_links[i])
+        bodies.append("\n".join(parts).encode("utf-8"))
+
+    raw_urls = [_noisy(c, rng) for c in canon_urls]
+    web = pd.DataFrame(
+        {
+            "url": raw_urls,
+            "url_canon": canon_urls,
+            "host": [p[1] for p in pages],
+            "path": [p[2] for p in pages],
+            "status": statuses.astype(np.int32),
+            "redirect_to": redirect_to,
+            "links": all_links,
+            "image_url": image_urls,
+            "caption": captions,
+            "body": bodies,
+            "body_size": np.array([len(b) for b in bodies], dtype=np.int32),
+        }
+    )
+    # sanity: every canonical url credited by the generator matches canon_py
+    assert all(canon_py(u) == c for u, c in zip(raw_urls, canon_urls))
+    assert canon_set == set(web["url_canon"])
+
+    corpus = pd.DataFrame(
+        corpus_rows,
+        columns=["url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+    )
+
+    # --- robots ------------------------------------------------------------
+    rb = []
+    delays = [None, 0.5, 1.0, 2.0]
+    for hi, host in enumerate(hosts):
+        if hi == n_hosts - 1 and n_hosts > 2:  # one deny-all host
+            deny, allow = ["/"], []
+        else:
+            deny, allow = ["/private"], (["/private/ok"] if hi % 2 == 0 else [])
+        rb.append(
+            {
+                "host": host,
+                "allow_rules": allow,
+                "deny_rules": deny,
+                "crawl_delay": delays[hi % len(delays)],
+            }
+        )
+    robots = pd.DataFrame(rb)
+
+    # --- seeds (always fetchable roots) ------------------------------------
+    seed_rows = []
+    for hi in range(min(n_seeds, n_hosts)):
+        canon = host_pages[hosts[hi]][0]
+        idx = canon_urls.index(canon)
+        statuses[idx] = 200  # force seeds fetchable
+        web.loc[idx, "status"] = 200
+        seed_rows.append({"url": _noisy(canon, rng), "priority": 0})
+    seeds = pd.DataFrame(seed_rows)
+
+    return Fixture(web=web, corpus=corpus, robots=robots, seeds=seeds, allowed_hosts=hosts)

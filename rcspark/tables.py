@@ -1,0 +1,173 @@
+"""Iceberg-shaped table layer with a local snapshot/manifest fallback.
+
+SURVEY.md A19 / §7.4: the north rule wants Iceberg tables with per-wave
+snapshot checkpointing so a killed run resumes exactly. The sandbox has no
+iceberg-spark-runtime jar, so this module provides the same commit contract
+over plain parquet:
+
+- each wave writes table data under ``<root>/<table>/wave=NNNNNN/`` via a
+  write-to-temp + atomic ``os.rename`` (a stand-in for an Iceberg snapshot
+  commit);
+- a run is only advanced when ``commit(wave, meta)`` atomically replaces
+  ``<root>/_manifest.json`` (stand-in for the Iceberg catalog pointer);
+- resume reads the last committed manifest; any wave directories beyond it
+  are uncommitted garbage from a killed run and are ignored/overwritten.
+
+Tables come in two flavors:
+- SNAPSHOT (``frontier_pending``, ``bloom``): each wave holds the full
+  current state; read = latest committed wave only. (On real Iceberg this
+  becomes copy-on-write MERGE.)
+- APPEND (``seen``, ``fetch_log``, ``corpus``, ``lineage``): each wave adds
+  rows; read = union of all committed waves. (On real Iceberg: appends.)
+
+At 10^10-frontier scale the bindings change (Iceberg catalog + bucket(digest)
+partition spec, see dedup.py/schedule.py docs) but this API surface does not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SNAPSHOT_TABLES = {"frontier_pending", "bloom"}
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("digest", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("discovered_wave", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.LongType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+    ]
+)
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+        T.StructField("nbits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+    ]
+)
+
+FETCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("digest", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("result", T.StringType(), False),
+        T.StructField("fetch_ms", T.LongType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+    ]
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("min_digest", T.LongType(), True),
+        T.StructField("max_digest", T.LongType(), True),
+        T.StructField("scheduled", T.LongType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("retried", T.LongType(), False),
+        T.StructField("robots_denied", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("new_urls", T.LongType(), False),
+    ]
+)
+
+
+class Warehouse:
+    """Per-wave snapshot/append storage with atomic manifest commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def last_committed(self) -> tuple[int, dict[str, Any]]:
+        """(last committed wave, meta). (-1, {}) for a fresh warehouse."""
+        if not os.path.exists(self._manifest_path):
+            return -1, {}
+        with open(self._manifest_path) as f:
+            m = json.load(f)
+        return m["wave"], m.get("meta", {})
+
+    def commit(self, wave: int, meta: dict[str, Any]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"wave": wave, "meta": meta}, f)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # -- writes ------------------------------------------------------------
+    def _wave_dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave:06d}")
+
+    def write_wave(self, table: str, df: DataFrame, wave: int) -> None:
+        """Write one wave's data for `table` with an atomic dir rename."""
+        final = self._wave_dir(table, wave)
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)  # garbage from a killed, uncommitted run
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    # -- reads -------------------------------------------------------------
+    def read_snapshot(self, table: str, wave: int, schema: T.StructType) -> DataFrame:
+        """Latest-state table at `wave` (SNAPSHOT flavor)."""
+        d = self._wave_dir(table, wave)
+        if wave < 0 or not os.path.exists(d):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(d)
+
+    def read_appends(self, table: str, through_wave: int, schema: T.StructType) -> DataFrame:
+        """Union of all committed waves ≤ through_wave (APPEND flavor)."""
+        dirs = [
+            self._wave_dir(table, w)
+            for w in range(through_wave + 1)
+            if os.path.exists(self._wave_dir(table, w))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)

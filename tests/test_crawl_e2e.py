@@ -1,0 +1,187 @@
+"""End-to-end engine-vs-oracle equality — the north rule's core checks:
+
+- crawl-order equality (exact sequence of url_canon, incl. waves/fetch_ms)
+- URL-seen-set equality (exact, on canonical URLs; digest set as audit)
+- caption exact equality; decoded-pixel allclose (exact for ppm,
+  PSNR ≥ 40 dB vs the unquantized source for qppm)
+- per-partition lineage consistency
+- resume exactness after an interrupted run (fresh engine on the same
+  warehouse, incl. a fake partial wave dir from a "killed" writer)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rcspark.codecs import decode_image, psnr, quantize
+from rcspark.fixtures import make_fixture, make_image
+from rcspark.oracle import run_oracle
+from rcspark.run import CrawlEngine
+from rcspark.xxh import xxh64_str
+
+WEB_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("redirect_to", T.StringType(), True),
+        T.StructField("body", T.BinaryType(), False),
+    ]
+)
+CORPUS_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def engine_inputs(spark, fx):
+    web = spark.createDataFrame(
+        fx.web[["url_canon", "status", "redirect_to", "body"]], WEB_SCHEMA
+    )
+    corpus_src = spark.createDataFrame(
+        fx.corpus[["url", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]],
+        CORPUS_SRC_SCHEMA,
+    )
+    return web, corpus_src
+
+
+def run_engine(spark, fx, root, max_waves=200):
+    web, corpus_src = engine_inputs(spark, fx)
+    eng = CrawlEngine(spark, root, web, corpus_src, fx.robots, fx.seeds, fx.allowed_hosts)
+    eng.run(max_waves=max_waves)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    fx = make_fixture(n_hosts=5, urls_per_host=25, link_fanout=5.0, seed=11)
+    orc = run_oracle(fx)
+    root = str(tmp_path_factory.mktemp("wh"))
+    eng = run_engine(spark, fx, root)
+    yield fx, orc, eng
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crawl_order_equality(crawl):
+    _, orc, eng = crawl
+    log = eng.fetch_log().filter(F.col("seq").isNotNull()).orderBy("seq").collect()
+    engine_order = [
+        (r.seq, r.url_canon, r.wave, r.fetch_ms, r.result, r.status) for r in log
+    ]
+    oracle_order = [
+        (r["seq"], r["url_canon"], r["wave"], r["fetch_ms"], r["result"], r["status"])
+        for r in orc.order
+    ]
+    assert len(engine_order) > 30
+    assert engine_order == oracle_order
+
+
+def test_seen_set_equality(crawl):
+    _, orc, eng = crawl
+    rows = eng.seen_table().collect()
+    assert {r.url_canon for r in rows} == orc.seen
+    # digest audit: engine digests equal host-side xxhash64 twin
+    assert {r.digest for r in rows} == {xxh64_str(u) for u in orc.seen}
+
+
+def test_robots_denied_equality(crawl):
+    _, orc, eng = crawl
+    denied = (
+        eng.fetch_log().filter(F.col("result") == "robots_denied").collect()
+    )
+    assert sorted(r.url_canon for r in denied) == sorted(orc.robots_denied)
+    assert len(denied) > 0
+
+
+def test_corpus_caption_and_pixels(crawl):
+    _, orc, eng = crawl
+    e = {r.image_id: r for r in eng.corpus_table().collect()}
+    o = {c["image_id"]: c for c in orc.corpus}
+    assert set(e) == set(o) and len(e) > 5
+    saw_lossy = False
+    for iid in o:
+        assert e[iid].caption == o[iid]["caption"]          # caption equality
+        ep, efmt = decode_image(bytes(e[iid].bytes))
+        op, _ = decode_image(bytes(o[iid]["bytes"]))
+        assert np.array_equal(ep, op)                        # pixel allclose (exact)
+        # fidelity vs the ORIGINAL (pre-encode) pixels, via make_image's rng scheme
+        from rcspark.xxh import xxh64 as _xxh
+
+        seed32 = _xxh(iid.encode()) & 0xFFFFFFFF
+        orig = np.random.default_rng(seed32).integers(
+            0, 256, (ep.shape[0], ep.shape[1], 3), dtype=np.uint8
+        )
+        if efmt == "ppm":
+            assert np.array_equal(ep, orig)
+        else:
+            saw_lossy = True
+            assert psnr(orig, ep) >= 40.0
+    assert saw_lossy
+
+
+def test_lineage_consistency(crawl):
+    _, orc, eng = crawl
+    lin = eng.lineage_table()
+    agg = lin.agg(
+        F.sum("scheduled").alias("s"),
+        F.sum("fetched").alias("f"),
+        F.sum("retried").alias("r"),
+        F.sum("robots_denied").alias("d"),
+        F.sum("failed").alias("x"),
+    ).collect()[0]
+    assert agg["s"] == len(orc.order)
+    assert agg["f"] == sum(1 for r in orc.order if r["result"] == "fetched")
+    assert agg["r"] == sum(1 for r in orc.order if r["result"] == "retry")
+    assert agg["d"] == len(orc.robots_denied)
+    assert agg["x"] == sum(1 for r in orc.order if r["result"] == "failed")
+
+
+def test_resume_exactness(spark, tmp_path):
+    """Kill after k waves (+ leave a partial uncommitted dir); a fresh engine
+    must produce byte-identical final tables vs an uninterrupted run."""
+    fx = make_fixture(n_hosts=4, urls_per_host=15, link_fanout=5.0, seed=23)
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    eng_a = run_engine(spark, fx, root_a)
+
+    web, corpus_src = engine_inputs(spark, fx)
+    eng_b1 = CrawlEngine(spark, root_b, web, corpus_src, fx.robots, fx.seeds, fx.allowed_hosts)
+    for _ in range(2):
+        eng_b1.run_wave()
+    # simulate a killed writer: garbage wave dir beyond the committed manifest
+    c, _ = eng_b1.wh.last_committed()
+    junk = os.path.join(root_b, "fetch_log", f"wave={c + 1:06d}")
+    os.makedirs(junk, exist_ok=True)
+    with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    eng_b2 = CrawlEngine(spark, root_b, web, corpus_src, fx.robots, fx.seeds, fx.allowed_hosts)
+    eng_b2.run(max_waves=200)
+
+    def snap(eng):
+        log = [
+            tuple(r)
+            for r in eng.fetch_log()
+            .orderBy(F.col("seq").asc_nulls_last(), "url_canon")
+            .collect()
+        ]
+        seen = sorted((r.digest, r.url_canon) for r in eng.seen_table().collect())
+        corpus = sorted(
+            (r.image_id, bytes(r.bytes), r.caption, r.phash, r.wave)
+            for r in eng.corpus_table().collect()
+        )
+        return log, seen, corpus
+
+    assert snap(eng_a) == snap(eng_b2)

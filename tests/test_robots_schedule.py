@@ -1,0 +1,109 @@
+"""Robots gate twin parity + scheduler correctness (SURVEY.md A5-A7)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rcspark.robots import apply_robots_gate, robots_allowed_py, robots_table
+from rcspark.schedule import (
+    assign_global_seq,
+    order_cols,
+    rank_within_budget,
+    with_budget,
+)
+
+
+def test_robots_gate_matches_python_twin(spark):
+    rng = random.Random(5)
+    hosts = [f"h{i}.example" for i in range(6)]
+    rules = []
+    for h in hosts:
+        allow = [f"/private/ok{i}" for i in range(rng.randint(0, 2))]
+        deny = ["/private"] if rng.random() < 0.8 else ["/"]
+        rules.append({"host": h, "allow_rules": allow, "deny_rules": deny, "crawl_delay": None})
+    robots = robots_table(spark, pd.DataFrame(rules))
+    paths = ["/", "/p/1", "/private/x", "/private/ok0", "/private/ok1/sub", "/privateer"]
+    rows = [
+        (h, p, f"http://{h}{p}") for h in hosts + ["unknown.example"] for p in paths
+    ]
+    df = spark.createDataFrame(rows, ["host", "path", "url_canon"])
+    got = {
+        (r.host, r.path): r.robots_allowed
+        for r in apply_robots_gate(df, robots).collect()
+    }
+    by_host = {r["host"]: r for r in rules}
+    for h, p, _ in rows:
+        if h in by_host:
+            want = robots_allowed_py(p, by_host[h]["allow_rules"], by_host[h]["deny_rules"])
+        else:
+            want = True  # no robots.txt → allowed
+        assert got[(h, p)] == want, (h, p)
+
+
+def _frontier(spark, n=2000, hosts=3):
+    """Skewed frontier: host 0 dominates (zipf-ish)."""
+    rows = []
+    rng = random.Random(1)
+    for i in range(n):
+        h = 0 if rng.random() < 0.8 else rng.randint(1, hosts - 1)
+        rows.append(
+            (
+                f"http://s{h}.example/p/{i}",
+                rng.randint(-(2**40), 2**40),
+                f"s{h}.example",
+                f"/p/{i}",
+                rng.randint(-2, 2),
+                rng.randint(0, 5),
+                rng.randint(0, 3),
+                0,
+                [None, 0.5, 1.0, 2.0][h % 4],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "url_canon string, digest long, host string, path string, priority int, "
+        "depth int, discovered_wave int, retry_count int, crawl_delay double",
+    )
+
+
+def test_salted_rank_equals_unsalted_reference(spark):
+    fr = with_budget(_frontier(spark))
+    scheduled, leftover = rank_within_budget(fr)
+    # reference: plain single window per host
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    ref = (
+        fr.withColumn("j", F.row_number().over(w))
+        .filter(F.col("j") <= F.col("budget"))
+        .select("url_canon", "j")
+    )
+    got = {(r.url_canon, r.j) for r in scheduled.select("url_canon", "j").collect()}
+    want = {(r.url_canon, r.j) for r in ref.collect()}
+    assert got == want
+    # conservation: scheduled + leftover = frontier
+    assert scheduled.count() + leftover.count() == fr.count()
+
+
+def test_assign_global_seq_contiguous_and_ordered(spark):
+    fr = with_budget(_frontier(spark, n=500))
+    scheduled, _ = rank_within_budget(fr)
+    out = assign_global_seq(scheduled, [F.col("fetch_ms"), F.col("host")], seq_offset=100)
+    rows = out.orderBy("seq").collect()
+    assert [r.seq for r in rows] == list(range(100, 100 + len(rows)))
+    keys = [(r.fetch_ms, r.host) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_budget_formula(spark):
+    df = spark.createDataFrame(
+        [(None,), (0.5,), (1.0,), (2.0,)], "crawl_delay double"
+    )
+    got = {
+        (r.crawl_delay, r.delay_ms, r.budget)
+        for r in with_budget(df).collect()
+    }
+    # WAVE_SECONDS=30, DOWNLOAD_DELAY=0.5, PER_HOST_CAP=64
+    assert got == {(None, 500, 60), (0.5, 500, 60), (1.0, 1000, 30), (2.0, 2000, 15)}
