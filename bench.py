@@ -1,0 +1,143 @@
+"""Headline benchmark — driver contract.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline `value` is the wall-clock of the full crawl-wave pipeline
+(canonicalize → digest → bloom+exact dedup → robots gate → salted politeness
+schedule → global crawl-order seq) over a frontier derived from `orders`;
+`urls_per_sec` reports the frontier-throughput form of the same number
+(BASELINE.json's metric). Every query is forced end-to-end with a noop sink
+(count() alone would let column pruning skip the work being measured).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+scripts/scaling.py, which reruns this module at local[8] and local[32] and
+writes BENCH/SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    """Materialize fully JVM-side (no driver collect, no pruning shortcut)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def crawl_wave_pipeline(spark, sf_dir):
+    """The composite wave over an orders-derived frontier (A2→A6 + seq)."""
+    from pyspark.sql import functions as F
+
+    from rcspark.dedup import bloom_update, empty_bloom, filter_unseen
+    from rcspark.queries import _build_frontier, load
+    from rcspark.robots import apply_robots_gate
+    from rcspark.schedule import assign_global_seq, rank_within_budget, with_budget
+
+    fr = _build_frontier(spark, sf_dir).withColumn(
+        "path", F.concat(F.lit("/o/"), F.substring_index("url_canon", "/", -1))
+    )
+    # seen set = urgent orders' URLs; bloom built from it, then two-stage dedup
+    seen = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url_canon")
+        )
+        .withColumn("digest", F.xxhash64("url_canon"))
+    )
+    bloom = bloom_update(seen.select("digest"), empty_bloom(spark))
+    fresh = filter_unseen(fr, bloom, seen)
+    robots = (
+        fresh.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.array(F.lit("/o/13")).alias("allow_rules"),
+            F.array(F.lit("/o/1"), F.lit("/o/3")).alias("deny_rules"),
+            F.lit(None).cast("double").alias("crawl_delay"),
+        )
+    )
+    gated = apply_robots_gate(fresh.drop("crawl_delay"), robots).filter(
+        F.col("robots_allowed")
+    )
+    scheduled, _ = rank_within_budget(with_budget(gated))
+    return assign_global_seq(scheduled, [F.col("fetch_ms"), F.col("host")], 0)
+
+
+BENCH_QUERIES = [
+    "crawl_canonicalize",
+    "crawl_bloom_dedup",
+    "crawl_robots_gate",
+    "crawl_schedule",
+    "crawl_global_order",
+    "skew_salted_agg",
+    "join_star_region",
+    "agg_pricing_summary",
+    "window_topk_per_type",
+    "doc_exact_dedup",
+    "doc_minhash",
+    "doc_lsh_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "img_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from rcspark.queries import QUERIES
+    from rcspark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths so measurements aren't first-query JIT noise
+    force(QUERIES["crawl_digest_shard"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    wave = crawl_wave_pipeline(spark, sf_dir)
+    force(wave)
+    wave_s = time.time() - t0
+    n_frontier = QUERIES["crawl_digest_shard"](spark, sf_dir).count()
+    times["crawl_wave_pipeline"] = round(wave_s, 3)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl wave pipeline (canon+dedup+robots+schedule+seq) wall-clock",
+                "value": round(wave_s, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cores": cores,
+                "frontier_urls": n_frontier,
+                "urls_per_sec": round(n_frontier / wave_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Document deduplication — exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Spark-first shapes, sized for a 100 TB corpus:
+
+- **exact**      one map-side-combinable groupBy over digest60(text); the
+                 canonical keeper is min(doc_id) (deterministic, order-free).
+- **MinHash**    k seeded digest60 mins computed per-row from the shingle
+                 array with higher-order functions — NO explode, NO shuffle
+                 for signature computation; only the band groupBy shuffles,
+                 and it shuffles k·|docs| tiny rows, never shingles.
+- **LSH pairs**  band rows groupBy (band_id, band_hash) → within-bucket
+                 pairs. Bucket sizes are bounded before the pair blow-up by
+                 construction (a bucket of b docs emits b·(b−1)/2 pairs —
+                 the skew guard caps via a per-bucket count filter).
+- **Jaccard**    exact n-gram Jaccard for a candidate pair set: explode
+                 distinct shingles → self-join on shingle → per-pair
+                 intersection counts; union sizes come from per-doc distinct
+                 counts (broadcastable). This is the verifier behind MinHash
+                 candidates, not a full O(n²) pass.
+- **SimHash**    explode tokens → per-(doc, bit) ±1 sums over digest60 bits
+                 → pack. Shuffles |tokens| rows once, map-side combined.
+
+Every hash is digest60 (md5-derived) so the DuckDB oracle can recompute the
+exact same values — see rcspark.datapipe.hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import digest60
+from .text import SHINGLE_K, shingles, tokens
+
+MINHASH_K = 16  # signature length == band count at r=1 banding
+MINHASH_P = 1_000_000_007  # affine-permutation modulus (fits both engines)
+SIMHASH_BITS = 16
+
+
+def band_mix(hmod, band: int):
+    """Affine permutation i of a base hash already reduced mod MINHASH_P.
+
+    ((h % P)·(2i+1) + i²) % P — one md5 per shingle, k cheap arithmetic
+    permutations (the classic MinHash trick). Products stay < 2^63 so the
+    arithmetic is overflow-free and identical in Spark and DuckDB.
+    """
+    return F.pmod(hmod * (2 * band + 1) + band * band, F.lit(MINHASH_P))
+
+
+def sql_band_mix(hmod_expr: str, band_expr: str) -> str:
+    return (
+        f"((({hmod_expr}) * (2 * ({band_expr}) + 1) + ({band_expr}) * ({band_expr})))"
+        f" % {MINHASH_P}"
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: (text_digest, keeper_id, n_copies).
+
+    At scale: a single partial-aggregatable groupBy on a 60-bit digest —
+    never shuffles the text bytes themselves.
+    """
+    return (
+        docs.select(F.col(id_col), digest60(F.col(text_col)).alias("text_digest"))
+        .groupBy("text_digest")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): the k MinHash values, one row each.
+
+    Shape chosen for 100 TB: distinct shingles explode ONCE, each pays ONE
+    md5 (digest60 — a flat, codegen-friendly expression), and the k
+    signature values are k affine permutations of that base hash aggregated
+    as k `min()` columns — partial (map-side) aggregation collapses the
+    shingle rows to one row per doc BEFORE the shuffle, so only
+    |docs|·k tiny values ever cross the wire. Docs with no shingles
+    (fewer than `shingle_k` tokens) emit nothing.
+
+    (An earlier form computed k seeded md5s inside nested higher-order
+    functions — semantically equal but ~20× slower: nested HOFs fall out of
+    whole-stage codegen and pay k md5s per shingle.)
+    """
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", F.pmod(digest60(F.col("shingle")), F.lit(MINHASH_P)).alias("hmod"))
+    agg = rows.groupBy("doc_id").agg(
+        *[F.min(band_mix(F.col("hmod"), i)).alias(f"_s{i}") for i in range(k)]
+    )
+    return agg.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(k)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    band_rows: DataFrame, min_bands: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands): pairs sharing ≥ min_bands MinHash bands.
+
+    Self-join within (band_id, band_hash) buckets; doc_a < doc_b kills the
+    mirror duplicates. `max_bucket` is the skew guard: a degenerate bucket
+    (e.g. the empty-document shingle) would otherwise emit O(b²) pairs.
+    """
+    band_rows = band_rows.persist()  # read 4× below (sizes + both join sides)
+    sizes = band_rows.groupBy("band_id", "band_hash").agg(F.count("*").alias("_b"))
+    bounded = band_rows.join(
+        sizes.filter(F.col("_b") <= max_bucket), ["band_id", "band_hash"]
+    ).drop("_b")
+    a = bounded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = bounded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct shingles (set semantics)."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b, jaccard) — exact set Jaccard
+    over distinct k-shingles.
+
+    If `candidates` (doc_a, doc_b) is given, only those pairs are scored
+    (the MinHash→verify pattern); otherwise all co-shingled pairs are.
+    """
+    rows = shingle_rows(docs, id_col, text_col, shingle_k)
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = rows.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rows.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token-occurrence
+    digest60 bits, packed little-endian into a long."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", digest60(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(nbits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for j in range(nbits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = bit if packed is None else (packed + bit)
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))

@@ -1,0 +1,186 @@
+"""Multimodal (image) columns — decode / feature-extract / resize plumbing.
+
+Images ride as opaque ``binary`` columns with typed metadata (the
+BASELINE.json input_hint shape: image_id, bytes, w, h, fmt, caption, phash).
+The container has no PIL/cv2/imageio (SURVEY.md §0.3), so the *codec* layer
+is the numpy-only PPM/QPPM pair from rcspark.codecs — deterministic and
+PSNR-measurable — while real-codec decode is stubbed behind
+``decode_external`` with a clear NotImplementedError. The Spark-side
+plumbing (schemas, mapInPandas batching, narrow projections before the UDF)
+is the part that carries to a real cluster unchanged.
+
+Scale notes: the UDFs are ``mapInPandas`` so each Arrow batch is processed
+in one numpy pass; `bytes` is always the LAST column selected into the UDF
+and is dropped immediately after (UDFs block column pruning through
+themselves — never let blob columns ride further than they must).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs import decode_image, encode_ppm, encode_qppm, phash64, psnr, quantize
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("psnr_db", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_external(data: bytes, fmt: str) -> np.ndarray:
+    """Real-codec decode (JPEG/PNG/...). STUB: no codec libs in container."""
+    raise NotImplementedError(
+        f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
+    )
+
+
+def _decode(data: bytes) -> np.ndarray:
+    pix, _ = decode_image(data)
+    return pix
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """(image_id, bytes) → decoded metadata + channel means + phash.
+
+    Input needs only (image_id, bytes); everything else is derived from the
+    decoded pixels (so this doubles as a metadata integrity checker).
+    """
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, fmt = decode_image(bytes(data))
+                means = pix.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (
+                        iid,
+                        pix.shape[1],
+                        pix.shape[0],
+                        fmt,
+                        round(float(means[0]), 4),
+                        round(float(means[1]), 4),
+                        round(float(means[2]), 4),
+                        phash64(pix),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def block_mean_resize(pix: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downsample (the no-PIL 'resize')."""
+    h, w, _ = pix.shape
+    ys = np.linspace(0, h, out_h + 1, dtype=np.int64)
+    xs = np.linspace(0, w, out_w + 1, dtype=np.int64)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = pix[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            out[i, j] = block.reshape(-1, 3).mean(axis=0).astype(np.uint8)
+    return out
+
+
+def resize_images(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """(image_id, bytes) → block-mean thumbnails re-encoded as PPM.
+
+    `psnr_db` is NULL for thumbnails (size changed); it is populated by
+    `reencode_lossy` below where the fidelity contract applies.
+    """
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                thumb = block_mean_resize(pix, out_h, out_w)
+                out.append((iid, out_w, out_h, encode_ppm(thumb), None))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def reencode_lossy(images: DataFrame) -> DataFrame:
+    """(image_id, bytes) → QPPM re-encode + measured PSNR vs the source.
+
+    The north rule's fidelity gate (PSNR ≥ 40 dB for lossy) is checked on
+    exactly this path in tests/test_datapipe.py.
+    """
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                enc = encode_qppm(pix)
+                dec, _ = decode_image(enc)
+                p = psnr(pix, dec)
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], enc, round(float(min(p, 99.0)), 4))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def synthesize_images(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Deterministic corpus-shaped image table from an id column.
+
+    Sandbox generator for benchmarks/tests at arbitrary scale: the image for
+    an id is a pure function of the id (same construction as
+    rcspark.fixtures.make_image), so any two runs — and the Python oracle —
+    agree byte-for-byte.
+    """
+    from ..fixtures import make_image
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("image_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid in pdf["image_id"]:
+                data, w, h, fmt, ph = make_image(iid)
+                rows.append((iid, data, w, h, fmt, ph))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return src.mapInPandas(run, out_schema)

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, per the scale plan:
+
+- **brute-force cosine top-k** — the correctness baseline. The query set is
+  small (top-k *for a handful of probe vectors*), so the probe side is
+  broadcast and the scan side is never shuffled; per-row dot products are
+  pure higher-order expressions (zip_with + aggregate → JVM codegen, no
+  Python). O(|corpus|·|probes|) compute, zero shuffle, one top-k window
+  over |probes|·|corpus| scored rows pre-pruned per-partition.
+- **LSH-bucketed ANN** — the 100 TB path. Deterministic hyperplanes (their
+  weights are digest60-derived, so the DuckDB oracle can rebuild the exact
+  same planes — no RNG state anywhere) assign each vector a `nplanes`-bit
+  bucket; neighbor search joins on the bucket and scores within it.
+  Recall < 1 by construction; determinism == reproducibility is the tested
+  contract, and the brute-force tier is the recall referee.
+
+All scoring is done in float64 with a fixed left-to-right summation order
+(F.aggregate), then rounded to 6 dp — this is what lets the DuckDB oracle
+(same fold order via list_sum of doubles) match the values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import digest60, sql_digest60
+
+NPLANES = 8
+PLANE_MOD = 2001  # weight ∈ {-1000..1000}/1000
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as double, strict left-to-right fold (oracle-matchable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"round({sql_dot(a, b, dim)} / "
+        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})), 6)"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, probe_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """For each probe id: the k nearest OTHER vectors by cosine.
+
+    Output (probe_id, vec_id, cos_sim, rnk). Ties broken by vec_id asc so
+    the row set is total-order deterministic.
+    """
+    probes = F.broadcast(
+        emb.filter(F.col(id_col).isin(probe_ids)).select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        )
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .join(probes, F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", cosine(F.col("_pv"), F.col("_v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+# -- deterministic hyperplane LSH ------------------------------------------------
+
+def plane_weight(p: Column, d: Column) -> Column:
+    """Pseudo-random-but-deterministic weight for plane p, dim d ∈ [-1, 1]."""
+    key = F.concat(F.lit("plane:"), p.cast("string"), F.lit(":"), d.cast("string"))
+    return (F.pmod(digest60(key), F.lit(PLANE_MOD)) - F.lit((PLANE_MOD - 1) / 2)).cast(
+        "double"
+    ) / F.lit((PLANE_MOD - 1) / 2.0)
+
+
+def sql_plane_weight(p: str, d: str) -> str:
+    h = sql_digest60(f"'plane:' || ({p})::VARCHAR || ':' || ({d})::VARCHAR")
+    half = (PLANE_MOD - 1) / 2
+    return f"(CAST(({h}) % {PLANE_MOD} AS DOUBLE) - {half}) / {half}"
+
+
+def lsh_bucket(vec: Column, nplanes: int = NPLANES) -> Column:
+    """nplanes sign bits of ⟨vec, plane_p⟩ packed into an int bucket id."""
+    bucket = F.lit(0)
+    for p in range(nplanes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * plane_weight(F.lit(p), i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def sql_lsh_bucket(vec: str, dim: int, nplanes: int = NPLANES) -> str:
+    terms = []
+    for p in range(nplanes):
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({sql_plane_weight(str(p), 'i - 1')})))"
+        )
+        terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    nplanes: int = NPLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only within the probe's LSH bucket.
+
+    At 100 TB the bucketed table is written partitioned by `bucket`, so a
+    probe reads ~|corpus|/2^nplanes rows instead of everything.
+    """
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), nplanes).alias("bucket"),
+    )
+    probes = F.broadcast(
+        bucketed.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_v").alias("_pv"),
+            F.col("bucket"),
+        )
+    )
+    scored = (
+        bucketed.join(probes, "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", cosine(F.col("_pv"), F.col("_v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "bucket", "vec_id", "cos_sim", "rnk")
+    )

@@ -1,0 +1,993 @@
+"""Driver-contract query registry — SURVEY.md §2 Table A/B coverage.
+
+Every implemented operator gets a ``QUERIES[name]`` Spark callable
+``(spark, sf_dir) -> DataFrame`` and, where its semantics are
+SQL-expressible, an ``ORACLE[name]`` DuckDB SQL string over the same
+parquet tables. The driver runs both at sf0.01 and compares row count +
+schema + order-insensitive value hash; names/aliases therefore match
+EXACTLY on both sides, ints are normalized to BIGINT, and every value that
+involves cross-row float aggregation is made bit-reproducible (integer-cents
+arithmetic for money, fixed fold order + round(…,6) for cosine).
+
+The crawl-engine operators (canonicalize, digest, dedup, robots gate,
+politeness schedule, global order, retry policy) run the REAL engine code
+paths from rcspark.* over frontiers derived deterministically from the
+TPC-H-ish testdata tables; their oracles restate the semantics in ANSI SQL.
+The datapipe operators (doc dedup, MinHash/LSH, SimHash, Jaccard, language
+ID, quality, ANN) run over documents/embeddings.
+
+Cross-engine determinism rules used throughout (see rcspark.datapipe.hashing
+and .similarity for the tricks):
+- hashes are digest60 (md5-derived) — identical in Spark and DuckDB;
+- money sums go through exact integer cents, never float accumulation;
+- doubles that cross an aggregation are rounded AFTER a fixed fold order;
+- every top-k / row_number has a total-order tie-break;
+- timestamps are only ordered by or rendered with date_format/strftime
+  (testdata parquet is isAdjustedToUTC=false, so wall-clock rendering is
+  session-timezone-proof in both engines).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .datapipe import dedupdocs as dd
+from .datapipe import similarity as sim
+from .datapipe import text as tx
+from .datapipe.hashing import digest60, sql_digest60
+from .datapipe.multimodal import image_features, reencode_lossy, synthesize_images
+from .dedup import bloom_update, empty_bloom, filter_unseen
+from .fetch import classify_outcome
+from .robots import apply_robots_gate
+from .schedule import assign_global_seq, rank_within_budget, with_budget
+from .urlnorm import canon_col
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# =============================================================================
+# Crawl-engine operators over derived frontiers (SURVEY.md Table A)
+# =============================================================================
+
+# -- A2: URL canonicalization -------------------------------------------------
+# Noisy raw URLs (mixed case, default port, tracking params, fragment) are
+# derived from `part`; the oracle constructs the expected canonical string
+# directly — so the whole canon_col expression tree is cross-checked.
+
+@register(
+    "crawl_canonicalize",
+    oracle="""
+    SELECT p_partkey,
+           'https://site' || (p_partkey % 7) || '.example.com/catalog/' || p_partkey
+             || '/?a=' || (p_partkey % 3) || '&b=' || p_size AS url_canon
+    FROM part
+    """,
+)
+def crawl_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("HTTPS://Site"),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.lit(".Example.COM:443/catalog/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("/?utm_source=feed&gclid=xyz&b="),
+        F.col("p_size").cast("string"),
+        F.lit("&a="),
+        (F.col("p_partkey") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    return part.select("p_partkey", canon_col(raw).alias("url_canon"))
+
+
+# -- A3: digest + shard assignment ---------------------------------------------
+
+@register(
+    "crawl_digest_shard",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders)
+    SELECT o_orderkey, url_canon,
+           {sql_digest60("url_canon")} AS digest,
+           {sql_digest60("url_canon")} % 32 AS shard
+    FROM u
+    """,
+)
+def crawl_digest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    d = digest60(F.col("url_canon"))
+    return (
+        orders.select("o_orderkey", url.alias("url_canon"))
+        .withColumn("digest", d)
+        .withColumn("shard", F.pmod(d, F.lit(32)))
+    )
+
+
+# -- A4 stage 2: exact seen-set anti-join ---------------------------------------
+
+_CAND_SQL = """
+      SELECT DISTINCT 'http://h' || (l_orderkey % 50) || '.example/o/' || l_orderkey AS url_canon
+      FROM lineitem"""
+
+@register(
+    "crawl_seen_antijoin",
+    oracle=f"""
+    WITH cand AS ({_CAND_SQL}),
+    seen AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT url_canon FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_canon = cand.url_canon)
+    """,
+)
+def crawl_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    cand = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_orderkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("url_canon")
+    ).distinct()
+    seen = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_canon")
+    )
+    return cand.join(seen, "url_canon", "left_anti")
+
+
+# -- A4 full path: partitioned Bloom probe + exact backstop ----------------------
+# The Spark side runs the REAL two-stage dedup (vectorized Arrow Bloom shards
+# over xxhash64 digests + anti-join); the oracle is the plain anti-join. The
+# driver's value-hash therefore proves the Bloom path loses/invents nothing.
+
+@register(
+    "crawl_bloom_dedup",
+    oracle=f"""
+    WITH cand AS ({_CAND_SQL}),
+    seen AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT url_canon FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_canon = cand.url_canon)
+    """,
+)
+def crawl_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    cand = (
+        li.select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("l_orderkey") % 50).cast("string"),
+                F.lit(".example/o/"),
+                F.col("l_orderkey").cast("string"),
+            ).alias("url_canon")
+        )
+        .distinct()
+        .withColumn("digest", F.xxhash64("url_canon"))
+    )
+    seen = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url_canon")
+        )
+        .withColumn("digest", F.xxhash64("url_canon"))
+    )
+    bloom = bloom_update(seen.select("digest"), empty_bloom(spark))
+    return filter_unseen(cand, bloom, seen).select("url_canon")
+
+
+# -- A7: robots.txt longest-prefix gate ------------------------------------------
+
+@register(
+    "crawl_robots_gate",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             (o_custkey % 50) AS hostnum,
+             'h' || (o_custkey % 50) || '.example' AS host,
+             '/o/' || o_orderkey AS path
+      FROM orders),
+    g AS (
+      SELECT *,
+             CASE WHEN hostnum % 2 = 0 THEN ['/o/13'] ELSE []::VARCHAR[] END AS allow_rules,
+             ['/o/1', '/o/3'] AS deny_rules
+      FROM f),
+    m AS (
+      SELECT o_orderkey, host, path,
+             coalesce(list_max(list_transform(
+               list_filter(allow_rules, r -> starts_with(path, r)), r -> len(r))), -1) AS ba,
+             coalesce(list_max(list_transform(
+               list_filter(deny_rules, r -> starts_with(path, r)), r -> len(r))), -1) AS bd
+      FROM g)
+    SELECT o_orderkey, host, path, (ba >= bd) AS robots_allowed FROM m
+    """,
+)
+def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    hostnum = F.col("o_custkey") % 50
+    f = orders.select(
+        "o_orderkey",
+        hostnum.alias("hostnum"),
+        F.concat(F.lit("h"), hostnum.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("path"),
+    )
+    robots = (
+        f.select("hostnum", "host")
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("hostnum") % 2 == 0, F.array(F.lit("/o/13")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("allow_rules"),
+            F.array(F.lit("/o/1"), F.lit("/o/3")).alias("deny_rules"),
+            F.lit(None).cast("double").alias("crawl_delay"),
+        )
+    )
+    return apply_robots_gate(f, robots).select(
+        "o_orderkey", "host", "path", "robots_allowed"
+    )
+
+
+# -- A5/A6: politeness schedule (salted two-phase top-k + budgets) -----------------
+# The Spark side is the REAL scheduler (rank_within_budget: salted rank →
+# exact rank); the oracle is the plain per-host window — value-hash equality
+# proves the salted plan computes exactly the unsalted semantics.
+
+_FRONTIER_SQL = f"""
+      SELECT 'h' || (o_custkey % 50) || '.example' AS host,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon,
+             CAST(o_orderkey % 5 AS BIGINT) AS priority,
+             CASE (o_custkey % 50) % 4
+               WHEN 0 THEN NULL WHEN 1 THEN 0.5 WHEN 2 THEN 1.0 ELSE 2.0 END AS crawl_delay
+      FROM orders"""
+
+_SCHEDULE_SQL = f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    b AS (
+      SELECT *,
+        CAST(round(greatest(coalesce(crawl_delay, 0.0), {C.DOWNLOAD_DELAY}) * 1000) AS BIGINT) AS delay_ms
+      FROM f),
+    c AS (
+      SELECT *,
+        least({C.PER_HOST_CAP}, greatest(1,
+          CAST(floor({C.WAVE_SECONDS * 1000} / delay_ms) AS BIGINT))) AS budget
+      FROM b),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY host ORDER BY priority DESC, url_canon ASC) AS j
+      FROM c)
+    SELECT host, url_canon, priority, CAST(j AS BIGINT) AS j,
+           (j - 1) * delay_ms AS fetch_ms, budget
+    FROM r WHERE j <= budget"""
+
+
+def _build_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    hostnum = F.col("o_custkey") % 50
+    return orders.select(
+        F.concat(F.lit("h"), hostnum.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            hostnum.cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_canon"),
+        (F.col("o_orderkey") % 5).cast("long").alias("priority"),
+        F.when(hostnum % 4 == 0, F.lit(None).cast("double"))
+        .when(hostnum % 4 == 1, F.lit(0.5))
+        .when(hostnum % 4 == 2, F.lit(1.0))
+        .otherwise(F.lit(2.0))
+        .alias("crawl_delay"),
+        F.lit(0).alias("discovered_wave"),
+    ).withColumn("digest", F.xxhash64("url_canon"))
+
+
+def _schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scheduled, _ = rank_within_budget(with_budget(_build_frontier(spark, sf_dir)))
+    return scheduled
+
+
+@register("crawl_schedule", oracle=_SCHEDULE_SQL)
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _schedule(spark, sf_dir).select(
+        "host",
+        "url_canon",
+        "priority",
+        F.col("j").cast("long").alias("j"),
+        "fetch_ms",
+        F.col("budget").cast("long").alias("budget"),
+    )
+
+
+# -- crawl-order seq: the scalable zipWithIndex ------------------------------------
+
+@register(
+    "crawl_global_order",
+    oracle=f"""
+    WITH s AS ({_SCHEDULE_SQL})
+    SELECT url_canon, fetch_ms,
+           CAST(row_number() OVER (ORDER BY fetch_ms ASC, host ASC) - 1 AS BIGINT) AS seq
+    FROM s
+    """,
+)
+def crawl_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scheduled = _schedule(spark, sf_dir)
+    return assign_global_seq(
+        scheduled, [F.col("fetch_ms"), F.col("host")], seq_offset=0
+    ).select("url_canon", "fetch_ms", "seq")
+
+
+# -- A11: retry policy --------------------------------------------------------------
+
+_STATUS_SQL = """
+      SELECT event_id,
+             CASE event_type
+               WHEN 'click' THEN 200 WHEN 'view' THEN 301 WHEN 'error' THEN 503
+               WHEN 'signup' THEN 404 ELSE 200 END AS status,
+             CAST(event_id % 4 AS INT) AS retry_count
+      FROM events"""
+
+@register(
+    "crawl_retry_policy",
+    oracle=f"""
+    WITH s AS ({_STATUS_SQL})
+    SELECT event_id, CAST(status AS BIGINT) AS status,
+           CAST(retry_count AS BIGINT) AS retry_count,
+           CASE
+             WHEN status IS NULL THEN 'failed'
+             WHEN status IN (500,502,503,504,522,524,408,429) AND retry_count < {C.RETRY_TIMES} THEN 'retry'
+             WHEN status IN (500,502,503,504,522,524,408,429) THEN 'failed'
+             WHEN status IN (301,302,303,307,308) THEN 'redirect'
+             WHEN status = 200 THEN 'fetched'
+             ELSE 'failed' END AS result
+    FROM s
+    """,
+)
+def crawl_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 301)
+        .when(F.col("event_type") == "error", 503)
+        .when(F.col("event_type") == "signup", 404)
+        .otherwise(200)
+        .alias("status"),
+        (F.col("event_id") % 4).cast("int").alias("retry_count"),
+    )
+    return classify_outcome(s).select(
+        "event_id",
+        F.col("status").cast("long").alias("status"),
+        F.col("retry_count").cast("long").alias("retry_count"),
+        "result",
+    )
+
+
+# -- A8/A9: offsite + depth filters ---------------------------------------------------
+
+_ALLOWED_HOSTNUMS = list(range(50))
+
+@register(
+    "crawl_offsite_depth",
+    oracle=f"""
+    WITH f AS (
+      SELECT c_custkey,
+             'h' || (c_custkey % 70) || '.example' AS host,
+             CAST(c_custkey % 9 AS BIGINT) AS depth
+      FROM customer)
+    SELECT c_custkey, host, depth FROM f
+    WHERE (c_custkey % 70) < 50 AND depth <= {C.DEPTH_LIMIT}
+    """,
+)
+def crawl_offsite_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    allowed = [f"h{n}.example" for n in _ALLOWED_HOSTNUMS]
+    f = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("h"), (F.col("c_custkey") % 70).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("c_custkey") % 9).cast("long").alias("depth"),
+    )
+    return f.filter(F.col("host").isin(allowed)).filter(
+        F.col("depth") <= C.DEPTH_LIMIT
+    )
+
+
+# =============================================================================
+# Relational surface (SURVEY.md Table B) — skew, joins, aggs, windows, json
+# =============================================================================
+
+# -- salted two-phase aggregation over a skewed key (north-rule A+B axis) --------------
+# 70% of lineitem lands on host h0; the Spark plan pre-aggregates per
+# (host, salt) then merges — equal to the plain GROUP BY the oracle runs.
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    WITH f AS (
+      SELECT 'h' || (CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END) AS host,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem)
+    SELECT host, count(*) AS n_rows, sum(qty) AS sum_qty
+    FROM f GROUP BY host
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    hostnum = F.when(F.col("l_orderkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_orderkey") % 10
+    )
+    f = li.select(
+        F.concat(F.lit("h"), hostnum.cast("string")).alias("host"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).withColumn("_salt", F.pmod(F.xxhash64("qty"), F.lit(C.HOST_SALTS)))
+    partial = f.groupBy("host", "_salt").agg(
+        F.count("*").alias("_n"), F.sum("qty").alias("_s")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("_n").alias("n_rows"), F.sum("_s").alias("sum_qty")
+    )
+
+
+# -- broadcast dim join + exact-cents money agg -----------------------------------------
+
+@register(
+    "join_broadcast_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# -- multi-way star join: revenue per region (nation ⨝ customer ⨝ orders) ----------------
+
+@register(
+    "join_star_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           count(*) AS n_orders,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_star_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# -- TPC-H Q1-shaped lineage rollup (exact integer-cents arithmetic) ----------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      FROM lineitem
+      WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1997-09-02')
+    SELECT l_returnflag, l_linestatus,
+           sum(qty) AS sum_qty,
+           sum(price_c) / 100.0 AS sum_base_price,
+           sum(price_c * (100 - disc_c)) / 10000.0 AS sum_disc_price,
+           sum(disc_c) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM l GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    l = li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1997-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        (F.sum("price_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_c"))) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (F.sum("disc_c") / 100.0 / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# -- window top-k per group ------------------------------------------------------------
+
+@register(
+    "window_topk_per_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events)
+    SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def window_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# -- window lag (inter-event deltas — the inter-fetch-delay audit shape) -------------------
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta_value
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta_value")
+    )
+
+
+# -- JSON extraction (the events.props column) ----------------------------------------------
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           strftime(ts, '%Y-%m-%d %H') AS hour_str
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"),
+    )
+
+
+# =============================================================================
+# Training-data pipeline: documents (dedup, text analysis)
+# =============================================================================
+
+_TOKS = tx.sql_tokens("text")
+_SHINGLES_SQL = tx.sql_shingles("toks")  # for CTEs exposing `toks`
+
+@register(
+    "doc_exact_dedup",
+    oracle=f"""
+    SELECT {sql_digest60('text')} AS text_digest,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_tok_len
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+            (
+                F.aggregate(
+                    F.transform(F.col("toks"), F.length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size("toks")
+            ).alias("mean_tok_len"),
+        )
+    )
+
+
+_STOP_SQL = tx.sql_count_in("toks", tx.STOPWORDS)
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST({_STOP_SQL} AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", "text", tx.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    return t.select(
+        "doc_id",
+        (
+            tx.count_in(F.col("toks"), tx.STOPWORDS).cast("double") / F.size("toks")
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
+                "double"
+            )
+            / F.col("n_chars")
+        ).alias("alpha_ratio"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "doc_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang, {tx.sql_lang_guess('toks')} AS lang_guess
+    FROM t
+    """,
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("toks"))
+    return t.select("doc_id", "lang", tx.lang_guess(F.col("toks")).alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, {tx.sql_fingerprint('toks')} AS fp FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint(tx.tokens(F.col("text"))).alias("fp")
+    )
+
+
+_BANDS_SQL = f"""
+      SELECT doc_id, CAST(r.band_id AS BIGINT) AS band_id,
+             list_min(list_transform(
+               sh,
+               s -> {dd.sql_band_mix(f"{sql_digest60('s')} % {dd.MINHASH_P}", "r.band_id")})) AS band_hash
+      FROM (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t0) t,
+           range({dd.MINHASH_K}) r(band_id)"""
+
+@register(
+    "doc_minhash",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT doc_id, band_id, band_hash FROM bands WHERE band_hash IS NOT NULL
+    """,
+)
+def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_rows(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("band_id").cast("long").alias("band_id"), "band_hash"
+    )
+
+
+@register(
+    "doc_lsh_pairs",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    sizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN sizes USING (band_id, band_hash) WHERE b <= 1000)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bounded a JOIN bounded b USING (band_id, band_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = dd.minhash_rows(load(spark, sf_dir, "documents"))
+    return dd.lsh_candidate_pairs(rows, min_bands=1, max_bucket=1000)
+
+
+@register(
+    "doc_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
+    rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM rows_ a JOIN rows_ b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(load(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(dd.SIMHASH_BITS)
+)
+
+@register(
+    "doc_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {sql_digest60('tok')} AS h FROM tok),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM v
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load(spark, sf_dir, "documents"))
+
+
+# =============================================================================
+# Similarity search: embeddings
+# =============================================================================
+
+_EMB_DIM = 64
+_PROBES = [0, 1, 2, 3, 4]
+_PROBES_SQL = ", ".join(str(p) for p in _PROBES)
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE vec_id IN ({_PROBES_SQL})),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
+      FROM probes p, embeddings e WHERE e.vec_id <> p.probe_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _PROBES, k=5).select(
+        "probe_id", "vec_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_BUCKET_SQL = sim.sql_lsh_bucket("embedding", _EMB_DIM)
+
+@register(
+    "emb_lsh_bucket",
+    oracle=f"""
+    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings
+    """,
+)
+def emb_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", sim.lsh_bucket(F.col("embedding")).cast("long").alias("bucket")
+    )
+
+
+@register(
+    "emb_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, bucket FROM b
+      WHERE vec_id IN ({_PROBES_SQL})),
+    scored AS (
+      SELECT p.probe_id, p.bucket, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
+      FROM probes p JOIN b e USING (bucket) WHERE e.vec_id <> p.probe_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT probe_id, bucket, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_lsh(emb, _PROBES, k=5).select(
+        "probe_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "vec_id",
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+# =============================================================================
+# Multimodal: binary image columns (rows-only checks — no SQL codec twin)
+# =============================================================================
+
+def _image_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+
+
+@register("img_features")  # rows-only: codec not expressible in SQL
+def img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return image_features(imgs)
+
+
+@register("img_reencode_psnr")  # rows-only
+def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
+
+
+# =============================================================================
+# Structured Streaming (availableNow batch-over-stream) — SURVEY.md Table B
+# =============================================================================
+
+@register(
+    "stream_event_counts",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_str,
+           count(*) AS n,
+           sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with trigger(availableNow): reads the events
+    parquet as a stream, aggregates, and drains to a memory sink; returns
+    the final batch result. Demonstrates the engine's continuous mode
+    (SURVEY.md §2 Table B 'streaming') with a batch-SQL oracle."""
+    import uuid
+
+    import tempfile
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    # FileStreamSource wants a directory; expose the single parquet file
+    # through a symlink dir (stand-in for the per-wave append dirs a real
+    # crawl stream would tail).
+    stream_dir = tempfile.mkdtemp(prefix="rcspark_stream_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(stream_dir)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+            F.round(F.col("value") * 1000000).cast("long").alias("value_u"),
+        )
+        .groupBy("event_type", "day_str")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("value_u") / 1000000.0).alias("sum_value"),
+        )
+    )
+    sink = f"stream_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
