@@ -53,6 +53,19 @@ class Entry:
         self.sort_key = (-self.priority, self.discovered_wave, self.url_canon)
 
 
+def host_delay_ms(crawl_delay: float | None) -> int:
+    """Effective per-host delay in integer ms (shared clock, §5.3)."""
+    cd = 0.0 if crawl_delay is None else float(crawl_delay)
+    return int(round(max(cd, DOWNLOAD_DELAY) * 1000))
+
+
+def host_budget(crawl_delay: float | None) -> int:
+    """URLs a host may fetch per wave: min(cap, floor(wave_ms / delay_ms))."""
+    return min(
+        PER_HOST_CAP, max(1, int(WAVE_SECONDS * 1000 // host_delay_ms(crawl_delay)))
+    )
+
+
 def _host_path(canon: str) -> tuple[str, str]:
     rest = canon.split("://", 1)[1]
     hostport, _, pathq = rest.partition("/")
@@ -86,15 +99,15 @@ def run_oracle(fixture, max_waves: int = 1_000_000) -> OracleResult:
     # the seed frontier during bootstrap, then each wave's next_pending.
     inbox: list[Entry] = pending
 
-    def delay_ms(host: str) -> int:
+    def _cd(host: str) -> float | None:
         cd = robots[host].crawl_delay if host in robots else None
-        if cd is None or pd.isna(cd):
-            cd = 0.0
-        d = max(cd, DOWNLOAD_DELAY)
-        return int(round(d * 1000))
+        return None if cd is None or pd.isna(cd) else float(cd)
+
+    def delay_ms(host: str) -> int:
+        return host_delay_ms(_cd(host))
 
     def budget(host: str) -> int:
-        return min(PER_HOST_CAP, max(1, int(WAVE_SECONDS * 1000 // delay_ms(host))))
+        return host_budget(_cd(host))
 
     def discover(raw: str, depth: int, priority: int, wave: int) -> None:
         canon = canon_py(raw)

@@ -1,0 +1,54 @@
+"""Order-insensitive result comparison between Spark and DuckDB outputs.
+
+Mimics the driver's CORRECTNESS check: column names (sorted), row count,
+and value equality after dtype normalization and total-order row sort.
+Used by scripts/selfcheck.py (all queries, CLI) and
+tests/test_queries_oracle.py (pytest gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif s.dtype == object:
+            pdf[c] = s.astype(str).where(~s.isna(), None)
+    return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
+    """[] when equal; human-readable mismatch descriptions otherwise."""
+    errs: list[str] = []
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return [f"schema: spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"]
+    if len(spdf) != len(opdf):
+        errs.append(f"rows: spark={len(spdf)} oracle={len(opdf)}")
+    a, b = normalize(spdf), normalize(opdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(av):
+                eq = (av.fillna(np.nan) == bv.fillna(np.nan)) | (av.isna() & bv.isna())
+            else:
+                eq = (av == bv) | (av.isna() & bv.isna())
+            bad = (~eq).to_numpy().nonzero()[0]
+            if len(bad):
+                i = int(bad[0])
+                errs.append(
+                    f"col {c}: {len(bad)} mismatches; first row {i}: "
+                    f"spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r} "
+                    f"(row spark={a.iloc[i].to_dict()})"
+                )
+    return errs

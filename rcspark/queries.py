@@ -432,6 +432,133 @@ def crawl_offsite_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A14: parse / extract (the spider-callback UDF) -----------------------------
+# HTML-ish bodies are synthesized from `documents`, then parsed by the REAL
+# engine parse UDF (rcspark.parse.parse_page — vectorized pandas regex);
+# the oracle reconstructs the extraction results directly.
+
+@register(
+    "crawl_parse_extract",
+    oracle="""
+    SELECT doc_id,
+           source AS caption,
+           'http://h' || (doc_id % 20) || '.example/img/' || doc_id || '.ppm' AS image_url,
+           CAST(2 AS BIGINT) AS n_links,
+           'http://h' || (doc_id % 20) || '.example/p/' || (doc_id * 7 % 1000) AS first_link
+    FROM documents
+    """,
+)
+def crawl_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parse import parse_page
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("http://h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example"))
+    body = F.concat(
+        F.lit("<title>"),
+        F.col("source"),
+        F.lit("</title>\n"),
+        F.lit('<img src="'), host, F.lit("/img/"), F.col("doc_id").cast("string"),
+        F.lit('.ppm">\n'),
+        F.lit('<a href="'), host, F.lit("/p/"),
+        (F.col("doc_id") * 7 % 1000).cast("string"), F.lit('">l</a>\n'),
+        F.lit('<a href="'), host, F.lit("/p/"),
+        (F.col("doc_id") * 13 % 1000).cast("string"), F.lit('">l</a>'),
+    )
+    parsed = docs.select(
+        "doc_id", parse_page(F.encode(body, "utf-8")).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.caption").alias("caption"),
+        F.col("p.image_url").alias("image_url"),
+        F.size("p.links").cast("long").alias("n_links"),
+        F.element_at("p.links", 1).alias("first_link"),
+    )
+
+
+# -- A12: redirect-chain resolution (fixed-depth iterative join) -----------------
+# Orders whose key is divisible by 7 "redirect" to key//10; chains resolve
+# by up to 3 hops. The Spark side is the engine's iterative-join pattern;
+# the oracle chains the same three LEFT JOINs.
+
+_EDGES_SQL = """
+      SELECT o_orderkey AS src,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey >= 10
+                  THEN o_orderkey // 10 ELSE NULL END AS dst
+      FROM orders"""
+
+@register(
+    "crawl_redirect_resolve",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT a.src AS src,
+           coalesce(c.dst, b.dst, a.dst, a.src) AS final,
+           CAST(CASE WHEN a.dst IS NULL THEN 0
+                     WHEN b.dst IS NULL THEN 1
+                     WHEN c.dst IS NULL THEN 2
+                     ELSE 3 END AS BIGINT) AS hops
+    FROM e a
+    LEFT JOIN e b ON b.src = a.dst
+    LEFT JOIN e c ON c.src = b.dst
+    """,
+)
+def crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    e = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.when(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 10),
+            (F.col("o_orderkey") / 10).cast("long"),
+        ).alias("dst"),
+    )
+    cur = e.select(
+        F.col("src"), F.col("src").alias("final0"), F.col("dst").alias("nxt"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(3):  # MAX_REDIRECT_TIMES analogue, fixed depth
+        nxt = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        cur = (
+            cur.join(nxt, cur["nxt"] == nxt["_s"], "left")
+            .select(
+                "src",
+                F.coalesce(F.col("nxt"), F.col("final0")).alias("final0"),
+                F.when(F.col("nxt").isNotNull(), F.col("_d")).alias("nxt"),
+                (F.col("hops") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias(
+                    "hops"
+                ),
+            )
+        )
+    return cur.select("src", F.col("final0").alias("final"), "hops")
+
+
+# -- embedding-cosine near-dup pairs (LSH-blocked, the media-dedup scale path) ----
+
+@register(
+    "emb_neardup_pairs",
+    oracle=None,  # filled below after _BUCKET_SQL is defined
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        sim.lsh_bucket(F.col("embedding")).cast("long").alias("bucket"),
+    )
+    a = b.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    c = b.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= 0.2)
+        .select("id_a", "id_b", "bucket", "cos_sim")
+    )
+
+
 # =============================================================================
 # Relational surface (SURVEY.md Table B) — skew, joins, aggs, windows, json
 # =============================================================================
@@ -868,6 +995,18 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUCKET_SQL = sim.sql_lsh_bucket("embedding", _EMB_DIM)
+
+# oracle for emb_neardup_pairs (registered earlier; needs _BUCKET_SQL)
+ORACLE["emb_neardup_pairs"] = f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+             {sim.sql_cosine('a.embedding', 'c.embedding', _EMB_DIM)} AS cos_sim
+      FROM b a JOIN b c USING (bucket)
+      WHERE a.vec_id < c.vec_id)
+    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.2
+    """
 
 @register(
     "emb_lsh_bucket",

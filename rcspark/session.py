@@ -30,7 +30,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("RCSPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it for
+        # 32 concurrent tasks' shuffle+Arrow buffers (host has 128 GiB;
+        # 8g measurably GC-thrashes at local[32], see BENCH/SCALING.md)
+        .config("spark.driver.memory", os.environ.get("RCSPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

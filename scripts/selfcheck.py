@@ -12,56 +12,14 @@ import sys
 import time
 
 import duckdb
-import numpy as np
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rcspark.oracle_compare import compare  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, normalize dtypes, sort rows — order-insensitive."""
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
-    for c in pdf.columns:
-        s = pdf[c]
-        if pd.api.types.is_bool_dtype(s):
-            pdf[c] = s.astype("boolean")
-        elif pd.api.types.is_integer_dtype(s):
-            pdf[c] = s.astype("Int64")
-        elif pd.api.types.is_float_dtype(s):
-            pdf[c] = s.astype("float64")
-        elif s.dtype == object:
-            pdf[c] = s.astype(str).where(~s.isna(), None)
-    return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
-
-
-def compare(name: str, spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
-    errs = []
-    if sorted(spdf.columns) != sorted(opdf.columns):
-        errs.append(f"schema: spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
-        return errs
-    if len(spdf) != len(opdf):
-        errs.append(f"rows: spark={len(spdf)} oracle={len(opdf)}")
-    a, b = normalize(spdf), normalize(opdf)
-    if len(a) == len(b):
-        for c in a.columns:
-            av, bv = a[c], b[c]
-            if pd.api.types.is_float_dtype(av):
-                eq = (av.fillna(np.nan) == bv.fillna(np.nan)) | (av.isna() & bv.isna())
-            else:
-                eq = (av == bv) | (av.isna() & bv.isna())
-            bad = (~eq).to_numpy().nonzero()[0]
-            if len(bad):
-                i = int(bad[0])
-                errs.append(
-                    f"col {c}: {len(bad)} mismatches; first row {i}: "
-                    f"spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r} "
-                    f"(row spark={a.iloc[i].to_dict()})"
-                )
-    return errs
 
 
 def main() -> int:
@@ -103,7 +61,7 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: oracle error: {e}")
             continue
-        errs = compare(name, spdf, opdf)
+        errs = compare(spdf, opdf)
         if errs:
             failed.append(name)
             print(f"FAIL {name} ({len(spdf)} vs {len(opdf)} rows):")

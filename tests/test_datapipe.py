@@ -1,0 +1,137 @@
+"""Datapipe operator tests: doc dedup, similarity, multimodal fidelity.
+
+These are property tests on constructed inputs (the driver's DuckDB oracle
+harness covers the value-level cross-engine checks; see
+scripts/selfcheck.py). Here we pin the semantic contracts:
+- exact dedup keeps exactly one keeper per distinct text;
+- identical documents collide on EVERY MinHash band and are found by LSH;
+- disjoint documents share no bands (w.h.p.) and Jaccard of identical
+  docs is 1.0;
+- SimHash of identical docs is identical, and near-identical docs are
+  closer in Hamming distance than unrelated ones;
+- the lossy image re-encode meets the north rule's PSNR >= 40 dB gate;
+- ANN bucketing is deterministic across independent runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rcspark.datapipe import dedupdocs as dd
+from rcspark.datapipe import similarity as sim
+from rcspark.datapipe.multimodal import (
+    image_features,
+    reencode_lossy,
+    resize_images,
+    synthesize_images,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_B = DOC_A.replace("lazy", "sleepy")  # near-dup: one token differs
+DOC_C = "completely unrelated text about spark shuffle partitions and bloom filters"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, DOC_A), (1, DOC_A), (2, DOC_B), (3, DOC_C)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in dd.exact_dedup(docs).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}  # doc 1 deduped into keeper 0
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    rows = dd.minhash_rows(docs)
+    sig = {
+        doc: {r["band_id"]: r["band_hash"] for r in grp}
+        for doc, grp in _group(rows.collect(), "doc_id").items()
+    }
+    assert sig[0] == sig[1]  # identical text -> identical signature
+    assert len(sig[0]) == dd.MINHASH_K
+    assert sig[0] != sig[3]  # unrelated text -> different signature
+
+
+def test_lsh_finds_duplicates_not_unrelated(docs):
+    pairs = dd.lsh_candidate_pairs(dd.minhash_rows(docs), min_bands=2).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
+    assert got[(0, 1)] == dd.MINHASH_K  # exact dups collide on every band
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_exact(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.0 < pairs[(0, 2)] < 1.0  # near-dup: some shared shingles
+    assert (0, 3) not in pairs  # no shared shingles at all
+
+
+def test_simhash_distance_orders_similarity(docs):
+    h = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert h[0] == h[1]
+    d_near = bin(h[0] ^ h[2]).count("1")
+    d_far = bin(h[0] ^ h[3]).count("1")
+    assert d_near <= d_far
+
+
+def test_ann_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4).alias("bucket")).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4).alias("bucket")).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 1  # planes actually split the space
+
+
+def test_cosine_topk_self_similarity(spark):
+    # vec 0 and vec 10 are identical -> cosine 1.0 must rank first
+    emb = spark.createDataFrame(
+        [(i, [float((i % 10) * 7 + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    top = sim.cosine_topk(emb, [0], k=1).collect()
+    assert top[0]["vec_id"] == 10 and top[0]["cos_sim"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    ids = spark.createDataFrame([(f"img{i:04d}",) for i in range(12)], "image_id string")
+    return synthesize_images(ids).persist()
+
+
+def test_image_features_match_metadata(images):
+    feats = {r["image_id"]: r for r in image_features(images).collect()}
+    for row in images.collect():
+        f = feats[row["image_id"]]
+        assert (f["w"], f["h"], f["fmt"]) == (row["w"], row["h"], row["fmt"])
+        assert f["phash"] == row["phash"]
+        assert 0.0 <= f["mean_r"] <= 255.0
+
+
+def test_lossy_reencode_meets_psnr_gate(images):
+    # the north rule's fidelity contract: PSNR >= 40 dB for lossy formats
+    rows = reencode_lossy(images).collect()
+    assert rows and all(r["psnr_db"] >= 40.0 for r in rows)
+
+
+def test_resize_shapes(images):
+    rows = resize_images(images, out_w=8, out_h=8).collect()
+    assert rows and all(r["out_w"] == 8 and r["out_h"] == 8 for r in rows)
+    from rcspark.codecs import decode_image
+
+    pix, fmt = decode_image(bytes(rows[0]["bytes"]))
+    assert pix.shape == (8, 8, 3) and fmt == "ppm"
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
