@@ -139,14 +139,30 @@ def bloom_update(new_digests: DataFrame, bloom: DataFrame) -> DataFrame:
     )
 
 
-def filter_unseen(candidates: DataFrame, bloom: DataFrame, seen: DataFrame) -> DataFrame:
+def filter_unseen(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    seen: DataFrame,
+    persisted_out: list | None = None,
+) -> DataFrame:
     """Rows of `candidates` whose (digest, url_canon) is NOT in the seen set.
 
     Bloom-negative rows skip the join entirely; bloom-positive rows are
     verified with an exact left_anti join (false-positive kill). Columns of
     `candidates` pass through unchanged.
+
+    The probed frontier is persisted before the fresh/maybe fan-out —
+    without it, Spark recomputes the whole Bloom build+probe subtree once
+    per union branch (verified via .explain: two FlatMapCoGroupsInPandas
+    chains). At 10^10 scale this is the wave's materialization point (the
+    frontier table write); locally MEMORY_AND_DISK stands in. Callers can
+    collect the handle via `persisted_out` to unpersist after the wave.
     """
-    probed = bloom_probe(candidates, bloom)
+    from pyspark.storagelevel import StorageLevel
+
+    probed = bloom_probe(candidates, bloom).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(

@@ -678,7 +678,12 @@ def join_star_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    l = li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1997-09-02").select(
+    # wall-clock-equivalent to the oracle's strftime <= '1997-09-02', but as
+    # a raw column comparison so the range predicate pushes into the parquet
+    # scan (date_format(col) <= str pushes only IsNotNull — verified via
+    # .explain; the parquet timestamps are NTZ so this is TZ-proof)
+    cutoff = F.lit("1997-09-03 00:00:00").cast(li.schema["l_shipdate"].dataType)
+    l = li.filter(F.col("l_shipdate") < cutoff).select(
         "l_returnflag",
         "l_linestatus",
         F.col("l_quantity").cast("long").alias("qty"),
@@ -757,6 +762,91 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"),
+    )
+
+
+# -- A15 sink shape: JSON serialization round-trip --------------------------------
+
+@register(
+    "events_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json → from_json round-trip of the item-pipeline record shape
+    (SURVEY.md A15: the part-JSON writer); the oracle reads the original
+    fields, so the driver check proves serialization loses nothing."""
+    ev = load(spark, sf_dir, "events")
+    rec = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            )
+        ).alias("js")
+    )
+    schema = "event_id long, event_type string, k_val long"
+    return rec.select(F.from_json("js", schema).alias("r")).select("r.*")
+
+
+# -- A18 lineage reporting: rollup totals --------------------------------------------
+
+@register(
+    "agg_rollup_events",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(ts, '%Y-%m'), 'ALL') AS month_str,
+           count(*) AS n
+    FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m'))
+    """,
+)
+def agg_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.date_format("ts", "yyyy-MM").alias("month_str"))
+        .rollup("event_type", "month_str")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("month_str", F.lit("ALL")).alias("month_str"),
+            "n",
+        )
+    )
+
+
+# -- window frame: running revenue (cumulative sum, exact cents) -----------------------
+
+@register(
+    "window_running_total",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+           sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0 AS running_total
+    FROM o
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0
+        ).alias("running_total"),
     )
 
 

@@ -191,7 +191,7 @@ class CrawlEngine:
             F.col("_rn") == 1
         )
         new_urls = (
-            filter_unseen(disc, bloom, seen)
+            filter_unseen(disc, bloom, seen, persisted_out=gc_dfs)
             .select(
                 "url_canon",
                 "digest",
