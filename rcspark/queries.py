@@ -1170,6 +1170,29 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 
 @register(
+    "stream_stateful_schedule",
+    oracle="""
+    WITH s AS (
+      SELECT 'h' || (user_id % 20) || '.example' AS host,
+             event_id,
+             ((user_id % 20) % 4 + 1) * 500 AS delay_ms
+      FROM events),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY event_id) AS j
+      FROM s)
+    SELECT host, event_id, CAST(j AS BIGINT) AS j,
+           (j - 1) * delay_ms AS fetch_ms
+    FROM r
+    """,
+)
+def stream_stateful_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    politeness slot clock over a URL stream — see rcspark.streaming."""
+    from .streaming import stateful_politeness_schedule
+
+    return stateful_politeness_schedule(spark, sf_dir)
+
+@register(
     "stream_event_counts",
     oracle="""
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_str,
@@ -1185,20 +1208,12 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2 Table B 'streaming') with a batch-SQL oracle."""
     import uuid
 
-    import tempfile
+    from .streaming import file_stream_dir
 
     ev_schema = load(spark, sf_dir, "events").schema
-    # FileStreamSource wants a directory; expose the single parquet file
-    # through a symlink dir (stand-in for the per-wave append dirs a real
-    # crawl stream would tail).
-    stream_dir = tempfile.mkdtemp(prefix="rcspark_stream_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stream_dir, "events.parquet"),
-    )
     stream = (
         spark.readStream.schema(ev_schema)
-        .parquet(stream_dir)
+        .parquet(file_stream_dir(sf_dir, "events"))
         .select(
             "event_type",
             F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
