@@ -31,6 +31,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _burn(_):
+    import time as _t
+
+    import numpy as np
+
+    a = np.random.rand(500, 500)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 2.0:
+        a @ a
+        n += 1
+    return n
+
+
+def cpu_capacity() -> dict[str, float]:
+    """The sandbox VM's CPU supply varies >5x over time (hypervisor steal;
+    see BENCH/SCALING.md). Measuring it alongside the benchmark lets any
+    reader normalize the wall-clock numbers to the machine's state at the
+    moment they were taken."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (1, 8):
+        with mp.Pool(procs) as p:
+            out[f"cpu_matmuls_per_s_{procs}p"] = round(
+                sum(p.map(_burn, range(procs))) / 2.0, 1
+            )
+    return out
+
+
 def crawl_wave_pipeline(spark, sf_dir):
     """The composite wave over an orders-derived frontier (A2→A6 + seq)."""
     from pyspark.sql import functions as F
@@ -99,6 +129,7 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    capacity = cpu_capacity()  # before the JVM exists, so it's unpolluted
 
     from rcspark.queries import QUERIES
     from rcspark.session import get_spark
@@ -134,6 +165,7 @@ def main() -> None:
                 "cores": cores,
                 "frontier_urls": n_frontier,
                 "urls_per_sec": round(n_frontier / wave_s, 1),
+                **capacity,
             }
         )
     )

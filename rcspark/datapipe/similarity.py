@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import digest60, sql_digest60
+from .hashing import sql_digest60
 
 NPLANES = 8
 PLANE_MOD = 2001  # weight ∈ {-1000..1000}/1000
@@ -90,30 +90,38 @@ def cosine_topk(
 
 # -- deterministic hyperplane LSH ------------------------------------------------
 
-def plane_weight(p: Column, d: Column) -> Column:
-    """Pseudo-random-but-deterministic weight for plane p, dim d ∈ [-1, 1]."""
-    key = F.concat(F.lit("plane:"), p.cast("string"), F.lit(":"), d.cast("string"))
-    return (F.pmod(digest60(key), F.lit(PLANE_MOD)) - F.lit((PLANE_MOD - 1) / 2)).cast(
-        "double"
-    ) / F.lit((PLANE_MOD - 1) / 2.0)
-
-
 def sql_plane_weight(p: str, d: str) -> str:
+    """DuckDB derivation of the plane weights — independent of the Python
+    precompute (plane_weight_py), so the oracle genuinely re-derives them."""
     h = sql_digest60(f"'plane:' || ({p})::VARCHAR || ':' || ({d})::VARCHAR")
     half = (PLANE_MOD - 1) / 2
     return f"(CAST(({h}) % {PLANE_MOD} AS DOUBLE) - {half}) / {half}"
 
 
-def lsh_bucket(vec: Column, nplanes: int = NPLANES) -> Column:
-    """nplanes sign bits of ⟨vec, plane_p⟩ packed into an int bucket id."""
+def plane_weight_py(p: int, d: int) -> float:
+    """Python twin of plane_weight (hashlib md5 == Spark/DuckDB md5), used
+    to PREcompute the plane matrix driver-side: the weights are functions
+    of literals only, and leaving them as md5 expressions made Spark
+    recompute nplanes·dim md5s per ROW (no constant folding through
+    higher-order lambdas — measured 5× slowdown on emb_ann_lsh)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+    half = (PLANE_MOD - 1) / 2
+    return ((h % PLANE_MOD) - half) / half
+
+
+def lsh_bucket(vec: Column, nplanes: int = NPLANES, dim: int = 64) -> Column:
+    """nplanes sign bits of ⟨vec, plane_p⟩ packed into an int bucket id.
+
+    Plane weights are embedded as array literals (see plane_weight_py);
+    the per-row work is pure zip_with/aggregate arithmetic in codegen.
+    """
     bucket = F.lit(0)
     for p in range(nplanes):
+        w = F.array(*[F.lit(plane_weight_py(p, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * plane_weight(F.lit(p), i),
-            ),
+            F.zip_with(vec, w, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

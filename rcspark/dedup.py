@@ -73,12 +73,53 @@ def empty_bloom(spark) -> DataFrame:
     return spark.createDataFrame(rows, BLOOM_SCHEMA)
 
 
+def bloom_probe_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """candidates(digest, ...) → same rows + boolean `maybe_seen`, via a
+    BROADCAST of the shard bitmaps and a scalar Arrow-batched pandas UDF.
+
+    Preferred probe path: only the `digest` column crosses the JVM↔Python
+    boundary (the cogroup variant ships every candidate column through
+    Arrow and pays a shuffle). The bloom table is small by construction —
+    shards are sized so the WHOLE filter is a few GiB even at 10^10 URLs
+    (module docstring), i.e. broadcastable once per wave; fall back to
+    `bloom_probe` only when the filter outgrows executor memory.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    shards: dict[int, tuple[bytes, int, int]] = {
+        r["shard"]: (bytes(r["bits"]), int(r["nbits"]), int(r["k"]))
+        for r in bloom.collect()
+    }
+    bc = spark.sparkContext.broadcast(shards)
+
+    @pandas_udf("boolean")
+    def probe(digest: pd.Series) -> pd.Series:
+        sh = bc.value
+        d = digest.to_numpy()
+        out = np.zeros(len(d), dtype=bool)
+        shard_of = (d % BLOOM_SHARDS + BLOOM_SHARDS) % BLOOM_SHARDS
+        for s in np.unique(shard_of):
+            ent = sh.get(int(s))
+            if ent is None:
+                continue
+            bits_b, nbits, k = ent
+            mask = shard_of == s
+            pos = _positions(d[mask], nbits, k)
+            out[mask] = _probe_bits(np.frombuffer(bits_b, dtype=np.uint8), pos)
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", probe(F.col("digest")))
+
+
 def bloom_probe(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     """candidates(digest, ...) → same rows + boolean `maybe_seen`.
 
     Cogroup by shard; one Arrow batch per shard probes all its digests in
     one vectorized pass. A shard with no bloom row (fresh filter) probes
-    all-False.
+    all-False. (Scale fallback for a filter too big to broadcast — see
+    bloom_probe_broadcast for the default path.)
     """
     from pyspark.sql import types as T
 
@@ -152,15 +193,17 @@ def filter_unseen(
     `candidates` pass through unchanged.
 
     The probed frontier is persisted before the fresh/maybe fan-out —
-    without it, Spark recomputes the whole Bloom build+probe subtree once
-    per union branch (verified via .explain: two FlatMapCoGroupsInPandas
-    chains). At 10^10 scale this is the wave's materialization point (the
-    frontier table write); locally MEMORY_AND_DISK stands in. Callers can
-    collect the handle via `persisted_out` to unpersist after the wave.
+    without it, Spark recomputes the whole Bloom probe subtree once per
+    union branch (verified via .explain). At 10^10 scale this is the
+    wave's materialization point (the frontier table write); locally
+    MEMORY_AND_DISK stands in. Callers can collect the handle via
+    `persisted_out` to unpersist after the wave.
     """
     from pyspark.storagelevel import StorageLevel
 
-    probed = bloom_probe(candidates, bloom).persist(StorageLevel.MEMORY_AND_DISK)
+    probed = bloom_probe_broadcast(candidates, bloom).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if persisted_out is not None:
         persisted_out.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -84,8 +84,8 @@ def test_ann_bucket_deterministic(spark):
         [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(20)],
         "vec_id long, embedding array<float>",
     )
-    b1 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4).alias("bucket")).collect()}
-    b2 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4).alias("bucket")).collect()}
+    b1 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4, dim=8).alias("bucket")).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in emb.select("vec_id", sim.lsh_bucket(F.col("embedding"), 4, dim=8).alias("bucket")).collect()}
     assert b1 == b2
     assert len(set(b1.values())) > 1  # planes actually split the space
 
