@@ -765,6 +765,63 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- set ops: the frontier algebra (union / intersect / except) ---------------------
+
+@register(
+    "set_ops_urls",
+    oracle=f"""
+    WITH cand AS ({_CAND_SQL}),
+    seen AS (
+      SELECT DISTINCT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders)
+    SELECT 'both' AS tag, url_canon FROM (SELECT url_canon FROM cand INTERSECT SELECT url_canon FROM seen)
+    UNION ALL
+    SELECT 'cand_only' AS tag, url_canon FROM (SELECT url_canon FROM cand EXCEPT SELECT url_canon FROM seen)
+    """,
+)
+def set_ops_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    cand = li.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("l_orderkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("url_canon")
+    ).distinct()
+    seen = orders.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_canon")
+    ).distinct()
+    both = cand.intersect(seen).select(F.lit("both").alias("tag"), "url_canon")
+    only = cand.exceptAll(seen).select(F.lit("cand_only").alias("tag"), "url_canon")
+    return both.unionByName(only)
+
+
+# -- global sort + limit (top-n with total-order tie-break) ---------------------------
+
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # -- A15 sink shape: JSON serialization round-trip --------------------------------
 
 @register(
