@@ -214,6 +214,51 @@ def crawl_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen(cand, bloom, seen).select("url_canon")
 
 
+# -- A4 cuckoo variant: same contract, deletable sketch ---------------------------
+
+@register(
+    "crawl_cuckoo_dedup",
+    oracle=f"""
+    WITH cand AS ({_CAND_SQL}),
+    seen AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders WHERE o_orderstatus = 'O')
+    SELECT url_canon FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_canon = cand.url_canon)
+    """,
+)
+def crawl_cuckoo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cuckoo import cuckoo_update, empty_cuckoo, filter_unseen_cuckoo
+
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    cand = (
+        li.select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("l_orderkey") % 50).cast("string"),
+                F.lit(".example/o/"),
+                F.col("l_orderkey").cast("string"),
+            ).alias("url_canon")
+        )
+        .distinct()
+        .withColumn("digest", F.xxhash64("url_canon"))
+    )
+    seen = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url_canon")
+        )
+        .withColumn("digest", F.xxhash64("url_canon"))
+    )
+    ck = cuckoo_update(seen.select("digest"), empty_cuckoo(spark))
+    return filter_unseen_cuckoo(cand, ck, seen).select("url_canon")
+
+
 # -- A7: robots.txt longest-prefix gate ------------------------------------------
 
 @register(

@@ -129,8 +129,13 @@ class CrawlEngine:
         t = c_prev  # oracle wave number being processed
         seq_offset = int(meta.get("seq_offset", 0))
 
+        # drain check from the manifest (written with each commit) — saves a
+        # Spark action per wave; fall back to counting for old manifests
         pending = self.wh.read_snapshot("frontier_pending", c_prev, FRONTIER_SCHEMA)
-        if pending.limit(1).count() == 0:
+        n_pending_prev = meta.get("n_pending")
+        if n_pending_prev is None:
+            n_pending_prev = pending.limit(1).count()
+        if n_pending_prev == 0:
             return None
         seen = self.wh.read_appends("seen", c_prev, SEEN_SCHEMA)
         bloom = self.wh.read_snapshot("bloom", c_prev, BLOOM_SCHEMA)
@@ -336,11 +341,12 @@ class CrawlEngine:
         self.wh.write_wave("fetch_log", log.unionByName(denied_log), c)
         self.wh.write_wave("corpus", new_corpus, c)
         self.wh.write_wave("lineage", lineage, c)
-        self.wh.commit(c, {"seq_offset": seq_offset + n_scheduled})
-
         n_pending = self.wh.read_snapshot(
             "frontier_pending", c, FRONTIER_SCHEMA
         ).count()
+        self.wh.commit(
+            c, {"seq_offset": seq_offset + n_scheduled, "n_pending": n_pending}
+        )
         for df in (denied, outcome, parsed, new_urls, *gc_dfs):
             df.unpersist()
         return WaveStats(t, n_scheduled, n_new, n_pending)

@@ -1,0 +1,122 @@
+"""Engine-level crawl benchmark: the FULL CrawlEngine (wave loop, snapshot
+commits, lineage, resume machinery — not just the dataflow) over a larger
+synthetic web. Complements bench.py's single-wave pipeline number with the
+end-to-end waves/sec + URLs/sec the whole engine sustains, warehouse IO
+included.
+
+Usage: python scripts/bench_crawl.py [n_hosts] [urls_per_host] [cores]
+Writes BENCH/CRAWL.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    urls_per_host = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from pyspark.sql import functions as F
+
+    from bench import cpu_capacity
+    from rcspark.fixtures import make_fixture
+    from rcspark.run import CrawlEngine
+    from rcspark.session import get_spark
+
+    capacity = cpu_capacity()
+    spark = get_spark("bench-crawl", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    fx = make_fixture(
+        n_hosts=n_hosts, urls_per_host=urls_per_host, image_fraction=0.3, seed=7
+    )
+    gen_s = time.time() - t0
+    n_universe = len(fx.web)
+
+    root = tempfile.mkdtemp(prefix="rcspark_bench_crawl_")
+    web = spark.createDataFrame(fx.web).persist()
+    corpus_src = spark.createDataFrame(fx.corpus) if len(fx.corpus) else None
+    web.count()
+    try:
+        eng = CrawlEngine(
+            spark,
+            root,
+            web,
+            corpus_src,
+            fx.robots,
+            fx.seeds,
+            fx.allowed_hosts,
+        )
+        t1 = time.time()
+        stats = eng.run()
+        crawl_s = time.time() - t1
+        fetch_log = eng.fetch_log()
+        n_attempts = fetch_log.filter(F.col("seq").isNotNull()).count()
+        n_seen = eng.seen_table().count()
+        n_images = eng.corpus_table().count()
+        out = {
+            "metric": "full CrawlEngine crawl (waves+snapshots+lineage)",
+            "value": round(crawl_s, 2),
+            "unit": "sec",
+            "cores": cores,
+            "web_universe_urls": n_universe,
+            "waves": len(stats),
+            "fetch_attempts": n_attempts,
+            "seen_urls": n_seen,
+            "images": n_images,
+            "fetch_attempts_per_sec": round(n_attempts / crawl_s, 1),
+            "waves_per_sec": round(len(stats) / crawl_s, 2),
+            "fixture_gen_s": round(gen_s, 2),
+            "note": "fetch rate is politeness-budget-bound by design "
+            "(per-host crawl-delay budgets cap scheduling per wave); "
+            "dataflow throughput is bench.py / scripts/scaling.py",
+            **capacity,
+        }
+        print(json.dumps(out))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/CRAWL.md", "w") as f:
+            f.write(
+                f"""# Engine-level crawl benchmark (full wave loop)
+
+Full `CrawlEngine.run()` — robots gate, budgets, salted scheduling, global
+seq, sim-fetch, parse, discovery dedup (broadcast Bloom + anti-join),
+media pipeline, per-partition lineage, and a snapshot COMMIT (parquet
+write + manifest rename) every wave — over a {n_universe:,}-URL synthetic
+web ({n_hosts} hosts, Zipf-skewed).
+
+```
+{json.dumps(out, indent=2)}
+```
+
+Interpretation: the engine drains the reachable frontier in {len(stats)}
+waves ({crawl_s / max(len(stats), 1):.1f}s/wave including every snapshot
+commit). The fetch-attempt rate is POLITENESS-BOUND by design — per-host
+crawl-delay budgets cap how much any wave may schedule (the same reason
+the reference crawls slowly: it is being polite, not slow). Engine
+dataflow throughput — what a 1000-executor cluster would scale — is the
+bench.py wave-pipeline and scripts/scaling.py numbers (tens of thousands
+of URLs/sec/core through canon+dedup+gate+rank+seq). Per-wave wall-clock
+here is dominated by fixed per-job overhead at toy data sizes; it
+amortizes at production wave sizes. CPU-capacity fields record the host's
+real parallel supply at measurement time (it varies >5x —
+BENCH/SCALING.md).
+
+Reproduce: `python scripts/bench_crawl.py {n_hosts} {urls_per_host} {cores}`
+"""
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
