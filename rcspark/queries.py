@@ -311,6 +311,66 @@ def crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A7 front half: robots.txt TEXT parsing → rules table → gate -------------------
+# Bodies are synthesized per host, parsed by the REAL robots.txt parser
+# (rcspark.robots.parse_robots_txt via mapInPandas), then the gate runs;
+# the oracle reconstructs what the parse must produce.
+
+@register(
+    "crawl_robots_parse_gate",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             (o_custkey % 50) AS hostnum,
+             'h' || (o_custkey % 50) || '.example' AS host,
+             '/o/' || o_orderkey AS path
+      FROM orders),
+    g AS (
+      SELECT *,
+             CASE WHEN hostnum % 2 = 0 THEN ['/o/13'] ELSE []::VARCHAR[] END AS allow_rules,
+             ['/o/1', '/o/3'] AS deny_rules,
+             CAST(0.5 * (hostnum % 4 + 1) AS DOUBLE) AS crawl_delay
+      FROM f),
+    m AS (
+      SELECT o_orderkey, host, path, crawl_delay,
+             coalesce(list_max(list_transform(
+               list_filter(allow_rules, r -> starts_with(path, r)), r -> len(r))), -1) AS ba,
+             coalesce(list_max(list_transform(
+               list_filter(deny_rules, r -> starts_with(path, r)), r -> len(r))), -1) AS bd
+      FROM g)
+    SELECT o_orderkey, host, path, (ba >= bd) AS robots_allowed, crawl_delay FROM m
+    """,
+)
+def crawl_robots_parse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .robots import apply_robots_gate as gate
+    from .robots import robots_from_bodies
+
+    orders = load(spark, sf_dir, "orders")
+    hostnum = F.col("o_custkey") % 50
+    f = orders.select(
+        "o_orderkey",
+        hostnum.alias("hostnum"),
+        F.concat(F.lit("h"), hostnum.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("path"),
+    )
+    body_txt = F.concat(
+        F.lit("# synthetic robots fixture\nUser-agent: *\nDisallow: /o/1\nDisallow: /o/3\n"),
+        F.when(
+            F.col("hostnum") % 2 == 0, F.lit("Allow: /o/13\n")
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: "),
+        (0.5 * (F.col("hostnum") % 4 + 1)).cast("string"),
+        F.lit("\n"),
+    )
+    bodies = (
+        f.select("hostnum", "host").distinct().select("host", F.encode(body_txt, "utf-8").alias("body"))
+    )
+    robots = robots_from_bodies(bodies)
+    return gate(f, robots).select(
+        "o_orderkey", "host", "path", "robots_allowed", "crawl_delay"
+    )
+
+
 # -- A5/A6: politeness schedule (salted two-phase top-k + budgets) -----------------
 # The Spark side is the REAL scheduler (rank_within_budget: salted rank →
 # exact rank); the oracle is the plain per-host window — value-hash equality

@@ -78,3 +78,85 @@ def robots_allowed_py(path: str, allow: list[str], deny: list[str]) -> bool:
     best_allow = max((len(r) for r in allow if path.startswith(r)), default=-1)
     best_deny = max((len(r) for r in deny if path.startswith(r)), default=-1)
     return best_allow >= best_deny
+
+
+# ---------------------------------------------------------------------------
+# robots.txt TEXT parsing — the real-cluster A7 front half. The reference
+# delegates to protego via RobotsTxtMiddleware; the subset implemented here
+# is the part its crawl semantics use: User-agent grouping with '*'
+# fallback, Allow/Disallow prefix rules, Crawl-delay. (No wildcards/$ —
+# the classic prefix dialect Scrapy's default matcher honors.)
+# ---------------------------------------------------------------------------
+
+def parse_robots_txt(text: str, agent: str = "*") -> dict:
+    """robots.txt body → {allow_rules, deny_rules, crawl_delay}.
+
+    Group selection: rules from every group whose User-agent matches
+    `agent` exactly or is '*'; a specific-agent group (exact name) takes
+    precedence over the wildcard groups when present.
+    """
+    groups: list[tuple[list[str], dict]] = []  # (agents, rules)
+    cur_agents: list[str] = []
+    cur: dict | None = None
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if cur is not None and cur["_open"]:
+                cur_agents.append(val.lower())
+            else:
+                cur = {"allow": [], "deny": [], "delay": None, "_open": True}
+                cur_agents = [val.lower()]
+                groups.append((cur_agents, cur))
+        elif cur is not None:
+            cur["_open"] = False
+            if key == "allow" and val:
+                cur["allow"].append(val)
+            elif key == "disallow":
+                if val:  # empty Disallow = allow all (no rule)
+                    cur["deny"].append(val)
+            elif key == "crawl-delay":
+                try:
+                    cur["delay"] = float(val)
+                except ValueError:
+                    pass
+
+    agent = agent.lower()
+    exact = [g for agents, g in groups if agent in agents]
+    chosen = exact if exact else [g for agents, g in groups if "*" in agents]
+    allow: list[str] = []
+    deny: list[str] = []
+    delay = None
+    for g in chosen:
+        allow.extend(g["allow"])
+        deny.extend(g["deny"])
+        if g["delay"] is not None:
+            delay = g["delay"] if delay is None else max(delay, g["delay"])
+    return {"allow_rules": allow, "deny_rules": deny, "crawl_delay": delay}
+
+
+def robots_from_bodies(bodies: DataFrame) -> DataFrame:
+    """(host, body binary) → robots table, parsed per host group.
+
+    The real-cluster A7 shape: distinct new hosts are fetched (mapInArrow
+    HTTP in production; the fixture/web table here) and their robots.txt
+    bytes parsed in one Arrow-batched pass — rules become DATA for the
+    broadcast-join gate, never a per-frontier-row parser call.
+    """
+    import pandas as pd
+
+    def parse(batch_iter):
+        for pdf in batch_iter:
+            out = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                text = bytes(body).decode("utf-8", "replace") if body is not None else ""
+                r = parse_robots_txt(text)
+                out.append((host, r["allow_rules"], r["deny_rules"], r["crawl_delay"]))
+            yield pd.DataFrame(
+                out, columns=["host", "allow_rules", "deny_rules", "crawl_delay"]
+            )
+
+    return bodies.select("host", "body").mapInPandas(parse, ROBOTS_SCHEMA)

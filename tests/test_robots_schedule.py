@@ -107,3 +107,41 @@ def test_budget_formula(spark):
     }
     # WAVE_SECONDS=30, DOWNLOAD_DELAY=0.5, PER_HOST_CAP=64
     assert got == {(None, 500, 60), (0.5, 500, 60), (1.0, 1000, 30), (2.0, 2000, 15)}
+
+
+# ---------------------------------------------------------------------------
+# robots.txt TEXT parsing (rcspark.robots.parse_robots_txt)
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_basic():
+    from rcspark.robots import parse_robots_txt
+
+    txt = """
+# comment line
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: otherbot
+Disallow: /
+"""
+    r = parse_robots_txt(txt)
+    assert r["allow_rules"] == ["/private/ok"]
+    assert r["deny_rules"] == ["/private"]
+    assert r["crawl_delay"] == 2.5
+
+
+def test_parse_robots_agent_precedence_and_empty_disallow():
+    from rcspark.robots import parse_robots_txt
+
+    txt = (
+        "User-agent: a\nUser-agent: rcspark\nDisallow: /only-rc\n\n"
+        "User-agent: *\nDisallow:\nDisallow: /all\nCrawl-delay: 1\n"
+    )
+    # exact-agent group wins over wildcard; multi-agent headers share rules
+    r = parse_robots_txt(txt, agent="rcspark")
+    assert r["deny_rules"] == ["/only-rc"] and r["crawl_delay"] is None
+    # wildcard group: empty Disallow contributes no rule
+    w = parse_robots_txt(txt, agent="someone-else")
+    assert w["deny_rules"] == ["/all"] and w["crawl_delay"] == 1.0
