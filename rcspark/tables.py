@@ -36,6 +36,16 @@ from pyspark.sql import types as T
 
 SNAPSHOT_TABLES = {"frontier_pending", "bloom"}
 
+# Tables laid out as bucket(digest, P) — the Iceberg partition-spec
+# analogue in the parquet fallback: rows are hive-partitioned by
+# shard = pmod(digest, P), one file per shard (clustered write). Iceberg
+# binds the same spec with a true bucket transform; readers get
+# shard-predicate partition pruning either way, and a digest-keyed
+# operator (dedup anti-join, Bloom/cuckoo shard build) finds each key's
+# rows in exactly one directory.
+BUCKETED_TABLES = {"frontier_pending", "seen"}
+N_SHARDS = 32  # == constants.BLOOM_SHARDS (kept literal: layout contract)
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
@@ -144,22 +154,56 @@ class Warehouse:
         return os.path.join(self.root, table, f"wave={wave:06d}")
 
     def write_wave(self, table: str, df: DataFrame, wave: int) -> None:
-        """Write one wave's data for `table` with an atomic dir rename."""
+        """Write one wave's data for `table` with an atomic dir rename.
+
+        BUCKETED_TABLES are clustered by digest shard before writing
+        (repartition by shard → partitionBy(shard) → one file per shard)."""
+        from pyspark.sql import functions as F
+
         final = self._wave_dir(table, wave)
         tmp = final + ".inprogress"
         for p in (final, tmp):
             if os.path.exists(p):
                 shutil.rmtree(p)  # garbage from a killed, uncommitted run
-        df.write.mode("overwrite").parquet(tmp)
+        if table in BUCKETED_TABLES and "digest" in df.columns:
+            (
+                df.withColumn("shard", F.pmod(F.col("digest"), F.lit(N_SHARDS)).cast("int"))
+                .repartition(N_SHARDS, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
 
     # -- reads -------------------------------------------------------------
+    def _read_schema(self, table: str, schema: T.StructType) -> T.StructType:
+        if table in BUCKETED_TABLES:
+            return T.StructType(
+                list(schema.fields) + [T.StructField("shard", T.IntegerType(), True)]
+            )
+        return schema
+
+    def _read_dir(self, table: str, d: str, schema: T.StructType) -> DataFrame:
+        if table in BUCKETED_TABLES:
+            # basePath pins partition discovery to THIS wave dir so only the
+            # shard= level is treated as a partition (wave=NNNNNN above it
+            # would otherwise be discovered too and conflict across dirs)
+            df = (
+                self.spark.read.option("basePath", d)
+                .schema(self._read_schema(table, schema))
+                .parquet(d)
+            )
+            return df.drop("shard")
+        return self.spark.read.schema(schema).parquet(d)
+
     def read_snapshot(self, table: str, wave: int, schema: T.StructType) -> DataFrame:
         """Latest-state table at `wave` (SNAPSHOT flavor)."""
         d = self._wave_dir(table, wave)
         if wave < 0 or not os.path.exists(d):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(d)
+        return self._read_dir(table, d, schema)
 
     def read_appends(self, table: str, through_wave: int, schema: T.StructType) -> DataFrame:
         """Union of all committed waves ≤ through_wave (APPEND flavor)."""
@@ -170,4 +214,11 @@ class Warehouse:
         ]
         if not dirs:
             return self.spark.createDataFrame([], schema)
+        if table in BUCKETED_TABLES:
+            from functools import reduce
+
+            return reduce(
+                lambda a, b: a.unionByName(b),
+                (self._read_dir(table, d, schema) for d in dirs),
+            )
         return self.spark.read.schema(schema).parquet(*dirs)

@@ -34,8 +34,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = 2_000_000
-N_HOSTS = 1_000
+N_URLS = int(os.environ.get("SCALING_N_URLS", 2_000_000))
+N_HOSTS = int(os.environ.get("SCALING_N_HOSTS", 1_000))
 
 
 def build_pipeline(spark):
