@@ -140,6 +140,99 @@ def sql_lsh_bucket(vec: str, dim: int, nplanes: int = NPLANES) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+# -- IVF (inverted-file) ANN: fixed deterministic centroids -----------------------
+
+IVF_CELLS = 8
+
+
+def centroid_py(c: int, d: int) -> float:
+    """Centroid component — same md5-derived construction as the LSH
+    planes (hashlib == Spark md5 == DuckDB md5), so all three engines can
+    re-derive the codebook independently. A production deployment swaps in
+    k-means centroids computed offline; assignment/search are unchanged."""
+    import hashlib
+
+    h = int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:15], 16)
+    half = (PLANE_MOD - 1) / 2
+    return ((h % PLANE_MOD) - half) / half
+
+
+def sql_centroid(c: str, d: str) -> str:
+    h = sql_digest60(f"'ivf:' || ({c})::VARCHAR || ':' || ({d})::VARCHAR")
+    half = (PLANE_MOD - 1) / 2
+    return f"(CAST(({h}) % {PLANE_MOD} AS DOUBLE) - {half}) / {half}"
+
+
+def ivf_cell(vec: Column, ncells: int = IVF_CELLS, dim: int = 64) -> Column:
+    """Nearest-centroid cell id (argmin squared L2; ties → lowest cell).
+
+    Centroids embed as array literals; per-row work is pure arithmetic.
+    Implemented as array_min over (dist, cell) structs — Spark orders
+    structs lexicographically, which IS the argmin-with-tie-break."""
+    entries = []
+    for c in range(ncells):
+        cent = F.array(*[F.lit(centroid_py(c, d)) for d in range(dim)])
+        dist = F.aggregate(
+            F.zip_with(vec, cent, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(F.round(dist, 6).alias("d"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*entries))["c"].cast("int")
+
+
+def sql_ivf_cell(vec: str, ncells: int = IVF_CELLS, dim: int = 64) -> str:
+    dists = []
+    for c in range(ncells):
+        dists.append(
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - ({sql_centroid(str(c), 'i - 1')})) "
+            f"* (CAST({vec}[i] AS DOUBLE) - ({sql_centroid(str(c), 'i - 1')})))), 6)"
+        )
+    structs = ", ".join(
+        f"{{'d': {d}, 'c': {c}}}" for c, d in enumerate(dists)
+    )
+    return f"CAST(list_min([{structs}])['c'] AS INT)"
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    ncells: int = IVF_CELLS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search (nprobe=1): score only the probe's cell. At scale the
+    corpus is written partitioned by `cell`, so a probe reads
+    ~|corpus|/ncells rows; recall is tuned by ncells/nprobe with the
+    brute-force tier as referee."""
+    celled = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        ivf_cell(F.col(vec_col), ncells, dim).alias("cell"),
+    )
+    probes = F.broadcast(
+        celled.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_v").alias("_pv"),
+            F.col("cell"),
+        )
+    )
+    scored = (
+        celled.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", cosine(F.col("_pv"), F.col("_v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cell", "vec_id", "cos_sim", "rnk")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     probe_ids: list[int],

@@ -1304,6 +1304,52 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CELL_SQL = sim.sql_ivf_cell("embedding", dim=_EMB_DIM)
+
+@register(
+    "emb_ivf_cell",
+    oracle=f"""
+    SELECT vec_id, CAST({_CELL_SQL} AS BIGINT) AS cell FROM embeddings
+    """,
+)
+def emb_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", sim.ivf_cell(F.col("embedding"), dim=_EMB_DIM).cast("long").alias("cell")
+    )
+
+
+@register(
+    "emb_ann_ivf",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_CELL_SQL} AS BIGINT) AS cell FROM embeddings),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, cell FROM b
+      WHERE vec_id IN ({_PROBES_SQL})),
+    scored AS (
+      SELECT p.probe_id, p.cell, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
+      FROM probes p JOIN b e USING (cell) WHERE e.vec_id <> p.probe_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT probe_id, cell, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(emb, _PROBES, k=5).select(
+        "probe_id",
+        F.col("cell").cast("long").alias("cell"),
+        "vec_id",
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 # =============================================================================
 # Multimodal: binary image columns (rows-only checks — no SQL codec twin)
 # =============================================================================

@@ -135,3 +135,27 @@ def _group(rows, key):
     for r in rows:
         out.setdefault(r[key], []).append(r)
     return out
+
+
+def test_ivf_cell_deterministic_and_split(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 17) - 8.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cells = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", sim.ivf_cell(F.col("embedding"), ncells=4, dim=8).alias("cell")).collect()}
+    cells2 = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", sim.ivf_cell(F.col("embedding"), ncells=4, dim=8).alias("cell")).collect()}
+    assert cells == cells2
+    assert len(set(cells.values())) > 1
+
+
+def test_ivf_identical_vectors_same_cell_and_found(spark):
+    # vec 0 and 10 identical: same cell, and IVF search must find the twin
+    emb = spark.createDataFrame(
+        [(i, [float((i % 10) * 3 + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    top = sim.ann_topk_ivf(emb, [0], k=1, dim=8, id_col="vec_id", vec_col="embedding")
+    row = top.collect()[0]
+    assert row["vec_id"] == 10 and row["cos_sim"] == 1.0
