@@ -49,34 +49,77 @@ def robots_table(spark: SparkSession, robots_pdf: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(pdf, ROBOTS_SCHEMA)
 
 
+# Longest-match length of one rule against `path`, as a SQL lambda body.
+# Two tiers (protego dialect):
+#  - plain prefix rule (no '*', no trailing '$'): startswith — stays in
+#    whole-stage codegen, the hot path for real robots files;
+#  - wildcard rule: '*' → '.*', trailing '$' anchors; matched via a
+#    non-foldable RLike (compiled per evaluation — acceptable because
+#    wildcard rules are rare and the rule arrays are tiny).
+# Match priority = length of the ORIGINAL rule (protego semantics).
+_RULE_MATCH_SQL = """
+  CASE WHEN instr({r}, '*') = 0 AND NOT endswith({r}, '$') THEN
+         CASE WHEN startswith(path, {r}) THEN length({r}) END
+       ELSE
+         CASE WHEN path rlike concat(
+                '^',
+                replace(
+                  regexp_replace(
+                    CASE WHEN endswith({r}, '$')
+                         THEN substring({r}, 1, length({r}) - 1) ELSE {r} END,
+                    '([.^$+?(){{}}\\\\[\\\\]|\\\\\\\\])', '\\\\\\\\$1'),
+                  '*', '.*'),
+                CASE WHEN endswith({r}, '$') THEN '$' ELSE '' END)
+              THEN length({r}) END
+  END"""
+
+
+def _best_expr(rules_col_name: str):
+    body = _RULE_MATCH_SQL.format(r="r")
+    return F.expr(
+        f"coalesce(array_max(transform(coalesce({rules_col_name}, array()),"
+        f" r -> {body})), -1)"
+    )
+
+
 def apply_robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """frontier(host, path, ...) → + boolean `robots_allowed`, double `crawl_delay`.
 
-    Longest-prefix match computed relationally:
-      best_len(kind) = max(length(rule)) over rules where path startswith rule
-      allowed        = best_allow >= best_deny   (deny only wins when longer)
+    Longest-match computed relationally over the (broadcast) per-host rule
+    arrays: best_len(kind) = max(match length) over matching rules;
+    allowed = best_allow >= best_deny (deny only wins when strictly longer).
+    Supports the protego wildcard dialect — see _RULE_MATCH_SQL.
     """
-    # longest matching prefix per kind, as a pure column expression over the
-    # (broadcast) per-host rule arrays: filter rules by prefix-match, then max length.
-    def best(rules_col):
-        matched = F.filter(rules_col, lambda r: F.col("path").startswith(r))
-        return F.coalesce(
-            F.array_max(F.transform(matched, F.length)), F.lit(-1)
-        )
-
     joined = frontier.join(F.broadcast(robots), on="host", how="left")
     return (
-        joined.withColumn("_best_allow", best(F.coalesce(F.col("allow_rules"), F.array())))
-        .withColumn("_best_deny", best(F.coalesce(F.col("deny_rules"), F.array())))
+        joined.withColumn("_best_allow", _best_expr("allow_rules"))
+        .withColumn("_best_deny", _best_expr("deny_rules"))
         .withColumn("robots_allowed", F.col("_best_allow") >= F.col("_best_deny"))
         .drop("allow_rules", "deny_rules", "_best_allow", "_best_deny")
     )
 
 
+def _match_len_py(path: str, rule: str) -> int | None:
+    """Python twin of _RULE_MATCH_SQL (prefix fast path + wildcard regex)."""
+    import re as _re
+
+    if "*" not in rule and not rule.endswith("$"):
+        return len(rule) if path.startswith(rule) else None
+    body = rule[:-1] if rule.endswith("$") else rule
+    rx = "^" + _re.escape(body).replace("\\*", ".*") + (
+        "$" if rule.endswith("$") else ""
+    )
+    return len(rule) if _re.search(rx, path) else None
+
+
 def robots_allowed_py(path: str, allow: list[str], deny: list[str]) -> bool:
-    """Python twin for the oracle — identical longest-prefix semantics."""
-    best_allow = max((len(r) for r in allow if path.startswith(r)), default=-1)
-    best_deny = max((len(r) for r in deny if path.startswith(r)), default=-1)
+    """Python twin for the oracle — identical longest-match semantics."""
+    best_allow = max(
+        (m for r in allow if (m := _match_len_py(path, r)) is not None), default=-1
+    )
+    best_deny = max(
+        (m for r in deny if (m := _match_len_py(path, r)) is not None), default=-1
+    )
     return best_allow >= best_deny
 
 

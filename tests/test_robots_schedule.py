@@ -145,3 +145,43 @@ def test_parse_robots_agent_precedence_and_empty_disallow():
     # wildcard group: empty Disallow contributes no rule
     w = parse_robots_txt(txt, agent="someone-else")
     assert w["deny_rules"] == ["/all"] and w["crawl_delay"] == 1.0
+
+
+def test_wildcard_rules_spark_matches_python_twin(spark):
+    """Gate with protego wildcard dialect: '*' and trailing '$' — the
+    Spark SQL match expression and robots_allowed_py must agree on every
+    (path, ruleset) combination, including regex metachars in paths."""
+    from rcspark.robots import apply_robots_gate, robots_allowed_py
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rulesets = [
+        (["/p/*/img"], ["/p"]),             # allow wildcard vs deny prefix
+        ([], ["/*.json$"]),                 # deny by extension anchor
+        (["/a$"], ["/a"]),                  # exact-path allow vs prefix deny
+        ([], ["/dir/*"]),                   # wildcard deny
+        (["/d.x/*"], ["/d"]),               # dot in rule must stay literal
+    ]
+    paths = [
+        "/p/42/img", "/p/42/img/x", "/p/42/thumb", "/data/f.json",
+        "/data/f_json", "/a", "/ab", "/dir/", "/dir/x", "/dir",
+        "/d.x/1", "/dqx/1", "/dyx/1",
+    ]
+    rows = []
+    for i, (allow, deny) in enumerate(rulesets):
+        for p in paths:
+            rows.append((f"h{i}", p, allow, deny))
+    df = spark.createDataFrame(
+        rows, "host string, path string, allow_rules array<string>, deny_rules array<string>"
+    )
+    robots = df.select("host", "allow_rules", "deny_rules").distinct().withColumn(
+        "crawl_delay", F.lit(None).cast("double")
+    )
+    got = {
+        (r["host"], r["path"]): r["robots_allowed"]
+        for r in apply_robots_gate(df.select("host", "path"), robots).collect()
+    }
+    for i, (allow, deny) in enumerate(rulesets):
+        for p in paths:
+            want = robots_allowed_py(p, allow, deny)
+            assert got[(f"h{i}", p)] == want, (i, p, allow, deny, want)
