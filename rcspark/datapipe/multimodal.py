@@ -153,6 +153,100 @@ def reencode_lossy(images: DataFrame) -> DataFrame:
     return src.mapInPandas(run, RESIZED_SCHEMA)
 
 
+# -- video: opaque binary container + frame sampling -------------------------------
+# Container (numpy-only stand-in for mp4/webm): b"RCV1\n<n> <w> <h>\n" +
+# n raw RGB frames. Real codecs bind in decode_external; the Spark-side
+# plumbing (binary column in, exploded per-frame rows out, Arrow batches)
+# is the part that carries.
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("bytes", T.BinaryType(), False),  # frame as PPM
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """uint8 (n, h, w, 3) → RCV1 container bytes."""
+    n, h, w, _ = frames.shape
+    return b"RCV1\n%d %d %d\n" % (n, w, h) + frames.tobytes()
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    if data[:5] != b"RCV1\n":
+        raise ValueError(f"unknown video magic {data[:5]!r}")
+    nl = data.index(b"\n", 5)
+    n, w, h = (int(t) for t in data[5:nl].split())
+    pix = np.frombuffer(data, dtype=np.uint8, offset=nl + 1, count=n * w * h * 3)
+    return pix.reshape(n, h, w, 3)
+
+
+def synthesize_videos(
+    ids: DataFrame, id_col: str = "video_id", max_frames: int = 24
+) -> DataFrame:
+    """Deterministic video table from an id column: (video_id, bytes,
+    n_frames, w, h). Frame content is a pure function of (id, frame_idx)."""
+    from ..xxh import xxh64
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("video_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid in pdf["video_id"]:
+                h64 = xxh64(vid.encode())
+                n = 4 + h64 % (max_frames - 3)
+                w, h = 16, 16
+                rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+                frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+                rows.append((vid, encode_video(frames), n, w, h))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "n_frames", "w", "h"]
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """(video_id, bytes) → one row per sampled frame (idx 0, k, 2k, …),
+    each re-encoded as a standalone PPM with its phash — the
+    video-to-training-frames explode. One Arrow batch per task; the
+    container bytes never survive past this stage."""
+    src = videos.select("video_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                frames = decode_video(bytes(data))
+                n, h, w, _ = frames.shape
+                for idx in range(0, n, every_k):
+                    fr = frames[idx]
+                    rows.append(
+                        (vid, idx, n, w, h, encode_ppm(fr), phash64(fr))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
 def synthesize_images(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Deterministic corpus-shaped image table from an id column.
 

@@ -1373,6 +1373,19 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
 
 
+@register("video_frame_sample")  # rows-only: codec plumbing, no SQL twin
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import sample_frames, synthesize_videos
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.concat(F.lit("vid"), F.col("p_partkey").cast("string")).alias("video_id")
+    )
+    return sample_frames(synthesize_videos(ids), every_k=4).select(
+        "video_id", "frame_idx", "n_frames", "w", "h", "phash"
+    )
+
+
 # =============================================================================
 # Structured Streaming (availableNow batch-over-stream) — SURVEY.md Table B
 # =============================================================================

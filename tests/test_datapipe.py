@@ -159,3 +159,30 @@ def test_ivf_identical_vectors_same_cell_and_found(spark):
     top = sim.ann_topk_ivf(emb, [0], k=1, dim=8, id_col="vec_id", vec_col="embedding")
     row = top.collect()[0]
     assert row["vec_id"] == 10 and row["cos_sim"] == 1.0
+
+
+def test_video_frame_sampling(spark):
+    from rcspark.datapipe.multimodal import (
+        decode_video,
+        sample_frames,
+        synthesize_videos,
+    )
+    from rcspark.codecs import decode_image, phash64
+
+    ids = spark.createDataFrame([(f"v{i}",) for i in range(6)], "video_id string")
+    vids = synthesize_videos(ids).persist()
+    meta = {r["video_id"]: r for r in vids.collect()}
+    frames = sample_frames(vids, every_k=3).collect()
+    by_vid: dict = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for vid, rows in by_vid.items():
+        n = meta[vid]["n_frames"]
+        assert sorted(r["frame_idx"] for r in rows) == list(range(0, n, 3))
+        # each sampled frame decodes and its phash matches the source frame
+        src = decode_video(bytes(meta[vid]["bytes"]))
+        for r in rows:
+            pix, fmt = decode_image(bytes(r["bytes"]))
+            assert fmt == "ppm" and pix.shape == (16, 16, 3)
+            assert (pix == src[r["frame_idx"]]).all()
+            assert r["phash"] == phash64(src[r["frame_idx"]])
