@@ -247,6 +247,98 @@ def sample_frames(videos: DataFrame, every_k: int = 4) -> DataFrame:
     return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+# -- audio: opaque binary container + feature extraction -----------------------------
+# Container (stand-in for wav/flac): b"RCA1\n<rate> <n>\n" + n int16 LE
+# samples. Real decoders bind in decode_external; numpy carries the
+# feature math (RMS, zero-crossing rate, dominant frequency via rFFT).
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_cross_rate", T.DoubleType(), False),
+        T.StructField("dominant_hz", T.DoubleType(), False),
+    ]
+)
+
+
+def encode_audio(samples: np.ndarray, rate: int) -> bytes:
+    assert samples.dtype == np.int16
+    return b"RCA1\n%d %d\n" % (rate, len(samples)) + samples.tobytes()
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:5] != b"RCA1\n":
+        raise ValueError(f"unknown audio magic {data[:5]!r}")
+    nl = data.index(b"\n", 5)
+    rate, n = (int(t) for t in data[5:nl].split())
+    return np.frombuffer(data, dtype=np.int16, offset=nl + 1, count=n), rate
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Deterministic audio clips: a sine at an id-derived frequency plus
+    id-seeded noise — gives every feature a known-ish ground truth."""
+    from ..xxh import xxh64
+
+    out_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("rate", T.IntegerType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("audio_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["audio_id"]:
+                h64 = xxh64(aid.encode())
+                rate = 8000
+                n = rate // 2  # 0.5 s
+                freq = 100.0 + (h64 % 1900)  # 100..1999 Hz
+                t = np.arange(n) / rate
+                rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+                wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+                samples = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+                rows.append((aid, encode_audio(samples, rate), rate))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "rate"])
+
+    return src.mapInPandas(run, out_schema)
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """(audio_id, bytes) → decoded metadata + RMS + ZCR + dominant
+    frequency (rFFT argmax) — the audio feature-extract stage, one numpy
+    pass per Arrow batch."""
+    src = clips.select("audio_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate = decode_audio(bytes(data))
+                x = s.astype(np.float64) / 32767.0
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                dom = float(np.argmax(spec) * rate / n)
+                rows.append(
+                    (aid, rate, n, round(n / rate, 6), round(rms, 6),
+                     round(zcr, 6), round(dom, 3))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def synthesize_images(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Deterministic corpus-shaped image table from an id column.
 

@@ -1373,6 +1373,54 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
 
 
+@register("audio_feature_extract")  # rows-only: codec plumbing, no SQL twin
+def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import audio_features, synthesize_audio
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.concat(F.lit("aud"), F.col("p_partkey").cast("string")).alias("audio_id")
+    )
+    return audio_features(synthesize_audio(ids))
+
+
+# -- map functions over URL query strings (SURVEY Table B array/map row) ------------
+
+@register(
+    "url_query_map_extract",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'a=' || (p_partkey % 3) || '&b=' || p_size || '&tag=x' || (p_partkey % 5) AS qs
+      FROM part)
+    SELECT p_partkey,
+           CAST(p_partkey % 3 AS VARCHAR) AS a_val,
+           'x' || (p_partkey % 5) AS tag_val,
+           CAST(3 AS INT) AS n_params
+    FROM u
+    """,
+)
+def url_query_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string → map via str_to_map (the A2 query-kv machinery as a
+    standalone op); oracle reconstructs the expected extractions."""
+    part = load(spark, sf_dir, "part")
+    qs = F.concat(
+        F.lit("a="),
+        (F.col("p_partkey") % 3).cast("string"),
+        F.lit("&b="),
+        F.col("p_size").cast("string"),
+        F.lit("&tag=x"),
+        (F.col("p_partkey") % 5).cast("string"),
+    )
+    m = F.str_to_map(qs, F.lit("&"), F.lit("="))
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "a").alias("a_val"),
+        F.element_at(m, "tag").alias("tag_val"),
+        F.size(m).cast("int").alias("n_params"),
+    )
+
+
 @register("video_frame_sample")  # rows-only: codec plumbing, no SQL twin
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.multimodal import sample_frames, synthesize_videos

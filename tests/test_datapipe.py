@@ -186,3 +186,21 @@ def test_video_frame_sampling(spark):
             assert fmt == "ppm" and pix.shape == (16, 16, 3)
             assert (pix == src[r["frame_idx"]]).all()
             assert r["phash"] == phash64(src[r["frame_idx"]])
+
+
+def test_audio_features(spark):
+    from rcspark.datapipe.multimodal import audio_features, synthesize_audio
+    from rcspark.xxh import xxh64
+
+    ids = spark.createDataFrame([(f"a{i}",) for i in range(8)], "audio_id string")
+    feats = {r["audio_id"]: r for r in audio_features(synthesize_audio(ids)).collect()}
+    assert len(feats) == 8
+    for aid, r in feats.items():
+        expected_freq = 100.0 + (xxh64(aid.encode()) % 1900)
+        assert r["rate"] == 8000 and r["n_samples"] == 4000
+        assert r["duration_s"] == 0.5
+        # dominant frequency recovered within FFT bin resolution (rate/n = 2 Hz)
+        assert abs(r["dominant_hz"] - expected_freq) <= 2.5, (aid, r["dominant_hz"], expected_freq)
+        # 0.6-amplitude sine + small noise: rms near 0.6/sqrt(2) ~ 0.424
+        assert 0.3 < r["rms"] < 0.55
+        assert 0.0 < r["zero_cross_rate"] < 1.0
