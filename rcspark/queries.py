@@ -1213,6 +1213,58 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load(spark, sf_dir, "documents"))
 
 
+# -- the composed curation pipeline: quality gates + near-dup removal ----------------
+# What a training-data user actually runs: tokenize → quality filters →
+# language gate → MinHash-LSH near-dup removal (keep the lowest doc_id of
+# each near-dup cluster edge). One declarative job; Catalyst fuses the
+# quality filters into the scan projection and the dedup is the
+# band-join + anti-join shape audited in BENCH/PLANS.md.
+
+@register(
+    "doc_curation_pipeline",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    dupes AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id),
+    q AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {tx.sql_lang_guess('toks')} AS lang_guess
+    FROM q
+    WHERE len(toks) >= 20
+      AND CAST({_STOP_SQL} AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.5
+      AND NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.doc_b = q.doc_id)
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bands = dd.minhash_rows(docs)
+    a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    dupes = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_b")
+        .distinct()
+    )
+    q = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("toks"))
+    stop_ratio = tx.count_in(F.col("toks"), tx.STOPWORDS).cast("double") / F.size("toks")
+    kept = (
+        q.filter(F.size("toks") >= 20)
+        .filter(stop_ratio.between(0.01, 0.5))
+        .join(dupes, q["doc_id"] == dupes["doc_b"], "left_anti")
+    )
+    return kept.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        tx.lang_guess(F.col("toks")).alias("lang_guess"),
+    )
+
+
 # =============================================================================
 # Similarity search: embeddings
 # =============================================================================
