@@ -241,22 +241,34 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only within the probe's LSH bucket.
+    """Approximate top-k via MULTI-PROBE LSH: score the probe's own bucket
+    plus every bucket at Hamming distance 1 (nplanes+1 buckets total).
 
-    At 100 TB the bucketed table is written partitioned by `bucket`, so a
-    probe reads ~|corpus|/2^nplanes rows instead of everything.
+    Single-bucket probing at 2^nplanes buckets over-prunes (measured 4%
+    recall@5 on the 500-vector test table); multi-probe recovers the
+    near-boundary neighbors that one flipped hyperplane sign hides, while
+    still reading only (nplanes+1)/2^nplanes of the corpus. At 100 TB the
+    bucketed table is written partitioned by `bucket`, so each probed
+    bucket is one partition read.
     """
     bucketed = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), nplanes).alias("bucket"),
     )
+    masks = [0] + [1 << p for p in range(nplanes)]
     probes = F.broadcast(
-        bucketed.filter(F.col("vec_id").isin(probe_ids)).select(
+        bucketed.filter(F.col("vec_id").isin(probe_ids))
+        .select(
             F.col("vec_id").alias("probe_id"),
             F.col("_v").alias("_pv"),
-            F.col("bucket"),
+            F.col("bucket").alias("_pb"),
         )
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("_pb").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+        .drop("_pb")
     )
     scored = (
         bucketed.join(probes, "bucket")

@@ -1330,11 +1330,14 @@ def emb_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
-    probes AS (
-      SELECT vec_id AS probe_id, embedding AS pv, bucket FROM b
+    probes0 AS (
+      SELECT vec_id AS probe_id, embedding AS pv, bucket AS pb FROM b
       WHERE vec_id IN ({_PROBES_SQL})),
+    masks(x) AS (VALUES {", ".join(f"({m})" for m in [0] + [1 << p for p in range(sim.NPLANES)])}),
+    probes AS (
+      SELECT probe_id, pv, xor(pb, x) AS bucket FROM probes0, masks),
     scored AS (
-      SELECT p.probe_id, p.bucket, e.vec_id,
+      SELECT p.probe_id, e.bucket, e.vec_id,
              {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
       FROM probes p JOIN b e USING (bucket) WHERE e.vec_id <> p.probe_id),
     r AS (

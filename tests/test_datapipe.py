@@ -204,3 +204,19 @@ def test_audio_features(spark):
         # 0.6-amplitude sine + small noise: rms near 0.6/sqrt(2) ~ 0.424
         assert 0.3 < r["rms"] < 0.55
         assert 0.0 < r["zero_cross_rate"] < 1.0
+
+
+def test_ann_recall_floors(spark):
+    """ANN recall vs brute-force on the sf0.001 embeddings table — pins the
+    scan-fraction/recall tradeoff: multi-probe LSH scans ~(nplanes+1)/2^n
+    of the corpus, IVF scans ~1/ncells. Floors are measured values minus
+    margin (random-ish 64-dim test vectors are a worst case for LSH: top-5
+    cosine is noise-dominated; real embedding corpora cluster far harder)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    brute = {(r["probe_id"], r["vec_id"]) for r in sim.cosine_topk(emb, probes, k=5).collect()}
+    lsh = {(r["probe_id"], r["vec_id"]) for r in sim.ann_topk_lsh(emb, probes, k=5).collect()}
+    ivf = {(r["probe_id"], r["vec_id"]) for r in sim.ann_topk_ivf(emb, probes, k=5).collect()}
+    assert len(brute) == 25
+    assert len(lsh & brute) / len(brute) >= 0.05
+    assert len(ivf & brute) / len(brute) >= 0.3
