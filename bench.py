@@ -109,7 +109,9 @@ def crawl_wave_pipeline(spark, sf_dir):
 BENCH_QUERIES = [
     "crawl_canonicalize",
     "crawl_bloom_dedup",
+    "crawl_cuckoo_dedup",
     "crawl_robots_gate",
+    "crawl_robots_parse_gate",
     "crawl_schedule",
     "crawl_global_order",
     "skew_salted_agg",
@@ -120,9 +122,12 @@ BENCH_QUERIES = [
     "doc_minhash",
     "doc_lsh_pairs",
     "doc_simhash",
+    "doc_curation_pipeline",
     "emb_cosine_topk",
     "emb_ann_lsh",
+    "emb_ann_ivf",
     "img_features",
+    "stream_stateful_schedule",
 ]
 
 
