@@ -147,9 +147,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # drop persisted frames left by prior queries (bloom/cuckoo/LSH
+        # operators persist internally) — without this, storage-memory
+        # pressure from earlier measurements bleeds into later ones
+        spark.catalog.clearCache()
         t0 = time.time()
         force(QUERIES[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
 
     # best-of-2 for the headline: the sandbox's CPU supply swings >10x
     # between runs (see cpu_* stamps), so a single draw mostly measures the
