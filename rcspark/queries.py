@@ -1242,7 +1242,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bands = dd.minhash_rows(docs)
+    bands = dd.minhash_rows(docs).persist()  # read twice by the self-join
     a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     dupes = (

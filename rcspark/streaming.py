@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .urlnorm import canon_col
+
 SLOT_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -78,8 +80,10 @@ def host_delay_ms_col(hostnum):
 
 
 def politeness_slots(src: DataFrame) -> DataFrame:
-    """The stateful transform: src(host, event_id, delay_ms) — streaming —
-    → (host, event_id, j, fetch_ms) with per-host GroupState counters.
+    """The stateful transform: src(host, event_id, delay_ms, *extra) —
+    streaming — → (host, event_id, j, fetch_ms, *extra) with per-host
+    GroupState counters. Any columns beyond the required three ride
+    through unchanged (url_canon/digest in the continuous pipeline).
 
     Each micro-batch's rows are sorted by event_id inside the group (the
     deterministic pop order), numbered after the host's persisted count,
@@ -87,6 +91,11 @@ def politeness_slots(src: DataFrame) -> DataFrame:
     GroupState so subsequent batches continue the clock (cross-batch
     continuity is pinned by tests/test_streaming.py).
     """
+    extra = [
+        f for f in src.schema.fields if f.name not in ("host", "event_id", "delay_ms")
+    ]
+    out_schema = T.StructType(list(SLOT_SCHEMA.fields) + extra)
+    extra_names = [f.name for f in extra]
 
     def assign_slots(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -98,7 +107,7 @@ def politeness_slots(src: DataFrame) -> DataFrame:
                 continue
             pdf = pdf.sort_values("event_id").reset_index(drop=True)
             j = count + 1 + pdf.index.to_numpy()
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "host": host,
                     "event_id": pdf["event_id"],
@@ -106,16 +115,76 @@ def politeness_slots(src: DataFrame) -> DataFrame:
                     "fetch_ms": ((j - 1) * pdf["delay_ms"].to_numpy()).astype("int64"),
                 }
             )
+            for name in extra_names:
+                out[name] = pdf[name]
+            yield out
             count += len(pdf)
         state.update((count,))
 
     return src.groupBy("host").applyInPandasWithState(
         assign_slots,
-        SLOT_SCHEMA,
+        out_schema,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def continuous_frontier_pipeline(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The continuous-mode frontier: a streaming ingest of discovered URLs
+    that canonicalizes, DEDUPLICATES ACROSS MICRO-BATCHES via the state
+    store (streaming dropDuplicates on digest — the Scrapy RFPDupeFilter
+    under structured streaming), assigns per-host politeness slots with
+    GroupState counters, and appends to an exactly-once parquet sink.
+
+    Run with trigger(availableNow) per invocation: each call drains
+    whatever new files appeared in `in_dir` and RESUMES all state (seen
+    digests, per-host slot clocks, processed-file log) from
+    `checkpoint_dir` — kill/restart safety comes from the checkpoint, the
+    streaming analogue of the warehouse manifest (A19).
+
+    This is the ingest half of a continuous crawl; the fetch/parse loop
+    feeding `in_dir` is the BSP wave engine (or any external discoverer).
+    """
+    src = (
+        spark.readStream.schema("url string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    canon = (
+        src.select(canon_col(F.col("url")).alias("url_canon"), "seq")
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("digest", F.xxhash64("url_canon"))
+        .withColumn(
+            "host",
+            F.substring_index(
+                F.parse_url("url_canon", F.lit("HOST")), ":", 1
+            ),
+        )
+    )
+    deduped = canon.dropDuplicates(["digest"])  # state-store seen set
+    slotted = deduped.select(
+        "host",
+        F.col("seq").alias("event_id"),
+        F.lit(500).cast("long").alias("delay_ms"),
+        "url_canon",
+        "digest",
+    )
+    with_slots = politeness_slots(slotted)  # url_canon/digest ride through
+    q = (
+        with_slots.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stateful_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,3 +57,62 @@ def test_state_continues_across_batches(spark, two_batch_dir):
     assert rows[("a", 5)] == (5, 2000)
     assert rows[("b", 11)] == (2, 500)
     assert rows[("b", 12)] == (3, 1000)
+
+
+def test_continuous_frontier_pipeline_resume_and_dedup(spark, tmp_path):
+    """Two invocations of the continuous pipeline over a growing input dir:
+    the second run must (a) skip files already processed (checkpoint),
+    (b) drop URLs whose digest was seen in the FIRST run (state-store
+    dedup), and (c) continue per-host slot clocks."""
+    import pandas as pd
+
+    from rcspark.streaming import continuous_frontier_pipeline
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(in_dir)
+
+    # batch 1: three URLs on host a (one is a noisy duplicate), one on b
+    pd.DataFrame(
+        {
+            "url": [
+                "HTTP://A.example:80/p/1?utm_source=x",
+                "http://a.example/p/2",
+                "http://a.example/p/1",  # canon-dup of the first
+                "http://b.example/p/1",
+            ],
+            "seq": [0, 1, 2, 3],
+        }
+    ).to_parquet(os.path.join(in_dir, "b1.parquet"))
+    continuous_frontier_pipeline(spark, in_dir, out_dir, ckpt)
+    out1 = {r["url_canon"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(out1) == {
+        "http://a.example/p/1",
+        "http://a.example/p/2",
+        "http://b.example/p/1",
+    }
+    assert {out1["http://a.example/p/1"]["j"], out1["http://a.example/p/2"]["j"]} == {1, 2}
+    assert out1["http://b.example/p/1"]["j"] == 1
+
+    # batch 2: a cross-RUN duplicate, plus two genuinely new URLs
+    pd.DataFrame(
+        {
+            "url": [
+                "http://a.example/p/2#frag",  # seen in run 1 -> must drop
+                "http://a.example/p/9",
+                "http://b.example/p/7",
+            ],
+            "seq": [10, 11, 12],
+        }
+    ).to_parquet(os.path.join(in_dir, "b2.parquet"))
+    continuous_frontier_pipeline(spark, in_dir, out_dir, ckpt)
+    out2 = spark.read.parquet(out_dir).collect()
+    by_url = {r["url_canon"]: r for r in out2}
+    assert len(out2) == 5  # 3 from run 1 + 2 new (cross-run dup dropped)
+    # slot clocks CONTINUED across runs: host a had 2 fetches -> next j=3
+    assert by_url["http://a.example/p/9"]["j"] == 3
+    assert by_url["http://a.example/p/9"]["fetch_ms"] == 1000
+    assert by_url["http://b.example/p/7"]["j"] == 2
