@@ -15,7 +15,7 @@ from rcspark.oracle import run_oracle
 from tests.test_crawl_e2e import run_engine
 
 
-@pytest.mark.parametrize("seed", [3, 5, 17])
+@pytest.mark.parametrize("seed", [3, 5, 17, 29, 41])
 def test_order_and_seen_equality_fuzz(spark, tmp_path, seed):
     fx = make_fixture(n_hosts=4, urls_per_host=12, link_fanout=4.0, seed=seed)
     orc = run_oracle(fx)
