@@ -849,6 +849,83 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sessionization: gap-based session ids (stream-analytics staple) ---------------------
+# Wall-clock gaps via timestampdiff on the NTZ column (TZ-proof in both
+# engines); a session breaks after a 30-minute silence. session_id is the
+# running count of breaks per user — a window cumulative sum.
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             datediff('microsecond',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+      FROM events),
+    s AS (
+      SELECT event_id, user_id,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM s
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.withColumn(
+        "gap_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ),
+    )
+    # microsecond granularity: DuckDB's datediff counts boundary crossings,
+    # Spark's timestampdiff counts full elapsed units — the two agree only
+    # where the unit divides the stored precision (timestamps are integral
+    # micros), so the 30-min gap compares in micros on both sides
+    brk = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "event_id",
+        "user_id",
+        F.sum(brk).over(wc).cast("long").alias("session_id"),
+    )
+
+
+# -- A9 depth-priority adjust: priority = base - DEPTH_PRIORITY * depth -------------------
+
+@register(
+    "crawl_depth_priority",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 5 AS BIGINT) AS base_priority,
+             CAST(o_orderkey % 7 AS BIGINT) AS depth
+      FROM orders)
+    SELECT o_orderkey, base_priority, depth,
+           base_priority - 2 * depth AS priority
+    FROM f WHERE depth <= 6
+    """,
+)
+def crawl_depth_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrapy DepthMiddleware's DEPTH_PRIORITY adjust (run with the knob
+    at 2 — the engine default in constants.py is 0, matching Scrapy)."""
+    orders = load(spark, sf_dir, "orders")
+    depth_priority = 2
+    f = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).cast("long").alias("base_priority"),
+        (F.col("o_orderkey") % 7).cast("long").alias("depth"),
+    )
+    return f.filter(F.col("depth") <= C.DEPTH_LIMIT).withColumn(
+        "priority", F.col("base_priority") - depth_priority * F.col("depth")
+    )
+
+
 # -- JSON extraction (the events.props column) ----------------------------------------------
 
 @register(
