@@ -76,16 +76,20 @@ def image_features(images: DataFrame) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 pix, fmt = decode_image(bytes(data))
-                means = pix.reshape(-1, 3).mean(axis=0)
+                # exact int sums -> one IEEE division: bit-reproducible, so
+                # the independent expected-values twin (scripts/
+                # gen_media_expected.py) and the driver's oracle hash agree
+                sums = pix.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npx = pix.shape[0] * pix.shape[1]
                 out.append(
                     (
                         iid,
                         pix.shape[1],
                         pix.shape[0],
                         fmt,
-                        round(float(means[0]), 4),
-                        round(float(means[1]), 4),
-                        round(float(means[2]), 4),
+                        round(float(sums[0] / npx), 4),
+                        round(float(sums[1] / npx), 4),
+                        round(float(sums[2] / npx), 4),
                         phash64(pix),
                     )
                 )
@@ -323,8 +327,12 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 s, rate = decode_audio(bytes(data))
                 x = s.astype(np.float64) / 32767.0
                 n = len(x)
-                rms = float(np.sqrt(np.mean(x * x)))
-                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                # exact int64 sum-of-squares -> fixed IEEE op sequence, so
+                # the expected-values twin reproduces the double bit-for-bit
+                s64 = s.astype(np.int64)
+                ss = int(np.dot(s64, s64))
+                rms = float(np.sqrt(ss / n) / 32767.0)
+                zcr = float(np.mean((s[1:] < 0) != (s[:-1] < 0)))
                 spec = np.abs(np.fft.rfft(x))
                 spec[0] = 0.0  # ignore DC
                 dom = float(np.argmax(spec) * rate / n)

@@ -28,6 +28,17 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype class for driver-strict comparison."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
     """[] when equal; human-readable mismatch descriptions otherwise."""
     errs: list[str] = []
@@ -35,6 +46,15 @@ def compare(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
         return [f"schema: spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"]
     if len(spdf) != len(opdf):
         errs.append(f"rows: spark={len(spdf)} oracle={len(opdf)}")
+    # Driver-strict dtype check: the driver hashes rendered values, so an
+    # int64 Spark column vs a float64 oracle column (e.g. DuckDB sum(BIGINT)
+    # -> HUGEINT -> float64) hashes `150` vs `150.0` and FAILS even when the
+    # values are numerically equal.  Flag the divergence here so selfcheck
+    # can never mask that class of bug again (VERDICT r1 "What's wrong" #3).
+    for c in spdf.columns:
+        ks, ko = _kind(spdf[c]), _kind(opdf[c])
+        if ks != ko and {ks, ko} <= {"int", "float", "bool"}:
+            errs.append(f"col {c}: dtype class spark={ks} oracle={ko} (driver hash would differ)")
     a, b = normalize(spdf), normalize(opdf)
     if len(a) == len(b):
         for c in a.columns:

@@ -679,7 +679,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'h' || (CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END) AS host,
              CAST(l_quantity AS BIGINT) AS qty
       FROM lineitem)
-    SELECT host, count(*) AS n_rows, sum(qty) AS sum_qty
+    SELECT host, count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
     FROM f GROUP BY host
     """,
 )
@@ -773,7 +773,7 @@ def join_star_region(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1997-09-02')
     SELECT l_returnflag, l_linestatus,
-           sum(qty) AS sum_qty,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
            sum(price_c) / 100.0 AS sum_base_price,
            sum(price_c * (100 - disc_c)) / 10000.0 AS sum_disc_price,
            sum(disc_c) / 100.0 / count(*) AS avg_disc,
@@ -1483,8 +1483,18 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# Multimodal: binary image columns (rows-only checks — no SQL codec twin)
+# Multimodal: binary image columns.  The codecs are not SQL-expressible, so
+# the DuckDB oracle joins a precomputed expected-values parquet (written by
+# the independent numpy twin in scripts/gen_media_expected.py, committed
+# under tests/data/media_expected/) against the `part` view — giving these
+# queries full rows+schema+hash checks at any sf (VERDICT r1 next-round #2).
 # =============================================================================
+
+_MEDIA_EXPECTED = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "tests", "data", "media_expected")
+)
+
 
 def _image_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -1493,19 +1503,44 @@ def _image_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("img_features")  # rows-only: codec not expressible in SQL
+@register(
+    "img_features",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.fmt, e.mean_r, e.mean_g, e.mean_b, e.phash
+    FROM '{_MEDIA_EXPECTED}/img_features.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
 def img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synthesize_images(_image_ids(spark, sf_dir))
     return image_features(imgs)
 
 
-@register("img_reencode_psnr")  # rows-only
+@register(
+    "img_reencode_psnr",
+    oracle=f"""
+    SELECT e.image_id, e.out_w, e.out_h, e.psnr_db
+    FROM '{_MEDIA_EXPECTED}/img_reencode.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
 def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synthesize_images(_image_ids(spark, sf_dir))
     return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
 
 
-@register("audio_feature_extract")  # rows-only: codec plumbing, no SQL twin
+@register(
+    "audio_feature_extract",
+    oracle=f"""
+    SELECT e.audio_id, e.rate, e.n_samples, e.duration_s, e.rms,
+           e.zero_cross_rate, e.dominant_hz
+    FROM '{_MEDIA_EXPECTED}/audio_features.parquet' e
+    JOIN (SELECT 'aud' || p_partkey AS audio_id FROM part
+          WHERE p_partkey % 20 = 0) i USING (audio_id)
+    """,
+)
 def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.multimodal import audio_features, synthesize_audio
 
@@ -1553,7 +1588,15 @@ def url_query_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("video_frame_sample")  # rows-only: codec plumbing, no SQL twin
+@register(
+    "video_frame_sample",
+    oracle=f"""
+    SELECT e.video_id, e.frame_idx, e.n_frames, e.w, e.h, e.phash
+    FROM '{_MEDIA_EXPECTED}/video_frames.parquet' e
+    JOIN (SELECT 'vid' || p_partkey AS video_id FROM part
+          WHERE p_partkey % 20 = 0) i USING (video_id)
+    """,
+)
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.multimodal import sample_frames, synthesize_videos
 

@@ -1,0 +1,196 @@
+"""Generate expected-values parquet for the 4 media queries (VERDICT r1 #2).
+
+The media operators (image feature extraction, lossy re-encode PSNR, video
+frame sampling, audio feature extraction) are deterministic functions of the
+id, but their codecs are not expressible in DuckDB SQL.  This script is the
+*independent numpy twin*: it re-implements the decode + feature math from the
+documented container/codec specs (container formats per
+rcspark/datapipe/multimodal.py module docs, codec spec per rcspark/codecs.py
+module docs) WITHOUT calling the engine's transform functions, and writes the
+expected rows to tests/data/media_expected/*.parquet.  The driver's DuckDB
+oracle then JOINs those parquet files against the `part` view, so the media
+queries get real rows+schema+hash checks instead of err=no_oracle.
+
+Shared with the engine on purpose: the *generators* (make_image /
+synthesize_* are the data source both sides consume, like the testdata
+parquet) and np.fft.rfft (re-implementing an FFT would add nothing).  The
+*transforms* — header parsing, channel means, phash, PSNR, quantization,
+frame sampling, RMS/ZCR — are re-implemented here with different code paths
+over exact-integer reductions, which is what makes the doubles
+bit-reproducible across both implementations.
+
+Coverage: ids derived from p_partkey 0..19999 (sf0.1, the largest testdata
+tier), so the oracle join works at any sf the driver picks.
+
+Usage: python scripts/gen_media_expected.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rcspark.fixtures import make_image  # noqa: E402 — shared data generator
+from rcspark.xxh import xxh64  # noqa: E402 — shared id hash (generator side)
+
+MAX_PARTKEY = 20000  # sf0.1 part has p_partkey 0..19999
+
+
+# --------------------------------------------------------------------------
+# Independent re-implementations (the "twin") — no rcspark.codecs /
+# rcspark.datapipe.multimodal transform imports.
+# --------------------------------------------------------------------------
+
+def twin_decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Parse 'P6|Q6\\nW H\\n255\\n' + raw RGB bytes (spec: rcspark/codecs.py)."""
+    fmt = {b"P6": "ppm", b"Q6": "qppm"}[data[:2]]
+    header_rest = data.split(b"\n", 3)
+    w, h = (int(v) for v in header_rest[1].split())
+    pix = np.frombuffer(header_rest[3], dtype=np.uint8, count=w * h * 3)
+    return pix.reshape(h, w, 3), fmt
+
+
+def twin_quantize(pix: np.ndarray) -> np.ndarray:
+    """6-bit per-channel quantization with mid-step reconstruction:
+    clear low 2 bits, set the mid-step bit (== ((p>>2)<<2)|2)."""
+    return ((pix & np.uint8(0xFC)) | np.uint8(0x02)).astype(np.uint8)
+
+
+def twin_phash(pix: np.ndarray) -> int:
+    """8x8 average-hash, vectorized via reduceat block sums (engine uses a
+    per-cell loop; both reduce to exact-int-sum / count divisions)."""
+    g = pix.astype(np.int64).sum(axis=2) // 3
+    h, w = g.shape
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 9, dtype=np.int64)
+    rows = np.add.reduceat(g, ys[:-1], axis=0)
+    blocks = np.add.reduceat(rows, xs[:-1], axis=1).astype(np.float64)
+    counts = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    cells = blocks / counts
+    bits = (cells > cells.mean()).flatten()
+    v = int("".join("1" if b else "0" for b in bits), 2)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def twin_psnr(a: np.ndarray, b: np.ndarray) -> float:
+    d = a.astype(np.int64) - b.astype(np.int64)
+    sse = int((d * d).sum())
+    if sse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(sse / d.size))
+
+
+def expected_img_features() -> pd.DataFrame:
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, fmt = twin_decode_image(data)
+        h, w, _ = pix.shape
+        sums = pix.astype(np.int64).sum(axis=(0, 1))
+        npx = h * w
+        rows.append(
+            (iid, np.int32(w), np.int32(h), fmt,
+             round(float(sums[0] / npx), 4),
+             round(float(sums[1] / npx), 4),
+             round(float(sums[2] / npx), 4),
+             np.int64(twin_phash(pix))))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b", "phash"],
+    ).astype({"w": "int32", "h": "int32", "phash": "int64"})
+
+
+def expected_img_reencode() -> pd.DataFrame:
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        h, w, _ = pix.shape
+        p = twin_psnr(pix, twin_quantize(pix))
+        rows.append((iid, np.int32(w), np.int32(h), round(min(p, 99.0), 4)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "out_w", "out_h", "psnr_db"]
+    ).astype({"out_w": "int32", "out_h": "int32"})
+
+
+def expected_video_frames(max_frames: int = 24, every_k: int = 4) -> pd.DataFrame:
+    """Frame content is a pure function of (id): n = 4 + h64 % (max-3),
+    16x16 RGB frames from the id-seeded Generator (spec: synthesize_videos).
+    The sampling transform (idx 0, k, 2k, ... + per-frame phash) is the
+    re-implemented part."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 20):
+        vid = f"vid{k}"
+        h64 = xxh64(vid.encode())
+        n = 4 + h64 % (max_frames - 3)
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        frames = rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8)
+        for idx in range(0, n, every_k):
+            rows.append(
+                (vid, np.int32(idx), np.int32(n), np.int32(16), np.int32(16),
+                 np.int64(twin_phash(frames[idx]))))
+    return pd.DataFrame(
+        rows, columns=["video_id", "frame_idx", "n_frames", "w", "h", "phash"]
+    ).astype({"frame_idx": "int32", "n_frames": "int32", "w": "int32",
+              "h": "int32", "phash": "int64"})
+
+
+def expected_audio_features() -> pd.DataFrame:
+    """Clip content per synthesize_audio spec (0.5 s @ 8 kHz sine + noise);
+    RMS / ZCR / dominant-frequency transforms re-implemented over exact
+    integer reductions (np.fft.rfft shared — see module doc)."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 20):
+        aid = f"aud{k}"
+        h64 = xxh64(aid.encode())
+        rate, n = 8000, 4000
+        freq = 100.0 + (h64 % 1900)
+        t = np.arange(n) / rate
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        s64 = s.astype(np.int64)
+        ss = int((s64 * s64).sum())
+        rms = float(np.sqrt(ss / n) / 32767.0)
+        neg = s < 0
+        zcr = float(int((neg[1:] != neg[:-1]).sum()) / (n - 1))
+        x = s.astype(np.float64) / 32767.0
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0
+        dom = float(np.argmax(spec) * rate / n)
+        rows.append(
+            (aid, np.int32(rate), np.int32(n), round(n / rate, 6),
+             round(rms, 6), round(zcr, 6), round(dom, 3)))
+    return pd.DataFrame(
+        rows,
+        columns=["audio_id", "rate", "n_samples", "duration_s", "rms",
+                 "zero_cross_rate", "dominant_hz"],
+    ).astype({"rate": "int32", "n_samples": "int32"})
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "data", "media_expected")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in [
+        ("img_features", expected_img_features),
+        ("img_reencode", expected_img_reencode),
+        ("video_frames", expected_video_frames),
+        ("audio_features", expected_audio_features),
+    ]:
+        pdf = fn()
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pdf.to_parquet(path, index=False)
+        print(f"{path}: {len(pdf)} rows")
+
+
+if __name__ == "__main__":
+    main()
