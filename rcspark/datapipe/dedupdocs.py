@@ -145,25 +145,49 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = SHINGLE_K,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, inter, size_a, size_b, jaccard) — exact set Jaccard
     over distinct k-shingles.
 
-    If `candidates` (doc_a, doc_b) is given, only those pairs are scored
-    (the MinHash→verify pattern); otherwise all co-shingled pairs are.
+    Two scale guards (VERDICT r1 next-round #3 — the unbounded co-shingle
+    self-join was the repo's one quadratic scale-killer):
+
+    - With ``candidates`` (doc_a, doc_b), intersections are computed by
+      joining the candidate list against per-doc shingles — work is
+      O(|candidates| · shingles-per-doc), linear in candidates, with NO
+      shingle self-join at all (the MinHash→verify pattern; this is how
+      the driver query is registered).
+    - Without candidates, ``max_df`` mirrors lsh_candidate_pairs'
+      ``max_bucket``: shingles appearing in more than max_df docs
+      (boilerplate) are dropped from BOTH intersections and sizes, so one
+      hot shingle can emit at most O(max_df²) join rows.  df-capped
+      Jaccard is a consistent set semantics (the universe shrinks by the
+      hot shingles), not a biased estimate.
     """
     rows = shingle_rows(docs, id_col, text_col, shingle_k)
+    if candidates is None and max_df is not None:
+        dfc = rows.groupBy("shingle").agg(F.count("*").alias("_df"))
+        rows = rows.join(dfc.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    rows = rows.persist()  # sizes + both intersection sides below
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = rows.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = rows.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b")
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     out = (

@@ -111,15 +111,19 @@ def plane_weight_py(p: int, d: int) -> float:
     return ((h % PLANE_MOD) - half) / half
 
 
-def lsh_bucket(vec: Column, nplanes: int = NPLANES, dim: int = 64) -> Column:
+def lsh_bucket(
+    vec: Column, nplanes: int = NPLANES, dim: int = 64, offset: int = 0
+) -> Column:
     """nplanes sign bits of ⟨vec, plane_p⟩ packed into an int bucket id.
 
     Plane weights are embedded as array literals (see plane_weight_py);
     the per-row work is pure zip_with/aggregate arithmetic in codegen.
+    ``offset`` selects planes offset..offset+nplanes-1 from the same
+    digest-derived family — band t of a banded LSH uses offset = t·r.
     """
     bucket = F.lit(0)
     for p in range(nplanes):
-        w = F.array(*[F.lit(plane_weight_py(p, d)) for d in range(dim)])
+        w = F.array(*[F.lit(plane_weight_py(offset + p, d)) for d in range(dim)])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wd: x.cast("double") * wd),
             F.lit(0.0),
@@ -129,12 +133,12 @@ def lsh_bucket(vec: Column, nplanes: int = NPLANES, dim: int = 64) -> Column:
     return bucket.cast("int")
 
 
-def sql_lsh_bucket(vec: str, dim: int, nplanes: int = NPLANES) -> str:
+def sql_lsh_bucket(vec: str, dim: int, nplanes: int = NPLANES, offset: int = 0) -> str:
     terms = []
     for p in range(nplanes):
         proj = (
             f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({sql_plane_weight(str(p), 'i - 1')})))"
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({sql_plane_weight(str(offset + p), 'i - 1')})))"
         )
         terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS INT)"
@@ -193,6 +197,66 @@ def sql_ivf_cell(vec: str, ncells: int = IVF_CELLS, dim: int = 64) -> str:
         f"{{'d': {d}, 'c': {c}}}" for c, d in enumerate(dists)
     )
     return f"CAST(list_min([{structs}])['c'] AS INT)"
+
+
+def neardup_pairs_banded(
+    emb: DataFrame,
+    bands: int = 2,
+    planes_per_band: int = NPLANES,
+    max_bucket: int = 1000,
+    min_cos: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, n_bands, cos_sim): embedding near-dup candidate pairs
+    via BANDED hyperplane LSH, exact-cosine verified.
+
+    The round-1 single-table 8-plane version had 256 buckets, making
+    within-bucket pairing ~O((n/256)²) at corpus scale (VERDICT r1
+    next-round #4).  Banding fixes both axes independently:
+
+    - recall: a pair is a candidate if it collides in ANY of ``bands``
+      tables (planes t·r .. t·r+r-1), so more planes per band can cut
+      bucket sizes without the single-table recall collapse;
+    - bucket size: 2^planes_per_band buckets per band — at 100 TB raise
+      planes_per_band (more, smaller buckets), not bucket occupancy — plus
+      the same explicit ``max_bucket`` skew guard the document-LSH path
+      has (a degenerate bucket is dropped before the O(b²) pair blow-up).
+
+    Only (vec_id, band_id, bucket) rows cross the candidate shuffle;
+    vectors are joined back per-pair for the exact-cosine verify.
+    """
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    bucket_cols = [
+        lsh_bucket(F.col("_v"), planes_per_band, dim, offset=t * planes_per_band)
+        .cast("long")
+        for t in range(bands)
+    ]
+    rows = src.select(
+        "vec_id", F.posexplode(F.array(*bucket_cols)).alias("band_id", "bucket")
+    ).persist()
+    sizes = rows.groupBy("band_id", "bucket").agg(F.count("*").alias("_b"))
+    bounded = rows.join(
+        sizes.filter(F.col("_b") <= max_bucket), ["band_id", "bucket"]
+    ).drop("_b")
+    a = bounded.select("band_id", "bucket", F.col("vec_id").alias("id_a"))
+    c = bounded.select("band_id", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(c, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    va = src.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = src.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "n_bands", "cos_sim")
+    )
 
 
 def ann_topk_ivf(

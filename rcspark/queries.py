@@ -636,7 +636,11 @@ def crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("src", F.col("final0").alias("final"), "hops")
 
 
-# -- embedding-cosine near-dup pairs (LSH-blocked, the media-dedup scale path) ----
+# -- embedding-cosine near-dup pairs (banded LSH, the media-dedup scale path) ----
+# 2 bands × 8 planes with a max_bucket skew guard (VERDICT r1 next-round #4):
+# at 100 TB raise planes_per_band (more, smaller buckets), not occupancy.
+
+_NEARDUP_BANDS = 2
 
 @register(
     "emb_neardup_pairs",
@@ -644,23 +648,9 @@ def crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        F.col("embedding").alias("_v"),
-        sim.lsh_bucket(F.col("embedding")).cast("long").alias("bucket"),
-    )
-    a = b.select(
-        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("_v").alias("_va")
-    )
-    c = b.select(
-        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb")
-    )
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", sim.cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos_sim") >= 0.2)
-        .select("id_a", "id_b", "bucket", "cos_sim")
+    return sim.neardup_pairs_banded(
+        emb, bands=_NEARDUP_BANDS, planes_per_band=sim.NPLANES,
+        max_bucket=1000, min_cos=0.2,
     )
 
 
@@ -1243,18 +1233,33 @@ def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(rows, min_bands=1, max_bucket=1000)
 
 
+# MinHash→verify shape (VERDICT r1 next-round #3): exact Jaccard is scored
+# ONLY for LSH candidate pairs, so the work is linear in candidates instead
+# of the unbounded co-shingle self-join the round-1 registration ran.
+
 @register(
     "doc_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash) WHERE b <= 1000),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    sh AS (
       SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
     rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM rows_ a JOIN rows_ b USING (shingle)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN rows_ a ON a.doc_id = c.doc_a
+      JOIN rows_ b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
     SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
            round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
     FROM inter
@@ -1263,7 +1268,11 @@ def doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.jaccard_pairs(load(spark, sf_dir, "documents")).select(
+    docs = load(spark, sf_dir, "documents")
+    cand = dd.lsh_candidate_pairs(
+        dd.minhash_rows(docs), min_bands=1, max_bucket=1000
+    )
+    return dd.jaccard_pairs(docs, candidates=cand).select(
         "doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard"
     )
 
@@ -1378,15 +1387,30 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_SQL = sim.sql_lsh_bucket("embedding", _EMB_DIM)
 
 # oracle for emb_neardup_pairs (registered earlier; needs _BUCKET_SQL)
+_BAND_ROWS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {t} AS band_id, CAST("
+    + sim.sql_lsh_bucket("embedding", _EMB_DIM, sim.NPLANES, offset=t * sim.NPLANES)
+    + " AS BIGINT) AS bucket FROM embeddings"
+    for t in range(_NEARDUP_BANDS)
+)
+
 ORACLE["emb_neardup_pairs"] = f"""
-    WITH b AS (
-      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
-             {sim.sql_cosine('a.embedding', 'c.embedding', _EMB_DIM)} AS cos_sim
-      FROM b a JOIN b c USING (bucket)
-      WHERE a.vec_id < c.vec_id)
-    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.2
+    WITH rows_ AS (
+{_BAND_ROWS_SQL}),
+    sizes AS (SELECT band_id, bucket, count(*) AS b FROM rows_ GROUP BY 1, 2),
+    bounded AS (
+      SELECT rows_.* FROM rows_ JOIN sizes USING (band_id, bucket) WHERE b <= 1000),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b, count(*) AS n_bands
+      FROM bounded a JOIN bounded c USING (band_id, bucket)
+      WHERE a.vec_id < c.vec_id GROUP BY 1, 2),
+    scored AS (
+      SELECT cand.id_a, cand.id_b, cand.n_bands,
+             {sim.sql_cosine('ea.embedding', 'eb.embedding', _EMB_DIM)} AS cos_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.id_a
+      JOIN embeddings eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, n_bands, cos_sim FROM scored WHERE cos_sim >= 0.2
     """
 
 @register(

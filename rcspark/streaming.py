@@ -85,11 +85,17 @@ def politeness_slots(src: DataFrame) -> DataFrame:
     GroupState counters. Any columns beyond the required three ride
     through unchanged (url_canon/digest in the continuous pipeline).
 
-    Each micro-batch's rows are sorted by event_id inside the group (the
-    deterministic pop order), numbered after the host's persisted count,
-    and stamped with fetch_ms = (j-1)·delay(host); the count advances in
-    GroupState so subsequent batches continue the clock (cross-batch
-    continuity is pinned by tests/test_streaming.py).
+    The whole micro-batch group is sorted by event_id (the deterministic
+    pop order), numbered after the host's persisted count, and stamped
+    with fetch_ms = (j-1)·delay(host); the count advances in GroupState so
+    subsequent batches continue the clock (cross-batch continuity is
+    pinned by tests/test_streaming.py).
+
+    The per-group iterator is DRAINED AND CONCATENATED before sorting:
+    Arrow chunk boundaries inside a micro-batch are arbitrary (one host's
+    rows span chunks past maxRecordsPerBatch), so sorting each chunk
+    independently would assign j/fetch_ms out of event_id order at
+    production row counts while staying green at gate scale.
     """
     extra = [
         f for f in src.schema.fields if f.name not in ("host", "event_id", "delay_ms")
@@ -102,9 +108,9 @@ def politeness_slots(src: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         (count,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        frames = [p for p in pdfs if not p.empty]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
             pdf = pdf.sort_values("event_id").reset_index(drop=True)
             j = count + 1 + pdf.index.to_numpy()
             out = pd.DataFrame(

@@ -220,3 +220,35 @@ def test_ann_recall_floors(spark):
     assert len(brute) == 25
     assert len(lsh & brute) / len(brute) >= 0.05
     assert len(ivf & brute) / len(brute) >= 0.3
+
+
+def test_banded_neardup_recall_floor(spark):
+    """Banded LSH near-dup recall on PLANTED near-duplicates (the testdata
+    embeddings carry no pair above cos 0.5, so the test plants its own):
+    each base vector gets a deterministic small-noise copy (cos ≈ 0.99).
+    Theory: one 8-plane band keeps a cos≈0.99 pair w.p. ≈ (1-θ/π)^8 ≈ 0.78;
+    2 bands ≈ 0.95. Floors are measured-minus-margin; banding must also
+    strictly beat a single band — the reason VERDICT r1 #4 asked for it."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 64))
+    noisy = base + 0.08 * rng.standard_normal((120, 64))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(120)] + [
+        (1000 + i, noisy[i].astype(float).tolist()) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(i, 1000 + i) for i in range(120)}
+
+    def recall(bands):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in sim.neardup_pairs_banded(
+                emb, bands=bands, min_cos=0.9
+            ).collect()
+        }
+        return len(found & planted) / len(planted)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.85, r2
+    assert r2 > r1, (r1, r2)

@@ -59,6 +59,35 @@ def test_state_continues_across_batches(spark, two_batch_dir):
     assert rows[("b", 12)] == (3, 1000)
 
 
+def test_slots_correct_when_host_spans_arrow_chunks(spark, tmp_path):
+    """Regression (ADVICE r1 high): with maxRecordsPerBatch=10, one host's
+    100 reverse-ordered events arrive as ~10 Arrow chunks inside a single
+    micro-batch.  Sorting each chunk independently assigned j out of
+    event_id order (event_id 1 got j=91); the operator must drain and
+    concatenate the per-group iterator before numbering."""
+    pd.DataFrame(
+        {
+            "host": ["a"] * 100,
+            "event_id": list(range(100, 0, -1)),
+            "delay_ms": [500] * 100,
+        }
+    ).to_parquet(str(tmp_path / "b1.parquet"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        src = (
+            spark.readStream.schema("host string, event_id long, delay_ms long")
+            .parquet(str(tmp_path))
+        )
+        out = stream_available_now(politeness_slots(src), spark)
+        rows = {r["event_id"]: (r["j"], r["fetch_ms"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(rows) == 100
+    for eid in range(1, 101):
+        assert rows[eid] == (eid, (eid - 1) * 500), (eid, rows[eid])
+
+
 def test_continuous_frontier_pipeline_resume_and_dedup(spark, tmp_path):
     """Two invocations of the continuous pipeline over a growing input dir:
     the second run must (a) skip files already processed (checkpoint),
