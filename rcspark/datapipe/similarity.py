@@ -297,6 +297,172 @@ def ann_topk_ivf(
     )
 
 
+# -- deterministic k-means IVF trainer (VERDICT r1 next-round #10) ----------------
+# Lloyd's algorithm made bit-reproducible across Spark AND the DuckDB oracle:
+# every arithmetic step is exact-integer — embeddings quantize to 1e-6 micro
+# units (BIGINT), distances are integer sums of squares (argmin tie-break by
+# cell id), and the centroid update rounds the exact integer sum / count back
+# to micro units. Init is digest60-seeded (the ncells vectors with smallest
+# md5 of 'seed:'||vec_id). No RNG, no float accumulation order anywhere, so
+# a fixed iteration count yields identical centroids in both engines.
+
+KMEANS_ITERS = 3
+QUANT = 1_000_000  # micro-unit quantization for exact-integer training
+
+
+def _quant_col(vec: Column) -> Column:
+    """array<float> → array<long> micro units (round half-even, both engines)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _int_dist(qarr: Column, cq: list[int]) -> Column:
+    """Σ (q_d - cq_d)² as exact long (|q| ≲ 1e7 ⇒ sum < 2^63 at dim 64)."""
+    lit = F.array(*[F.lit(int(v)) for v in cq])
+    return F.aggregate(
+        F.zip_with(qarr, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, q) + centroid dict → (vec_id, q, cell) by integer argmin."""
+    entries = [
+        F.struct(_int_dist(F.col("q"), cq).alias("d"), F.lit(c).alias("c"))
+        for c, cq in sorted(cents.items())
+    ]
+    return q.withColumn("cell", F.array_min(F.array(*entries))["c"].cast("int"))
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    ncells: int = IVF_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[int]]:
+    """Train micro-unit integer centroids {cell: [cq_0..cq_dim-1]}.
+
+    Per iteration: one distributed assignment pass (argmin over centroid
+    literals, pure codegen arithmetic) and one groupBy producing dim exact
+    integer sums + a count per cell; only ncells rows reach the driver. A
+    cell that loses all members drops out (both engines agree). At corpus
+    scale this is the classic sample-free Lloyd on Spark — the training
+    scan is the same shape as the search scan, so no new shuffle kinds.
+    """
+    from ..datapipe.hashing import digest60
+
+    src = emb.select(F.col(id_col).alias("vec_id"), _quant_col(F.col(vec_col)).alias("q"))
+    # seed pick is a distributed top-k (TakeOrderedAndProject), not a
+    # global window — no single-partition sort at corpus scale
+    seeds = (
+        src.withColumn(
+            "_h", digest60(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(ncells)
+        .collect()
+    )
+    cents = {i: [int(v) for v in r["q"]] for i, r in enumerate(seeds)}
+    for _ in range(iters):
+        assigned = _assign_cells(src, cents)
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.element_at("q", d + 1)).alias(f"_s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        cents = {
+            int(r["cell"]): [
+                int(round(int(r[f"_s{d}"]) / int(r["_n"]))) for d in range(dim)
+            ]
+            for r in rows
+        }
+    return cents
+
+
+def ann_topk_ivf_trained(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    ncells: int = IVF_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search (nprobe=1) against k-means-trained centroids; same search
+    shape as ann_topk_ivf, only the codebook differs."""
+    cents = kmeans_centroids(emb, ncells, iters, dim, id_col, vec_col)
+    src = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _quant_col(F.col(vec_col)).alias("q"),
+    )
+    celled = _assign_cells(src, cents).drop("q")
+    probes = F.broadcast(
+        celled.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("_v").alias("_pv"),
+            F.col("cell"),
+        )
+    )
+    scored = (
+        celled.join(probes, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", cosine(F.col("_pv"), F.col("_v")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "cell", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def sql_kmeans_ctes(ncells: int = IVF_CELLS, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
+    """DuckDB CTE chain re-deriving the EXACT trained centroids and final
+    cell assignment (table `cells_`(vec_id, cell)) — integer arithmetic
+    mirrors kmeans_centroids step for step."""
+    seed_h = sql_digest60("'seed:' || vec_id::VARCHAR")
+    ctes = [
+        f"""qrows AS (
+      SELECT vec_id, CAST(i AS INT) AS d,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
+      FROM embeddings, range(1, {dim + 1}) r(i))""",
+        f"""init AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY {seed_h}, vec_id) - 1 AS INT) AS cell
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY {seed_h}, vec_id) <= {ncells})""",
+        """cent0 AS (
+      SELECT i.cell, q.d, q.q AS cq FROM init i JOIN qrows q USING (vec_id))""",
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""dist{t} AS (
+      SELECT q.vec_id, c.cell, sum((q.q - c.cq) * (q.q - c.cq)) AS dd
+      FROM qrows q JOIN {prev} c USING (d) GROUP BY 1, 2)""")
+        ctes.append(f"""assign{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM dist{t}) WHERE rn = 1)""")
+        ctes.append(f"""cent{t} AS (
+      SELECT a.cell, q.d, CAST(round(sum(q.q)::DOUBLE / count(*)) AS BIGINT) AS cq
+      FROM assign{t} a JOIN qrows q USING (vec_id) GROUP BY 1, 2)""")
+        prev = f"cent{t}"
+    ctes.append(f"""distF AS (
+      SELECT q.vec_id, c.cell, sum((q.q - c.cq) * (q.q - c.cq)) AS dd
+      FROM qrows q JOIN {prev} c USING (d) GROUP BY 1, 2)""")
+    ctes.append("""cells_ AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM distF) WHERE rn = 1)""")
+    return ",\n    ".join(ctes)
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     probe_ids: list[int],

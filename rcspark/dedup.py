@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .constants import BLOOM_BITS_PER_SHARD, BLOOM_NUM_HASHES, BLOOM_SHARDS
+from .constants import (
+    BLOOM_BITS_PER_SHARD,
+    BLOOM_BROADCAST_MAX_BYTES,
+    BLOOM_NUM_HASHES,
+    BLOOM_SHARDS,
+)
 from .tables import BLOOM_SCHEMA
 from .xxh import splitmix64
 
@@ -73,16 +78,22 @@ def empty_bloom(spark) -> DataFrame:
     return spark.createDataFrame(rows, BLOOM_SCHEMA)
 
 
-def bloom_probe_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+def bloom_probe_broadcast(
+    candidates: DataFrame, bloom: DataFrame, resources_out: list | None = None
+) -> DataFrame:
     """candidates(digest, ...) → same rows + boolean `maybe_seen`, via a
     BROADCAST of the shard bitmaps and a scalar Arrow-batched pandas UDF.
 
-    Preferred probe path: only the `digest` column crosses the JVM↔Python
-    boundary (the cogroup variant ships every candidate column through
-    Arrow and pays a shuffle). The bloom table is small by construction —
-    shards are sized so the WHOLE filter is a few GiB even at 10^10 URLs
-    (module docstring), i.e. broadcastable once per wave; fall back to
-    `bloom_probe` only when the filter outgrows executor memory.
+    Preferred probe path while the sketch is small: only the `digest`
+    column crosses the JVM↔Python boundary (the cogroup variant ships
+    every candidate column through Arrow and pays a shuffle).
+    `filter_unseen` auto-switches to `bloom_probe` once the measured
+    sketch size passes BLOOM_BROADCAST_MAX_BYTES.
+
+    The Broadcast handle is appended to `resources_out` when given (it has
+    an `unpersist()` like a persisted DataFrame); callers should release
+    it after the wave's actions complete or a long driver session
+    accumulates broadcast blocks.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -93,6 +104,8 @@ def bloom_probe_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
         for r in bloom.collect()
     }
     bc = spark.sparkContext.broadcast(shards)
+    if resources_out is not None:
+        resources_out.append(bc)
 
     @pandas_udf("boolean")
     def probe(digest: pd.Series) -> pd.Series:
@@ -185,6 +198,7 @@ def filter_unseen(
     bloom: DataFrame,
     seen: DataFrame,
     persisted_out: list | None = None,
+    broadcast_max_bytes: int = BLOOM_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Rows of `candidates` whose (digest, url_canon) is NOT in the seen set.
 
@@ -192,18 +206,29 @@ def filter_unseen(
     verified with an exact left_anti join (false-positive kill). Columns of
     `candidates` pass through unchanged.
 
+    Probe-path auto-switch (VERDICT r1 next-round #7): the sketch size is
+    measured from the bloom table itself (sum of nbits — a sub-second agg
+    over ≤ BLOOM_SHARDS rows). Under `broadcast_max_bytes` the bitmaps are
+    broadcast and probed with a scalar pandas UDF (no shuffle); past it —
+    a 10^10-URL filter is a few GiB — the cogrouped per-shard probe runs
+    instead, so no caller needs to know how big the filter has grown.
+
     The probed frontier is persisted before the fresh/maybe fan-out —
     without it, Spark recomputes the whole Bloom probe subtree once per
     union branch (verified via .explain). At 10^10 scale this is the
     wave's materialization point (the frontier table write); locally
     MEMORY_AND_DISK stands in. Callers can collect the handle via
-    `persisted_out` to unpersist after the wave.
+    `persisted_out` to unpersist after the wave (broadcast handles are
+    appended there too — both expose unpersist()).
     """
     from pyspark.storagelevel import StorageLevel
 
-    probed = bloom_probe_broadcast(candidates, bloom).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sketch_bytes = (bloom.agg(F.sum("nbits").alias("b")).first()["b"] or 0) // 8
+    if sketch_bytes <= broadcast_max_bytes:
+        probed = bloom_probe_broadcast(candidates, bloom, resources_out=persisted_out)
+    else:
+        probed = bloom_probe(candidates, bloom)
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_out is not None:
         persisted_out.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -636,6 +636,74 @@ def crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("src", F.col("final0").alias("final"), "hops")
 
 
+# -- A13: HTTP cache gate (distinct operator; VERDICT r1 next-round #9) ---------
+# Scrapy's HttpCacheMiddleware with an expiration policy becomes a left join
+# of the candidate schedule against the fetch history plus a wave-age
+# predicate: a URL fetched within HTTPCACHE_EXPIRATION waves is served from
+# cache (no refetch); stale or never-fetched URLs go to the downloader.
+# [U scrapy/downloadermiddlewares/httpcache.py]
+
+_HTTPCACHE_WAVE = 10         # "now" for the age predicate
+_HTTPCACHE_EXPIRATION = 4    # waves a cached response stays fresh
+
+@register(
+    "crawl_http_cache",
+    oracle=f"""
+    WITH cand AS (
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon
+      FROM orders),
+    cache AS (
+      SELECT DISTINCT l_orderkey AS k, l_orderkey % 12 AS fetched_wave
+      FROM lineitem WHERE l_quantity > 25)
+    SELECT o_orderkey, url_canon, fetched_wave,
+           CASE WHEN fetched_wave IS NULL THEN 'miss'
+                WHEN fetched_wave >= {_HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION} THEN 'fresh'
+                ELSE 'stale' END AS cache_status,
+           (fetched_wave IS NULL
+            OR fetched_wave < {_HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION}) AS refetch
+    FROM cand LEFT JOIN cache ON k = o_orderkey
+    """,
+)
+def crawl_http_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cand = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_canon"),
+    )
+    cache = (
+        li.filter(F.col("l_quantity") > 25)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            F.col("l_orderkey").alias("k"),
+            (F.col("l_orderkey") % 12).alias("fetched_wave"),
+        )
+    )
+    fresh_floor = _HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION
+    joined = cand.join(cache, cand["o_orderkey"] == cache["k"], "left")
+    status = (
+        F.when(F.col("fetched_wave").isNull(), F.lit("miss"))
+        .when(F.col("fetched_wave") >= fresh_floor, F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+    )
+    return joined.select(
+        "o_orderkey",
+        "url_canon",
+        "fetched_wave",
+        status.alias("cache_status"),
+        (
+            F.col("fetched_wave").isNull() | (F.col("fetched_wave") < fresh_floor)
+        ).alias("refetch"),
+    )
+
+
 # -- embedding-cosine near-dup pairs (banded LSH, the media-dedup scale path) ----
 # 2 bands × 8 planes with a max_bucket skew guard (VERDICT r1 next-round #4):
 # at 100 TB raise planes_per_band (more, smaller buckets), not occupancy.
@@ -1498,6 +1566,46 @@ def emb_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_ivf(emb, _PROBES, k=5).select(
+        "probe_id",
+        F.col("cell").cast("long").alias("cell"),
+        "vec_id",
+        "cos_sim",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+# IVF against k-means-TRAINED centroids (VERDICT r1 next-round #10): the
+# trainer is Lloyd's in exact micro-unit integer arithmetic with digest60-
+# seeded init and a fixed iteration count, so the DuckDB oracle re-derives
+# the identical codebook CTE-by-CTE (sim.sql_kmeans_ctes) — training stays
+# inside the hard correctness gate, not just the recall test.
+
+@register(
+    "emb_ann_ivf_trained",
+    oracle=f"""
+    WITH {sim.sql_kmeans_ctes(ncells=sim.IVF_CELLS, iters=sim.KMEANS_ITERS, dim=_EMB_DIM)},
+    probes AS (
+      SELECT e.vec_id AS probe_id, e.embedding AS pv, c.cell
+      FROM embeddings e JOIN cells_ c USING (vec_id)
+      WHERE e.vec_id IN ({_PROBES_SQL})),
+    scored AS (
+      SELECT p.probe_id, CAST(p.cell AS BIGINT) AS cell, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
+      FROM probes p
+      JOIN cells_ c2 ON c2.cell = p.cell
+      JOIN embeddings e ON e.vec_id = c2.vec_id
+      WHERE e.vec_id <> p.probe_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT probe_id, cell, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf_trained(emb, _PROBES, k=5).select(
         "probe_id",
         F.col("cell").cast("long").alias("cell"),
         "vec_id",

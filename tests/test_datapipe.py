@@ -222,6 +222,39 @@ def test_ann_recall_floors(spark):
     assert len(ivf & brute) / len(brute) >= 0.3
 
 
+def test_kmeans_ivf_balanced_and_recall(spark):
+    """Trained IVF vs fixed md5 centroids (deterministic data+algo, so the
+    measured numbers are exact). On sf0.001 the md5 codebook collapses to 6
+    effective cells with one 226-vector monster (expected scan fraction
+    0.35 — a skew disaster at corpus scale); 3 Lloyd iterations balance to
+    8 cells of ~62 (scan fraction 0.126). Recall drops in absolute terms
+    (less corpus scanned) but RISES per scanned row — the metric that
+    matters when ncells scales with the corpus."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    brute = {(r["probe_id"], r["vec_id"]) for r in sim.cosine_topk(emb, probes, k=5).collect()}
+
+    def sizes(df):
+        return np.array([r["c"] for r in df.groupBy("cell").agg(F.count("*").alias("c")).collect()])
+
+    fixed_cells = emb.select("vec_id", sim.ivf_cell(F.col("embedding")).alias("cell"))
+    trained_src = emb.select("vec_id", sim._quant_col(F.col("embedding")).alias("q"))
+    trained_cells = sim._assign_cells(trained_src, sim.kmeans_centroids(emb))
+    sf_fixed, sf_trained = (
+        float((s * s).sum()) / s.sum() ** 2 for s in (sizes(fixed_cells), sizes(trained_cells))
+    )
+    assert sf_trained < sf_fixed / 2  # balanced cells: >2x less corpus scanned
+    s_tr = sizes(trained_cells)
+    assert s_tr.max() <= 2 * s_tr.mean()  # no monster cell
+
+    r_fixed = len({(r["probe_id"], r["vec_id"]) for r in sim.ann_topk_ivf(emb, probes, k=5).collect()} & brute) / 25
+    r_trained = len({(r["probe_id"], r["vec_id"]) for r in sim.ann_topk_ivf_trained(emb, probes, k=5).collect()} & brute) / 25
+    assert r_trained >= 0.12
+    assert r_trained / sf_trained > r_fixed / sf_fixed  # better recall per scanned row
+
+
 def test_banded_neardup_recall_floor(spark):
     """Banded LSH near-dup recall on PLANTED near-duplicates (the testdata
     embeddings carry no pair above cos 0.5, so the test plants its own):

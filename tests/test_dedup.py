@@ -47,6 +47,38 @@ def test_filter_unseen_exact(spark, bloom_with_5k):
     assert got == sorted(f"http://fresh.example/n/{i}" for i in range(500))
 
 
+def test_filter_unseen_auto_switches_probe_path(spark, bloom_with_5k):
+    """The broadcast-vs-cogroup switch (VERDICT r1 #7) picks by measured
+    sketch bytes: a 0-byte threshold must force the cogroup branch, the
+    default must take the broadcast branch, and BOTH must return the same
+    rows (the switch is a physical-plan choice, never a semantics one)."""
+    inserted, bloom = bloom_with_5k
+    seen = _digests(spark, inserted).withColumn("wave", F.lit(0))
+    mixed = inserted[:200] + [f"http://fresh.example/s/{i}" for i in range(200)]
+    res_bcast: list = []
+    out_bcast = filter_unseen(
+        _digests(spark, mixed), bloom, seen, persisted_out=res_bcast
+    )
+    got_bcast = sorted(r.url_canon for r in out_bcast.collect())
+    # broadcast branch leaves its Broadcast handle in persisted_out
+    from pyspark.broadcast import Broadcast
+
+    assert any(isinstance(h, Broadcast) for h in res_bcast)
+
+    res_cg: list = []
+    out_cg = filter_unseen(
+        _digests(spark, mixed), bloom, seen,
+        persisted_out=res_cg, broadcast_max_bytes=0,
+    )
+    got_cg = sorted(r.url_canon for r in out_cg.collect())
+    assert not any(isinstance(h, Broadcast) for h in res_cg)
+    assert got_bcast == got_cg == sorted(
+        f"http://fresh.example/s/{i}" for i in range(200)
+    )
+    for h in (*res_bcast, *res_cg):
+        h.unpersist()
+
+
 def test_bloom_update_preserves_untouched_shards(spark):
     b0 = bloom_update(_digests(spark, ["http://a.example/1"]), empty_bloom(spark))
     before = {r.shard: r.bits for r in b0.collect()}
