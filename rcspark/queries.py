@@ -581,6 +581,73 @@ def crawl_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A14 mandate: extraction rules as DATA (VERDICT r1 next-round #6) -----------
+# Two hosts serve DIFFERENT markup (h0: HTML-ish, h1: a pipe-delimited
+# format); a per-host rule table drives parse_page_with_rules, so both
+# extract identical structured results. The oracle states those expected
+# results — if the rule join or per-pattern dispatch broke, h1's pages
+# would parse empty under the default HTML regexes and the hash would
+# diverge. [U parsel, scrapy/linkextractors]
+
+@register(
+    "crawl_parse_rules",
+    oracle="""
+    SELECT doc_id,
+           'h' || (doc_id % 2) || '.example' AS host,
+           source AS caption,
+           'http://h' || (doc_id % 2) || '.example/img/' || doc_id || '.ppm' AS image_url,
+           CAST(2 AS BIGINT) AS n_links,
+           'http://h' || (doc_id % 2) || '.example/p/' || (doc_id * 7 % 1000) AS first_link
+    FROM documents
+    """,
+)
+def crawl_parse_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parse import parse_page_with_rules
+
+    docs = load(spark, sf_dir, "documents")
+    hostnum = (F.col("doc_id") % 2).cast("string")
+    host = F.concat(F.lit("h"), hostnum, F.lit(".example"))
+    base = F.concat(F.lit("http://h"), hostnum, F.lit(".example"))
+    img = F.concat(base, F.lit("/img/"), F.col("doc_id").cast("string"), F.lit(".ppm"))
+    l1 = F.concat(base, F.lit("/p/"), (F.col("doc_id") * 7 % 1000).cast("string"))
+    l2 = F.concat(base, F.lit("/p/"), (F.col("doc_id") * 13 % 1000).cast("string"))
+    html_body = F.concat(
+        F.lit("<title>"), F.col("source"), F.lit("</title>\n"),
+        F.lit('<img src="'), img, F.lit('">\n'),
+        F.lit('<a href="'), l1, F.lit('">l</a>\n'),
+        F.lit('<a href="'), l2, F.lit('">l</a>'),
+    )
+    pipe_body = F.concat(
+        F.lit("cap:"), F.col("source"),
+        F.lit("|img:"), img,
+        F.lit("|link:"), l1,
+        F.lit("|link:"), l2,
+    )
+    pages = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.encode(
+            F.when(F.col("doc_id") % 2 == 0, html_body).otherwise(pipe_body), "utf-8"
+        ).alias("body"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h1.example", r"link:([^|]*)", r"img:([^|]*)", r"cap:([^|]*)"),
+            # h0 carries no rule row on purpose: DEFAULT_RULES fallback path
+        ],
+        "host string, link_re string, image_re string, caption_re string",
+    )
+    parsed = parse_page_with_rules(pages, rules)
+    return parsed.select(
+        "doc_id",
+        "host",
+        F.col("p.caption").alias("caption"),
+        F.col("p.image_url").alias("image_url"),
+        F.size("p.links").cast("long").alias("n_links"),
+        F.element_at("p.links", 1).alias("first_link"),
+    )
+
+
 # -- A12: redirect-chain resolution (fixed-depth iterative join) -----------------
 # Orders whose key is divisible by 7 "redirect" to key//10; chains resolve
 # by up to 3 hops. The Spark side is the engine's iterative-join pattern;
