@@ -28,7 +28,7 @@ import uuid
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -191,6 +191,231 @@ def continuous_frontier_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+DISCOVERY_SCHEMA = (
+    "url string, parent_seq long, link_idx long, depth int, priority int, retry_count int"
+)
+
+
+def stream_crawl_loop(
+    spark: SparkSession,
+    web: DataFrame,
+    robots_pdf,
+    seeds_pdf,
+    allowed_hosts: list[str],
+    workdir: str,
+    max_rounds: int = 60,
+) -> dict[str, DataFrame]:
+    """CLOSED-LOOP continuous crawl (VERDICT r1 next-round #5): fetch/parse
+    discoveries feed BACK into the stream source instead of stopping at
+    ingest. [U scrapy/core/engine.py — the continuous engine loop]
+
+    Topology per round:
+
+      in_dir (discovery files) ──readStream──▶ canonicalize → offsite/depth
+        → state-store dedup on (digest, retry_count)   [URL-seen across the
+          WHOLE run; retries bypass via their bumped retry_count]
+        → stateful politeness slots (per-host GroupState clock)
+        → exactly-once parquet sink (sched_dir, checkpointed)
+      then the BATCH half (same operators the BSP engine runs): robots gate
+      → sim-fetch join vs `web` → classify → parse → NEW discovery file
+      into in_dir (links at depth+1, redirect targets, retries) — which the
+      NEXT availableNow drain ingests. The loop ends when a drain schedules
+      nothing new.
+
+    Because URL-seen membership is closure-determined (a URL is seen iff
+    reachable from the seeds through fetched pages within the depth limit —
+    scheduling ORDER only permutes discovery), the final seen set and the
+    (url, result, retry_count) fetch-attempt multiset must EQUAL the BSP
+    wave engine's on the same fixture; tests/test_streaming.py pins that.
+    State (seen digests, slot clocks, processed files) lives in the
+    checkpoint, so a killed loop resumes exactly like the BSP manifest.
+
+    Returns {"scheduled": ..., "fetch_log": ...} batch DataFrames.
+    """
+    from . import constants as C
+    from .fetch import classify_outcome, simulate_fetch
+    from .parse import parse_page
+    from .robots import apply_robots_gate, robots_table
+    from .run import _with_canon_cols
+
+    in_dir = os.path.join(workdir, "in")
+    sched_dir = os.path.join(workdir, "scheduled")
+    ckpt = os.path.join(workdir, "ckpt")
+    log_dir = os.path.join(workdir, "fetch_log")
+    os.makedirs(in_dir, exist_ok=True)
+
+    robots = robots_table(spark, robots_pdf).persist()
+
+    def emit_discovery_file(df: DataFrame, rnd: int) -> None:
+        """Land one round's discoveries as a single flat file in in_dir
+        (the FileStreamSource monitors flat files, not subdirectories)."""
+        import glob
+        import shutil
+
+        staging = os.path.join(workdir, f"_staging_{rnd:06d}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"round_{rnd:06d}.parquet"))
+        shutil.rmtree(staging)
+
+    # seeds as discovery file 0 (first occurrence wins, like the BSP bootstrap)
+    seeds = seeds_pdf.reset_index(drop=True)
+    seeds_rows = pd.DataFrame(
+        {
+            "url": seeds["url"],
+            "parent_seq": -1,
+            "link_idx": seeds.index.astype("int64"),
+            "depth": 0,
+            "priority": seeds["priority"] if "priority" in seeds else 0,
+            "retry_count": 0,
+        }
+    )
+    emit_discovery_file(spark.createDataFrame(seeds_rows, DISCOVERY_SCHEMA), 0)
+
+    def drain() -> None:
+        src = spark.readStream.schema(DISCOVERY_SCHEMA).parquet(in_dir)
+        canon = (
+            _with_canon_cols(src.withColumnRenamed("url", "raw"))
+            .filter(F.col("host").isin(allowed_hosts))       # A8 offsite
+            .filter(F.col("depth") <= C.DEPTH_LIMIT)         # A9 depth
+        )
+        deduped = canon.dropDuplicates(["digest", "retry_count"])
+        slotted = deduped.select(
+            "host",
+            (
+                F.col("parent_seq") * (1 << 20)
+                + F.col("link_idx") * 4
+                + F.col("retry_count")
+            ).alias("event_id"),
+            F.lit(500).cast("long").alias("delay_ms"),
+            "url_canon", "digest", "path",
+            "depth", "priority", "retry_count", "parent_seq", "link_idx",
+        )
+        q = (
+            politeness_slots(slotted)
+            .writeStream.format("parquet")
+            .option("path", sched_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_or_empty(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    for rnd in range(1, max_rounds + 1):
+        drain()
+        sched = read_or_empty(sched_dir)
+        if sched is None:
+            break
+        done = read_or_empty(log_dir)
+        todo = sched
+        if done is not None:
+            todo = sched.join(
+                done.select("digest", "retry_count").distinct(),
+                ["digest", "retry_count"],
+                "left_anti",
+            )
+        # localCheckpoint SEVERS todo's lineage from the log_dir scan:
+        # appending this round's rows to log_dir below triggers Spark's
+        # recacheByPath, which would otherwise recompute the cached
+        # anti-join against the now-appended log and evaluate todo (and
+        # everything downstream) as empty mid-round
+        todo = todo.localCheckpoint()
+        if todo.count() == 0:
+            break
+
+        gated = apply_robots_gate(todo, robots)
+        denied = gated.filter(~F.col("robots_allowed"))
+        allowed = gated.filter(F.col("robots_allowed"))
+        outcome = classify_outcome(simulate_fetch(allowed, web)).persist()
+
+        log = outcome.select(
+            "url_canon", "digest", "host", F.col("status").cast("int"),
+            "result", "priority", "depth", "retry_count",
+        ).unionByName(
+            denied.select(
+                "url_canon", "digest", "host",
+                F.lit(None).cast("int").alias("status"),
+                F.lit(C.ST_ROBOTS_DENIED).alias("result"),
+                "priority", "depth", "retry_count",
+            )
+        )
+        log.write.mode("append").parquet(log_dir)
+
+        # discoveries: outcome already carries body/redirect_to from the
+        # fetch join. Parent numbering is a deterministic per-round order
+        # key for the first-parent rule (test-scale global window; at
+        # production scale this is schedule.assign_global_seq's
+        # range-partitioned zipWithIndex over the same key).
+        w_parent = Window.orderBy("host", "event_id")
+        parents = (
+            outcome.filter(F.col("result").isin("fetched", "redirect"))
+            .withColumn("pseq", F.row_number().over(w_parent))
+            .persist()
+        )
+        parsed = (
+            parents.filter(F.col("result") == "fetched")
+            .select("pseq", "depth", parse_page(F.col("body")).alias("p"))
+        )
+        link_disc = parsed.select(
+            F.col("pseq").alias("parent_seq"),
+            F.posexplode("p.links").alias("link_idx", "url"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(0).alias("priority"),
+            F.lit(0).alias("retry_count"),
+        ).select("url", "parent_seq", "link_idx", "depth", "priority", "retry_count")
+        redir_disc = parents.filter(F.col("result") == "redirect").select(
+            F.col("redirect_to").alias("url"),
+            F.col("pseq").alias("parent_seq"),
+            F.lit(-1).cast("long").alias("link_idx"),
+            "depth", "priority", "retry_count",
+        )
+        retries = outcome.filter(F.col("result") == "retry").select(
+            F.col("url_canon").alias("url"),
+            F.lit(-2).cast("long").alias("parent_seq"),
+            F.lit(-1).cast("long").alias("link_idx"),
+            "depth",
+            (F.col("priority") + C.RETRY_PRIORITY_ADJUST).alias("priority"),
+            (F.col("retry_count") + 1).alias("retry_count"),
+        )
+        disc = link_disc.unionByName(redir_disc).unionByName(retries)
+        # first-parent pre-dedup per file: the stream's dropDuplicates keeps
+        # whatever arrives first, so fix the winner deterministically here
+        w_first = Window.partitionBy(canon_col(F.col("url"))).orderBy(
+            "parent_seq", "link_idx"
+        )
+        disc = (
+            disc.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        n_disc = disc.persist().count()
+        if os.environ.get("RCSPARK_LOOP_DEBUG"):
+            print(
+                f"[loop] rnd={rnd} todo={todo.count()} outcome={outcome.count()} "
+                f"parents={parents.count()} links={link_disc.count()} "
+                f"redir={redir_disc.count()} retries={retries.count()} disc={n_disc}"
+            )
+        if n_disc > 0:
+            emit_discovery_file(disc, rnd)
+        for df in (outcome, parents, disc):
+            df.unpersist()
+        if n_disc == 0:
+            break
+
+    robots.unpersist()
+    return {
+        "scheduled": spark.read.parquet(sched_dir),
+        "fetch_log": spark.read.parquet(log_dir),
+    }
 
 
 def stateful_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,53 @@ def test_slots_correct_when_host_spans_arrow_chunks(spark, tmp_path):
         assert rows[eid] == (eid, (eid - 1) * 500), (eid, rows[eid])
 
 
+def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path):
+    """CLOSED-LOOP streaming crawl vs the BSP wave engine on the same
+    fixture web (VERDICT r1 next-round #5): fetch/parse discoveries feed
+    back into the stream source; final URL-seen SET and the
+    (url, result, retry_count) fetch-attempt multiset must be EQUAL —
+    membership is closure-determined, scheduling order only permutes
+    discovery. Seed 19 exercises every outcome class (fetched, retry,
+    redirect, failed, robots_denied)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rcspark.fixtures import make_fixture
+    from rcspark.run import CrawlEngine
+    from rcspark.streaming import stream_crawl_loop
+
+    fx = make_fixture(n_hosts=5, urls_per_host=25, seed=19)
+    web = spark.createDataFrame(fx.web).persist()
+    web.count()
+    eng = CrawlEngine(
+        spark, str(tmp_path / "bsp"), web, spark.createDataFrame(fx.corpus),
+        fx.robots, fx.seeds, fx.allowed_hosts,
+    )
+    eng.run()
+    bsp_seen = {r.url_canon for r in eng.seen_table().collect()}
+    bsp_log = sorted(
+        (r.url_canon, r.result, r.retry_count) for r in eng.fetch_log().collect()
+    )
+
+    out = stream_crawl_loop(
+        spark, web, fx.robots, fx.seeds, fx.allowed_hosts, str(tmp_path / "loop")
+    )
+    st_seen = {
+        r.url_canon
+        for r in out["scheduled"].filter(F.col("retry_count") == 0).collect()
+    }
+    st_log = sorted(
+        (r.url_canon, r.result, r.retry_count) for r in out["fetch_log"].collect()
+    )
+    web.unpersist()
+    assert st_seen == bsp_seen
+    assert st_log == bsp_log
+    assert {r[1] for r in bsp_log} == {
+        "fetched", "retry", "redirect", "failed", "robots_denied"
+    }
+
+
 def test_continuous_frontier_pipeline_resume_and_dedup(spark, tmp_path):
     """Two invocations of the continuous pipeline over a growing input dir:
     the second run must (a) skip files already processed (checkpoint),
