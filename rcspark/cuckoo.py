@@ -72,14 +72,53 @@ def _alt_bucket(i: np.ndarray, fp: np.ndarray, nbuckets: int) -> np.ndarray:
 
 def _insert_batch(table: np.ndarray, digests: np.ndarray, rng_seed: int) -> int:
     """Insert digests into table (NBUCKETS, SLOTS) in place; returns count
-    inserted. Duplicates insert additional copies (idempotent probes)."""
+    inserted. Duplicates insert additional copies (idempotent probes).
+
+    The common no-collision path is fully vectorized (ADVICE r1): one pass
+    bulk-scatters fingerprints into their first-choice buckets' empty
+    slots (rank-within-bucket ≤ free-slots), a second pass does the same
+    into alt buckets for the leftovers; only the residue — items whose
+    both buckets filled up — walks the inherently sequential kick loop.
+    At sane load (<95%) the residue is a tiny fraction of the batch.
+    """
     nb = table.shape[0]
     fp = _fingerprints(digests)
     i1 = _bucket1(digests, nb)
-    rng = np.random.default_rng(rng_seed)  # deterministic kick choice
-    n = 0
-    for f, b in zip(fp, i1):
-        f = np.uint16(f)
+    n = len(fp)
+    if n == 0:
+        return 0
+
+    remaining = np.arange(n)
+    cur_bucket = i1.copy()
+    for _pass in range(2):  # pass 0: first-choice buckets; pass 1: alt buckets
+        if len(remaining) == 0:
+            break
+        order = np.argsort(cur_bucket[remaining], kind="stable")
+        idx_s = remaining[order]
+        b_s = cur_bucket[idx_s]
+        f_s = fp[idx_s]
+        uniq, start = np.unique(b_s, return_index=True)
+        counts = np.diff(np.append(start, len(b_s)))
+        rank = np.arange(len(b_s)) - np.repeat(start, counts)
+        free = (table[uniq] == 0).sum(axis=1)
+        fits = rank < np.repeat(free, counts)
+        if fits.any():
+            rows = b_s[fits]
+            # empty slot columns first (stable argsort of occupied-flags);
+            # emptiness read BEFORE this pass's writes, ranks are disjoint
+            # per bucket, so no two writes target the same cell
+            slot_order = np.argsort(table[rows] != 0, axis=1, kind="stable")
+            slots = slot_order[np.arange(len(rows)), rank[fits]]
+            table[rows, slots] = f_s[fits]
+        left = idx_s[~fits]
+        cur_bucket[left] = _alt_bucket(cur_bucket[left], fp[left], nb)
+        remaining = left
+
+    # residue: sequential cuckoo kicking (deterministic rng)
+    rng = np.random.default_rng(rng_seed)
+    for idx in remaining:
+        f = np.uint16(fp[idx])
+        b = i1[idx]
         placed = False
         for b_try in (b, _alt_bucket(np.array([b]), np.array([f]), nb)[0]):
             empty = np.nonzero(table[b_try] == 0)[0]
@@ -102,7 +141,6 @@ def _insert_batch(table: np.ndarray, digests: np.ndarray, rng_seed: int) -> int:
                 raise RuntimeError(
                     "cuckoo shard full — size NBUCKETS for <=95% load"
                 )
-        n += 1
     return n
 
 
@@ -210,10 +248,13 @@ def cuckoo_delete(del_digests: DataFrame, cuckoo: DataFrame) -> DataFrame:
     )
 
 
-def cuckoo_probe_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
+def cuckoo_probe_broadcast(
+    candidates: DataFrame, cuckoo: DataFrame, resources_out: list | None = None
+) -> DataFrame:
     """candidates(digest, ...) → + maybe_seen via broadcast shard tables and
     a scalar Arrow UDF (only the digest column crosses to Python — same
-    rationale as dedup.bloom_probe_broadcast)."""
+    rationale as dedup.bloom_probe_broadcast). The Broadcast handle lands
+    in `resources_out` for post-action cleanup."""
     from pyspark.sql.functions import pandas_udf
 
     spark = candidates.sparkSession
@@ -221,6 +262,8 @@ def cuckoo_probe_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFram
         r["shard"]: (bytes(r["table"]), int(r["nbuckets"])) for r in cuckoo.collect()
     }
     bc = spark.sparkContext.broadcast(shards)
+    if resources_out is not None:
+        resources_out.append(bc)
 
     @pandas_udf("boolean")
     def probe(digest: pd.Series) -> pd.Series:
@@ -243,15 +286,22 @@ def cuckoo_probe_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFram
 
 
 def filter_unseen_cuckoo(
-    candidates: DataFrame, cuckoo: DataFrame, seen: DataFrame
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    seen: DataFrame,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Drop-in alternative to dedup.filter_unseen backed by the cuckoo
-    sketch: probe pre-filter + exact anti-join backstop."""
+    sketch: probe pre-filter + exact anti-join backstop. Persisted frame
+    and Broadcast handle land in `persisted_out` (both expose unpersist())
+    so long driver sessions can release them after the wave's actions."""
     from pyspark.storagelevel import StorageLevel
 
-    probed = cuckoo_probe_broadcast(candidates, cuckoo).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    probed = cuckoo_probe_broadcast(
+        candidates, cuckoo, resources_out=persisted_out
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     survived = maybe.join(

@@ -106,15 +106,21 @@ def minhash_rows(
 
 
 def lsh_candidate_pairs(
-    band_rows: DataFrame, min_bands: int = 2, max_bucket: int = 1000
+    band_rows: DataFrame,
+    min_bands: int = 2,
+    max_bucket: int = 1000,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_bands): pairs sharing ≥ min_bands MinHash bands.
 
     Self-join within (band_id, band_hash) buckets; doc_a < doc_b kills the
     mirror duplicates. `max_bucket` is the skew guard: a degenerate bucket
     (e.g. the empty-document shingle) would otherwise emit O(b²) pairs.
+    The persisted band-rows handle lands in `persisted_out` when given.
     """
     band_rows = band_rows.persist()  # read 4× below (sizes + both join sides)
+    if persisted_out is not None:
+        persisted_out.append(band_rows)
     sizes = band_rows.groupBy("band_id", "band_hash").agg(F.count("*").alias("_b"))
     bounded = band_rows.join(
         sizes.filter(F.col("_b") <= max_bucket), ["band_id", "band_hash"]
@@ -146,6 +152,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = SHINGLE_K,
     max_df: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, inter, size_a, size_b, jaccard) — exact set Jaccard
     over distinct k-shingles.
@@ -170,6 +177,8 @@ def jaccard_pairs(
         dfc = rows.groupBy("shingle").agg(F.count("*").alias("_df"))
         rows = rows.join(dfc.filter(F.col("_df") <= max_df), "shingle").drop("_df")
     rows = rows.persist()  # sizes + both intersection sides below
+    if persisted_out is not None:
+        persisted_out.append(rows)
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = rows.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = rows.select(F.col("doc_id").alias("doc_b"), "shingle")

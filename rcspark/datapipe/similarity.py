@@ -208,6 +208,7 @@ def neardup_pairs_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_bands, cos_sim): embedding near-dup candidate pairs
     via BANDED hyperplane LSH, exact-cosine verified.
@@ -236,6 +237,8 @@ def neardup_pairs_banded(
     rows = src.select(
         "vec_id", F.posexplode(F.array(*bucket_cols)).alias("band_id", "bucket")
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(rows)
     sizes = rows.groupBy("band_id", "bucket").agg(F.count("*").alias("_b"))
     bounded = rows.join(
         sizes.filter(F.col("_b") <= max_bucket), ["band_id", "bucket"]

@@ -44,6 +44,10 @@ def main() -> int:
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
+            # release per-query persists (lsh/jaccard/neardup/bloom paths
+            # persist fan-out points); 50 queries in one JVM otherwise
+            # accumulate cached partitions (ADVICE r1)
+            spark.catalog.clearCache()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")
