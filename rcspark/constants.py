@@ -40,15 +40,25 @@ BLOOM_BROADCAST_MAX_BYTES = 512 << 20
 
 # --------------------------------------------------------------------------
 # Politeness / scheduling (SURVEY.md A5, A6)
-# One wave quantizes WAVE_SECONDS of crawl time. A host with effective
-# delay d may fetch budget(d) = min(PER_HOST_CAP, floor(WAVE_SECONDS/d))
-# URLs per wave, the j-th at simulated time (j-1)*d. RANDOMIZE_DOWNLOAD_DELAY
-# is OFF (north rule demands reproducible order).
+# One wave quantizes WAVE_SECONDS of crawl time. Scrapy's per-domain Slot
+# models BOTH a delay and CONCURRENT_REQUESTS_PER_DOMAIN
+# [U scrapy/core/downloader]; the quantization covering both regimes:
+#   tick(h), group(h) = (delay_ms, 1)                     if delay(h) > 0
+#                       (REQUEST_SERVICE_MS,              if delay(h) == 0
+#                        CONCURRENT_PER_DOMAIN)             (burst mode)
+#   fetch_ms(j) = ((j-1) // group) * tick        (j-th pop of host h)
+#   budget(h)   = min(PER_HOST_CAP, group * max(1, floor(WAVE_MS / tick)))
+# With delay > 0 Scrapy issues one request per delay tick regardless of
+# concurrency, so group=1 reproduces the round-1 model exactly; delay == 0
+# engages concurrent bursts. RANDOMIZE_DOWNLOAD_DELAY is OFF (north rule
+# demands reproducible order).
 # --------------------------------------------------------------------------
 WAVE_SECONDS = 30.0
 DOWNLOAD_DELAY = 0.5       # engine-wide floor on per-host delay
 PER_HOST_CAP = 64          # ~CONCURRENT_REQUESTS_PER_DOMAIN * wave depth
 HOST_SALTS = 8             # salt fan-out for skewed hosts (north rule A+B)
+CONCURRENT_PER_DOMAIN = 8  # Scrapy CONCURRENT_REQUESTS_PER_DOMAIN default
+REQUEST_SERVICE_MS = 100   # nominal service time pacing delay-0 bursts
 
 # --------------------------------------------------------------------------
 # Frontier policy (SURVEY.md A9, A11, A12)

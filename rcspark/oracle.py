@@ -23,9 +23,9 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
+from . import constants as C
 from .constants import (
     DEPTH_LIMIT,
-    DOWNLOAD_DELAY,
     PER_HOST_CAP,
     REDIRECT_STATUSES,
     RETRY_PRIORITY_ADJUST,
@@ -53,17 +53,28 @@ class Entry:
         self.sort_key = (-self.priority, self.discovered_wave, self.url_canon)
 
 
-def host_delay_ms(crawl_delay: float | None) -> int:
-    """Effective per-host delay in integer ms (shared clock, §5.3)."""
+def host_slot(crawl_delay: float | None) -> tuple[int, int]:
+    """(tick_ms, group): the per-host Slot quantization (constants.py).
+    delay>0 → one request per delay tick; delay==0 → bursts of
+    CONCURRENT_PER_DOMAIN per REQUEST_SERVICE_MS tick. C.DOWNLOAD_DELAY is
+    read at call time so tests can exercise the burst regime by
+    monkeypatching the shared constant (same as schedule.with_budget)."""
     cd = 0.0 if crawl_delay is None else float(crawl_delay)
-    return int(round(max(cd, DOWNLOAD_DELAY) * 1000))
+    d_ms = int(round(max(cd, C.DOWNLOAD_DELAY) * 1000))
+    if d_ms > 0:
+        return d_ms, 1
+    return C.REQUEST_SERVICE_MS, C.CONCURRENT_PER_DOMAIN
+
+
+def host_delay_ms(crawl_delay: float | None) -> int:
+    """Effective per-host tick in integer ms (shared clock, §5.3)."""
+    return host_slot(crawl_delay)[0]
 
 
 def host_budget(crawl_delay: float | None) -> int:
-    """URLs a host may fetch per wave: min(cap, floor(wave_ms / delay_ms))."""
-    return min(
-        PER_HOST_CAP, max(1, int(WAVE_SECONDS * 1000 // host_delay_ms(crawl_delay)))
-    )
+    """URLs a host may fetch per wave: min(cap, group·floor(wave_ms/tick))."""
+    tick, group = host_slot(crawl_delay)
+    return min(PER_HOST_CAP, group * max(1, int(WAVE_SECONDS * 1000 // tick)))
 
 
 def _host_path(canon: str) -> tuple[str, str]:
@@ -102,9 +113,6 @@ def run_oracle(fixture, max_waves: int = 1_000_000) -> OracleResult:
     def _cd(host: str) -> float | None:
         cd = robots[host].crawl_delay if host in robots else None
         return None if cd is None or pd.isna(cd) else float(cd)
-
-    def delay_ms(host: str) -> int:
-        return host_delay_ms(_cd(host))
 
     def budget(host: str) -> int:
         return host_budget(_cd(host))
@@ -147,9 +155,9 @@ def run_oracle(fixture, max_waves: int = 1_000_000) -> OracleResult:
         for host, entries in by_host.items():
             entries.sort()
             b = budget(host)
-            d = delay_ms(host)
+            tick, group = host_slot(_cd(host))
             for j, e in enumerate(entries[:b], start=1):
-                heapq.heappush(heap, ((j - 1) * d, host, j, e))
+                heapq.heappush(heap, (((j - 1) // group) * tick, host, j, e))
             leftover.extend(entries[b:])
 
         next_pending: list[Entry] = leftover

@@ -456,7 +456,7 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crawl_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduled = _schedule(spark, sf_dir)
     return assign_global_seq(
-        scheduled, [F.col("fetch_ms"), F.col("host")], seq_offset=0
+        scheduled, [F.col("fetch_ms"), F.col("host"), F.col("j")], seq_offset=0
     ).select("url_canon", "fetch_ms", "seq")
 
 

