@@ -103,7 +103,9 @@ def crawl_wave_pipeline(spark, sf_dir):
         F.col("robots_allowed")
     )
     scheduled, _ = rank_within_budget(with_budget(gated))
-    return assign_global_seq(scheduled, [F.col("fetch_ms"), F.col("host")], 0)
+    return assign_global_seq(
+        scheduled, [F.col("fetch_ms"), F.col("host"), F.col("j")], 0
+    )
 
 
 BENCH_QUERIES = [
@@ -114,6 +116,8 @@ BENCH_QUERIES = [
     "crawl_robots_parse_gate",
     "crawl_schedule",
     "crawl_global_order",
+    "crawl_http_cache",
+    "crawl_parse_rules",
     "skew_salted_agg",
     "join_star_region",
     "agg_pricing_summary",
@@ -121,11 +125,15 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_minhash",
     "doc_lsh_pairs",
+    "doc_jaccard_pairs",
     "doc_simhash",
+    "doc_langid_trigram",
     "doc_curation_pipeline",
     "emb_cosine_topk",
     "emb_ann_lsh",
     "emb_ann_ivf",
+    "emb_ann_ivf_trained",
+    "emb_neardup_pairs",
     "img_features",
     "stream_stateful_schedule",
 ]

@@ -86,11 +86,10 @@ def sql_count_in(toks_expr: str, words: tuple[str, ...]) -> str:
 
 # -- language ID: profile scores + deterministic argmax ------------------------
 
-def lang_guess(toks: Column) -> Column:
-    """argmax over LANG_PROFILES scores; ties go to the alphabetically
-    first language (the CASE chain below and its SQL twin share that
-    precedence by construction)."""
-    scores = {lang: count_in(toks, ws) for lang, ws in sorted(LANG_PROFILES.items())}
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """argmax over per-language score columns; ties go to the
+    alphabetically first language (the CASE chain and its SQL twin share
+    that precedence by construction)."""
     langs = list(scores)
     expr = None
     for i, lang in enumerate(langs):
@@ -108,10 +107,7 @@ def lang_guess(toks: Column) -> Column:
     return expr
 
 
-def sql_lang_guess(toks_expr: str) -> str:
-    scores = {
-        lang: sql_count_in(toks_expr, ws) for lang, ws in sorted(LANG_PROFILES.items())
-    }
+def _sql_argmax_lang(scores: dict[str, str]) -> str:
     langs = list(scores)
     parts = ["CASE"]
     for i, lang in enumerate(langs[:-1]):
@@ -121,6 +117,185 @@ def sql_lang_guess(toks_expr: str) -> str:
         parts.append(f"WHEN {conds} THEN '{lang}'")
     parts.append(f"ELSE '{langs[-1]}' END")
     return " ".join(parts)
+
+
+def lang_guess(toks: Column) -> Column:
+    """Stopword-profile language ID (the fast whole-word heuristic)."""
+    return _argmax_lang(
+        {lang: count_in(toks, ws) for lang, ws in sorted(LANG_PROFILES.items())}
+    )
+
+
+def sql_lang_guess(toks_expr: str) -> str:
+    return _sql_argmax_lang(
+        {lang: sql_count_in(toks_expr, ws) for lang, ws in sorted(LANG_PROFILES.items())}
+    )
+
+
+# -- language ID, trigram-profile tier (the CLD-style upgrade) -----------------
+# Character-trigram scoring: the document's padded-lowercase trigrams are
+# scored against per-language trigram weight tables (here derived
+# deterministically from LANG_PROFILES' vocabulary; a production deployment
+# swaps in corpus-trained tables — the scoring machinery is identical).
+# Everything stays in codegen: trigram explode is a substring transform,
+# weights embed as a map literal, the score is one left-to-right fold.
+
+def char_trigrams(text: Column) -> Column:
+    """Padded character trigrams of the normalized text ('' → [])."""
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), F.lit("[^a-z0-9]+"), F.lit(" ")),
+        F.lit(" "),
+    )
+    n = F.length(s)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: s.substr(i, F.lit(3)))
+    )
+
+
+def sql_char_trigrams(expr: str) -> str:
+    s = f"(' ' || regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g') || ' ')"
+    return (
+        f"CASE WHEN len({s}) < 3 THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len({s}) - 1), i -> substring({s}, i, 3)) END"
+    )
+
+
+def trigram_weights() -> dict[str, dict[str, int]]:
+    """Per-language trigram weight tables from the profile vocabulary."""
+    out: dict[str, dict[str, int]] = {}
+    for lang, words in sorted(LANG_PROFILES.items()):
+        w: dict[str, int] = {}
+        for word in words:
+            padded = f" {word} "
+            for i in range(len(padded) - 2):
+                tri = padded[i : i + 3]
+                w[tri] = w.get(tri, 0) + 1
+        out[lang] = dict(sorted(w.items()))
+    return out
+
+
+def trigram_score(tris: Column, weights: dict[str, int]) -> Column:
+    """Σ weight(tri) over the document's trigrams (map-literal lookup)."""
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in weights]),
+        F.array(*[F.lit(v) for v in weights.values()]),
+    )
+    return F.aggregate(
+        tris,
+        F.lit(0),
+        lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(0)),
+    )
+
+
+def sql_trigram_score(tris_expr: str, weights: dict[str, int]) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in weights.items())
+    return (
+        f"coalesce(list_sum(list_transform({tris_expr}, "
+        f"t -> CASE t {cases} ELSE 0 END)), 0)"
+    )
+
+
+def lang_guess_trigram(text: Column) -> Column:
+    tris = char_trigrams(text)
+    return _argmax_lang(
+        {lang: trigram_score(tris, w) for lang, w in trigram_weights().items()}
+    )
+
+
+def sql_lang_guess_trigram(expr: str) -> str:
+    tris = sql_char_trigrams(expr)
+    return _sql_argmax_lang(
+        {lang: sql_trigram_score(tris, w) for lang, w in trigram_weights().items()}
+    )
+
+
+# -- corpus-TRAINED trigram tables (the production training procedure) ---------
+# The testdata `documents.lang` column is a pure label (no language-salted
+# vocabulary exists in the text — measured: de/es/fr/zh profile words never
+# occur), so accuracy there is meaningless for ANY model; the trainer is
+# pinned on planted language-salted corpora instead (tests/test_datapipe).
+# All arithmetic is exact-integer (rate comparisons via cross-
+# multiplication), so the procedure is deterministic and oracle-expressible.
+
+def trigram_lang_weights(
+    docs,
+    langs: list[str],
+    text_col: str = "text",
+    label_col: str = "lang",
+    min_count: int = 3,
+    rate_num: int = 3,
+    rate_den: int = 2,
+):
+    """Train a (tri, wlang) weight table from a labeled corpus: trigram t
+    belongs to language l iff its occurrence RATE in l is ≥
+    rate_num/rate_den times EVERY other language's rate (integers:
+    rate_den·c_l·T_m ≥ rate_num·c_m·T_l) and c_l ≥ min_count.
+
+    Scale shape: trigram counts are one map-side-combinable groupBy; the
+    pairwise rate test is a self-join on trigram whose per-key fan-out is
+    ≤ |langs|² — bounded by construction, never by corpus size."""
+    from pyspark.sql import functions as F
+
+    rows = docs.select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    cnt = rows.groupBy("tri", "lang").agg(F.count("*").alias("c"))
+    totals = rows.groupBy("lang").agg(F.count("*").alias("t"))
+    j = cnt.join(F.broadcast(totals), "lang")
+    a = j.select(
+        "tri", F.col("lang").alias("wlang"), F.col("c"), F.col("t").alias("tl")
+    )
+    b = j.select(
+        "tri", F.col("lang").alias("olang"), F.col("c").alias("oc"),
+        F.col("t").alias("ot"),
+    )
+    viol = (
+        a.join(b, "tri")
+        .filter(F.col("wlang") != F.col("olang"))
+        .filter(
+            F.lit(rate_den) * F.col("c") * F.col("ot")
+            < F.lit(rate_num) * F.col("oc") * F.col("tl")
+        )
+        .select("tri", "wlang")
+        .distinct()
+    )
+    return (
+        a.filter(F.col("c") >= min_count)
+        .filter(F.col("wlang").isin(langs))
+        .select("tri", "wlang")
+        .join(viol, ["tri", "wlang"], "left_anti")
+    )
+
+
+def langid_trigram_trained(
+    docs,
+    weights,
+    langs: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Score docs against a trained (tri, wlang) table → (id, lang_guess).
+    The weight table is broadcast (vocabulary-scale); scoring is one
+    explode + one map-side-combinable groupBy."""
+    from pyspark.sql import functions as F
+
+    rows = docs.select(
+        F.col(id_col), F.explode(char_trigrams(F.col(text_col))).alias("tri")
+    )
+    joined = rows.join(F.broadcast(weights), "tri")
+    scores = joined.groupBy(id_col).agg(
+        *[
+            F.sum((F.col("wlang") == l).cast("int")).alias(f"_s_{l}")
+            for l in sorted(langs)
+        ]
+    )
+    out = docs.select(id_col).join(scores, id_col, "left").fillna(0)
+    return out.select(
+        id_col,
+        _argmax_lang({l: F.col(f"_s_{l}") for l in sorted(langs)}).alias("lang_guess"),
+    )
 
 
 # -- fingerprint ---------------------------------------------------------------

@@ -1313,6 +1313,31 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("doc_id", "lang", tx.lang_guess(F.col("toks")).alias("lang_guess"))
 
 
+# Trigram-profile tier of language ID (TODO.md upgrade): character-trigram
+# weight tables (derived deterministically from the profile vocabulary;
+# production swaps in corpus-trained tables) scored via a map-literal fold —
+# all codegen, no Python, oracle re-derives the same tables.
+
+@register(
+    "doc_langid_trigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {tx.sql_char_trigrams('text')} AS tris FROM documents)
+    SELECT doc_id, lang,
+           {tx._sql_argmax_lang({lang: tx.sql_trigram_score('tris', w) for lang, w in tx.trigram_weights().items()})} AS lang_guess
+    FROM t
+    """,
+)
+def doc_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tx.char_trigrams(F.col("text")).alias("tris"))
+    scores = {
+        lang: tx.trigram_score(F.col("tris"), w)
+        for lang, w in tx.trigram_weights().items()
+    }
+    return t.select("doc_id", "lang", tx._argmax_lang(scores).alias("lang_guess"))
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""

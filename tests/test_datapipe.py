@@ -222,6 +222,41 @@ def test_ann_recall_floors(spark):
     assert len(ivf & brute) / len(brute) >= 0.3
 
 
+def test_trigram_langid_trained_on_planted_corpus(spark):
+    """Corpus-trained trigram language ID on PLANTED language-salted docs
+    (the testdata documents.lang column is a pure label — de/es/fr/zh
+    profile words never occur in the text, so accuracy there is
+    meaningless for any model). Train on the doc_id%5==0 split, score
+    everything: salted trigrams are rate-distinctive, so accuracy must be
+    near-perfect; the whole procedure is exact-integer deterministic."""
+    import numpy as np
+
+    from rcspark.datapipe import text as tx
+
+    langs = sorted(tx.LANG_PROFILES)
+    filler = ["data", "query", "table", "row", "scan", "batch", "join", "value"]
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(250):
+        lang = langs[i % len(langs)]
+        words = [str(w) for w in rng.choice(filler, 30)] + [
+            str(w) for w in rng.choice(list(tx.LANG_PROFILES[lang]), 10)
+        ]
+        rng.shuffle(words)
+        rows.append((i, lang, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # train split stride 4 is coprime with the 5-language round-robin, so
+    # the split covers every class (stride 5 would train on one language)
+    weights = tx.trigram_lang_weights(docs.filter(F.col("doc_id") % 4 == 0), langs)
+    guessed = tx.langid_trigram_trained(docs, weights, langs)
+    out = docs.select("doc_id", "lang").join(guessed, "doc_id").collect()
+    acc = sum(1 for r in out if r["lang"] == r["lang_guess"]) / len(out)
+    assert acc >= 0.9, acc
+    # every language must actually be predicted (no majority-class collapse)
+    assert {r["lang_guess"] for r in out} == set(langs)
+
+
 def test_kmeans_ivf_balanced_and_recall(spark):
     """Trained IVF vs fixed md5 centroids (deterministic data+algo, so the
     measured numbers are exact). On sf0.001 the md5 codebook collapses to 6
