@@ -1511,6 +1511,95 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- dataset mixing: deterministic stratified sampling ---------------------------
+# Training-data pipelines rebalance sources/languages with per-stratum
+# quotas; the sample must be deterministic and reshard-proof, so selection
+# is a digest60 hash Bernoulli (doc in iff h(doc_id) mod 1000 < quota‰) —
+# no RNG state, identical on any cluster layout, and the oracle re-derives
+# the exact member set. `weight` carries 1/p for unbiased downstream stats.
+
+_SAMPLE_QUOTA_EN = 200   # permille: downsample the 43%-majority class
+_SAMPLE_QUOTA_OTHER = 600
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN {_SAMPLE_QUOTA_EN}
+                  ELSE {_SAMPLE_QUOTA_OTHER} END AS quota,
+             {sql_digest60("'sample:' || doc_id::VARCHAR")} % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket, round(1000.0 / quota, 6) AS weight
+    FROM q WHERE bucket < quota
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    quota = (
+        F.when(F.col("lang") == "en", F.lit(_SAMPLE_QUOTA_EN))
+        .otherwise(F.lit(_SAMPLE_QUOTA_OTHER))
+    )
+    bucket = F.pmod(
+        digest60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", bucket.alias("bucket"),
+            F.round(1000.0 / quota, 6).alias("weight"),
+        )
+        .filter(F.col("bucket") < quota)
+    )
+
+
+# -- sequence packing: documents → fixed-size training windows -------------------
+# The "pack documents into 4096-token context windows" prep op: per
+# language stream, docs pack greedily in doc_id order; a doc's bin is
+# floor(stream_offset / SEQ_LEN) where stream_offset is the exact running
+# token count before it. Deterministic (pure window cumsum). Scale note:
+# the per-stratum window is the same shape as assign_global_seq's
+# range-partitioned cumsum — at 100 TB the stratum is range-partitioned by
+# doc_id and offsets compose from per-partition subtotals, not one task.
+
+_PACK_SEQ_LEN = 4096
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS stream_offset
+      FROM t)
+    SELECT doc_id, lang, n_tokens, stream_offset,
+           CAST(floor(stream_offset / {_PACK_SEQ_LEN}) AS BIGINT) AS bin
+    FROM o
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn(
+        "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return o.select(
+        "doc_id", "lang", "n_tokens", "stream_offset",
+        F.floor(F.col("stream_offset") / _PACK_SEQ_LEN).cast("long").alias("bin"),
+    )
+
+
 # =============================================================================
 # Similarity search: embeddings
 # =============================================================================
