@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins; keys without one (img_* codec paths) get the driver's
-    weaker rows-only check."""
+    """DuckDB twins — every registered query has one (round 2): the media
+    codec paths compare against independent-twin expected-values parquet
+    (tests/data/media_expected, scripts/gen_media_expected.py)."""
     return dict(ORACLE)

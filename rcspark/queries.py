@@ -1330,7 +1330,11 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tx.char_trigrams(F.col("text")).alias("tris"))
+    # two-step: normalized string materialized as its own column so the
+    # trigram lambda doesn't re-run the regex per element (see trigram_norm)
+    t = docs.select(
+        "doc_id", "lang", tx.trigram_norm(F.col("text")).alias("_s")
+    ).select("doc_id", "lang", tx.char_trigrams(F.col("_s")).alias("tris"))
     scores = {
         lang: tx.trigram_score(F.col("tris"), w)
         for lang, w in tx.trigram_weights().items()

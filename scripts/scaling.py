@@ -303,9 +303,11 @@ hypervisor. A pure-numpy parallel burn measures the box's REAL capacity:
 | --- | --- | --- |
 {cap_rows}
 
-The machine saturates at ~{hw_speedup}x parallel speedup — i.e. ~4-5
-effective cores. **No job of any kind can exhibit 0.8 efficiency from 8 to
-32 threads on this box**; the honest N-vs-4N pair the hardware supports is
+The machine saturated at ~{hw_speedup}x parallel speedup during THIS run's
+probe — i.e. ~{hw_speedup:.0f}-{hw_speedup + 1:.0f} effective cores at that
+moment (the supply varies >5x between windows; see the attempts table).
+**No job of any kind can exhibit efficiency above (parallel supply)/(thread
+ratio) on this box**; the honest N-vs-4N pair the hardware supports is
 local[1] vs local[4], and local[8]/local[32] are reported for completeness.
 
 ## Measured (this engine, the wave pipeline)
