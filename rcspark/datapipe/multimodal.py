@@ -347,6 +347,60 @@ def audio_features(clips: DataFrame) -> DataFrame:
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+def phash_neardup_pairs(
+    items: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "item_id",
+    phash_col: str = "phash",
+    nbands: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate media pairs by perceptual-hash
+    Hamming distance, banded-LSH blocked (SURVEY A17 — the dupe-media
+    filter beyond exact URL/byte dedup).
+
+    The 64-bit phash splits into ``nbands`` byte bands; by pigeonhole, two
+    hashes within ``max_hamming < nbands`` bits MUST agree on at least one
+    band, so the band-equality self-join has exact recall for
+    max_hamming ≤ nbands-1 while scanning only per-bucket candidates.
+    ``max_bucket`` is the standard skew guard (a degenerate band value —
+    e.g. all-dark thumbnails hashing to 0x00 — is dropped before the
+    O(b²) pair blow-up). Exact verify = one codegen bit_count(xor).
+    """
+    src = items.select(F.col(id_col).alias("item_id"), F.col(phash_col).alias("ph"))
+    bands = src.select(
+        "item_id",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ph"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band", "byte"),
+    ).persist()
+    sizes = bands.groupBy("band", "byte").agg(F.count("*").alias("_b"))
+    bounded = bands.join(
+        sizes.filter(F.col("_b") <= max_bucket), ["band", "byte"]
+    ).drop("_b")
+    a = bounded.select(
+        "band", "byte", F.col("item_id").alias("id_a"), F.col("ph").alias("_pa")
+    )
+    c = bounded.select(
+        "band", "byte", F.col("item_id").alias("id_b"), F.col("ph").alias("_pb")
+    )
+    ham = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+    return (
+        a.join(c, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_pa", "_pb")
+        .distinct()
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
+
+
 def synthesize_images(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Deterministic corpus-shaped image table from an id column.
 

@@ -1848,6 +1848,49 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
 
 
+# A17 dupe-media filter beyond exact bytes: perceptual-hash near-dup pairs
+# over originals ∪ their lossy re-encodes (genuine planted near-dups:
+# quantization shifts the phash by 0-4 bits) — banded Hamming LSH with
+# exact bit_count verify; oracle re-derives both phash sets from the
+# independent-twin expected parquet.
+
+@register(
+    "img_phash_neardup",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0),
+    p AS (
+      SELECT 'o:' || e.image_id AS item_id, e.phash
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)
+      UNION ALL
+      SELECT 'q:' || e.image_id AS item_id, e.phash
+      FROM '{_MEDIA_EXPECTED}/img_reencode.parquet' e JOIN ids USING (image_id)),
+    bands AS (
+      SELECT item_id, phash, CAST(b AS INT) AS band,
+             (phash >> CAST(8 * b AS INT)) & 255 AS byte
+      FROM p, range(8) r(b)),
+    cand AS (
+      SELECT DISTINCT a.item_id AS id_a, c.item_id AS id_b,
+             a.phash AS pa, c.phash AS pb
+      FROM bands a JOIN bands c USING (band, byte)
+      WHERE a.item_id < c.item_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+    """,
+)
+def img_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import phash_neardup_pairs
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    orig = imgs.select(
+        F.concat(F.lit("o:"), F.col("image_id")).alias("item_id"), "phash"
+    )
+    reenc = image_features(
+        reencode_lossy(imgs).select("image_id", "bytes")
+    ).select(F.concat(F.lit("q:"), F.col("image_id")).alias("item_id"), "phash")
+    return phash_neardup_pairs(orig.unionByName(reenc), max_hamming=6)
+
+
 @register(
     "audio_feature_extract",
     oracle=f"""

@@ -113,11 +113,15 @@ def expected_img_reencode() -> pd.DataFrame:
         data, _, _, _, _ = make_image(iid)
         pix, _ = twin_decode_image(data)
         h, w, _ = pix.shape
-        p = twin_psnr(pix, twin_quantize(pix))
-        rows.append((iid, np.int32(w), np.int32(h), round(min(p, 99.0), 4)))
+        q = twin_quantize(pix)
+        p = twin_psnr(pix, q)
+        rows.append(
+            (iid, np.int32(w), np.int32(h), round(min(p, 99.0), 4),
+             np.int64(twin_phash(q)))
+        )
     return pd.DataFrame(
-        rows, columns=["image_id", "out_w", "out_h", "psnr_db"]
-    ).astype({"out_w": "int32", "out_h": "int32"})
+        rows, columns=["image_id", "out_w", "out_h", "psnr_db", "phash"]
+    ).astype({"out_w": "int32", "out_h": "int32", "phash": "int64"})
 
 
 def expected_video_frames(max_frames: int = 24, every_k: int = 4) -> pd.DataFrame:

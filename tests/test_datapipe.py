@@ -222,6 +222,34 @@ def test_ann_recall_floors(spark):
     assert len(ivf & brute) / len(brute) >= 0.3
 
 
+def test_phash_neardup_exact_recall_within_band_bound(spark):
+    """Banded Hamming LSH over phashes: for max_hamming ≤ nbands-1 the
+    band-equality blocking has EXACT recall (pigeonhole) — every planted
+    pair within the threshold must be found, none beyond it."""
+    from rcspark.datapipe.multimodal import phash_neardup_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [("a0", base)]
+    # flip k bits spread across DIFFERENT bands (worst case for blocking)
+    for k in (1, 3, 6, 7):
+        ph = base
+        for j in range(k):
+            ph ^= 1 << (j * 8 + 2)  # one flipped bit in band j
+        rows.append((f"a{k}", ph))
+    rows.append(("far", base ^ ((1 << 40) - 1)))  # hamming 40
+    items = spark.createDataFrame(rows, "item_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(items, max_hamming=6).collect()
+    }
+    assert got[("a0", "a1")] == 1
+    assert got[("a0", "a3")] == 3
+    assert got[("a0", "a6")] == 6
+    assert ("a0", "a7") not in got          # beyond threshold
+    assert not any("far" in p for p in got)
+    assert got[("a1", "a3")] == 2           # pairs among the variants too
+
+
 def test_trigram_langid_trained_on_planted_corpus(spark):
     """Corpus-trained trigram language ID on PLANTED language-salted docs
     (the testdata documents.lang column is a pure label — de/es/fr/zh
