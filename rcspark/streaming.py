@@ -248,31 +248,48 @@ def stream_crawl_loop(
 
     robots = robots_table(spark, robots_pdf).persist()
 
-    def emit_discovery_file(df: DataFrame, rnd: int) -> None:
+    # Discovery filenames must be unique ACROSS invocations: the
+    # FileStreamSource remembers processed files by path, so a resumed loop
+    # overwriting round_000001.parquet would silently lose its content.
+    # Continue numbering from the highest existing file.
+    import re
+
+    existing = [
+        int(m.group(1))
+        for f in os.listdir(in_dir)
+        if (m := re.match(r"round_(\d+)\.parquet$", f))
+    ]
+    file_seq = max(existing, default=-1) + 1
+
+    def emit_discovery_file(df: DataFrame) -> None:
         """Land one round's discoveries as a single flat file in in_dir
         (the FileStreamSource monitors flat files, not subdirectories)."""
         import glob
         import shutil
 
-        staging = os.path.join(workdir, f"_staging_{rnd:06d}")
+        nonlocal file_seq
+        staging = os.path.join(workdir, f"_staging_{file_seq:06d}")
         df.coalesce(1).write.mode("overwrite").parquet(staging)
         (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
-        shutil.move(part, os.path.join(in_dir, f"round_{rnd:06d}.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"round_{file_seq:06d}.parquet"))
         shutil.rmtree(staging)
+        file_seq += 1
 
-    # seeds as discovery file 0 (first occurrence wins, like the BSP bootstrap)
-    seeds = seeds_pdf.reset_index(drop=True)
-    seeds_rows = pd.DataFrame(
-        {
-            "url": seeds["url"],
-            "parent_seq": -1,
-            "link_idx": seeds.index.astype("int64"),
-            "depth": 0,
-            "priority": seeds["priority"] if "priority" in seeds else 0,
-            "retry_count": 0,
-        }
-    )
-    emit_discovery_file(spark.createDataFrame(seeds_rows, DISCOVERY_SCHEMA), 0)
+    if file_seq == 0:
+        # fresh workdir: seeds are discovery file 0 (first occurrence wins,
+        # like the BSP bootstrap); a resumed loop skips this
+        seeds = seeds_pdf.reset_index(drop=True)
+        seeds_rows = pd.DataFrame(
+            {
+                "url": seeds["url"],
+                "parent_seq": -1,
+                "link_idx": seeds.index.astype("int64"),
+                "depth": 0,
+                "priority": seeds["priority"] if "priority" in seeds else 0,
+                "retry_count": 0,
+            }
+        )
+        emit_discovery_file(spark.createDataFrame(seeds_rows, DISCOVERY_SCHEMA))
 
     def drain() -> None:
         src = spark.readStream.schema(DISCOVERY_SCHEMA).parquet(in_dir)
@@ -405,7 +422,7 @@ def stream_crawl_loop(
                 f"redir={redir_disc.count()} retries={retries.count()} disc={n_disc}"
             )
         if n_disc > 0:
-            emit_discovery_file(disc, rnd)
+            emit_discovery_file(disc)
         for df in (outcome, parents, disc):
             df.unpersist()
         if n_disc == 0:

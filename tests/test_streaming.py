@@ -135,6 +135,50 @@ def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path):
     }
 
 
+def test_stream_crawl_loop_kill_resume_exactness(spark, tmp_path):
+    """A19 for continuous mode: a loop killed between rounds (max_rounds=2)
+    and re-invoked on the same workdir must converge to the same final
+    scheduled set AND the same per-host slot clocks (j / fetch_ms) as an
+    uninterrupted run — the stream checkpoint carries the seen set, the
+    slot GroupState, and the processed-file log across invocations."""
+    from pyspark.sql import functions as F
+
+    from rcspark.fixtures import make_fixture
+    from rcspark.streaming import stream_crawl_loop
+
+    fx = make_fixture(n_hosts=3, urls_per_host=10, seed=3)
+    web = spark.createDataFrame(fx.web).persist()
+    web.count()
+
+    full = stream_crawl_loop(
+        spark, web, fx.robots, fx.seeds, fx.allowed_hosts, str(tmp_path / "full")
+    )
+    interrupted_dir = str(tmp_path / "interrupted")
+    stream_crawl_loop(
+        spark, web, fx.robots, fx.seeds, fx.allowed_hosts, interrupted_dir,
+        max_rounds=2,
+    )
+    resumed = stream_crawl_loop(
+        spark, web, fx.robots, fx.seeds, fx.allowed_hosts, interrupted_dir
+    )
+    web.unpersist()
+
+    def snap(out):
+        return sorted(
+            (r.url_canon, r.retry_count, r.host, r.j, r.fetch_ms)
+            for r in out["scheduled"].collect()
+        )
+
+    def logsnap(out):
+        return sorted(
+            (r.url_canon, r.result, r.retry_count)
+            for r in out["fetch_log"].collect()
+        )
+
+    assert snap(resumed) == snap(full)
+    assert logsnap(resumed) == logsnap(full)
+
+
 def test_continuous_frontier_pipeline_resume_and_dedup(spark, tmp_path):
     """Two invocations of the continuous pipeline over a growing input dir:
     the second run must (a) skip files already processed (checkpoint),
