@@ -88,14 +88,15 @@ def test_slots_correct_when_host_spans_arrow_chunks(spark, tmp_path):
         assert rows[eid] == (eid, (eid - 1) * 500), (eid, rows[eid])
 
 
-def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path):
+@pytest.mark.parametrize("seed", [19, 11])
+def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path, seed):
     """CLOSED-LOOP streaming crawl vs the BSP wave engine on the same
     fixture web (VERDICT r1 next-round #5): fetch/parse discoveries feed
     back into the stream source; final URL-seen SET and the
     (url, result, retry_count) fetch-attempt multiset must be EQUAL —
     membership is closure-determined, scheduling order only permutes
     discovery. Seed 19 exercises every outcome class (fetched, retry,
-    redirect, failed, robots_denied)."""
+    redirect, failed, robots_denied); seed 11 is a second web shape."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -104,7 +105,7 @@ def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path):
     from rcspark.run import CrawlEngine
     from rcspark.streaming import stream_crawl_loop
 
-    fx = make_fixture(n_hosts=5, urls_per_host=25, seed=19)
+    fx = make_fixture(n_hosts=5, urls_per_host=25, seed=seed)
     web = spark.createDataFrame(fx.web).persist()
     web.count()
     eng = CrawlEngine(
@@ -130,9 +131,10 @@ def test_stream_crawl_loop_matches_bsp_engine(spark, tmp_path):
     web.unpersist()
     assert st_seen == bsp_seen
     assert st_log == bsp_log
-    assert {r[1] for r in bsp_log} == {
-        "fetched", "retry", "redirect", "failed", "robots_denied"
-    }
+    if seed == 19:
+        assert {r[1] for r in bsp_log} == {
+            "fetched", "retry", "redirect", "failed", "robots_denied"
+        }
 
 
 def test_stream_crawl_loop_kill_resume_exactness(spark, tmp_path):
