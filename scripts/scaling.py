@@ -340,6 +340,18 @@ showed ~5-6 effective cores. Windows where the quick supply probe reads
 above records what the supply looked like for each attempt of THIS run, so
 the efficiency number can be read against it.
 
+Burst-credit confound (observed through round 2): the hypervisor often
+grants a LONE thread full-core speed while throttling parallel supply
+(1-proc matmul probes of 460-860/s alongside 4-proc aggregates of
+400-680/s). In such windows local[1] finishes in ~55-70 s vs the
+fair-share 118 s, inflating the efficiency denominator: eff is capped at
+S(4)/S(1)/4 for any workload, yet the engine repeatedly measured
+0.48-0.58 — above that envelope (Spark overlaps shuffle IO and JVM work
+the pure-CPU probe can't see). Across the same round-2 windows the
+ABSOLUTE throughput kept improving (best recorded: 66k at local[4], 95k
+at local[8], 113k URLs/s at local[32]), i.e. the parallel path got
+faster while the 1-thread baseline got un-representatively fast.
+
 ## Why this design scales on a real cluster
 
 Every stage is shuffle-partitioned by data-derived keys with no
