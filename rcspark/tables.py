@@ -177,6 +177,50 @@ class Warehouse:
             df.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
 
+    # -- compaction (Iceberg rewrite-data-files analogue) -------------------
+    def compact(self, table: str, schema: T.StructType) -> None:
+        """Rewrite an APPEND table's committed wave dirs into one
+        consolidated dir and advance the manifest atomically.
+
+        A long crawl accumulates one small parquet dir per wave per table
+        (the small-files problem); Iceberg solves it with rewrite_data_files
+        + a metadata swap, and this is the same two-step here: write the
+        union to ``compact=NNNNNN`` (temp + rename), then commit a manifest
+        whose ``compacted[table]`` watermark tells read_appends to take the
+        consolidated dir instead of the per-wave dirs ≤ it. Readers before
+        the commit still see the old dirs (which stay on disk — the atomic
+        manifest swap is the only visibility switch), so a kill anywhere
+        mid-compaction leaves a fully consistent warehouse.
+        """
+        assert table not in SNAPSHOT_TABLES, "compact() is for APPEND tables"
+        c, meta = self.last_committed()
+        if c < 0:
+            return
+        df = self.read_appends(table, c, schema)
+        final = os.path.join(self.root, table, f"compact={c:06d}")
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        if table in BUCKETED_TABLES and "digest" in df.columns:
+            from pyspark.sql import functions as F
+
+            (
+                df.withColumn(
+                    "shard", F.pmod(F.col("digest"), F.lit(N_SHARDS)).cast("int")
+                )
+                .repartition(N_SHARDS, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        compacted = dict(meta.get("compacted", {}))
+        compacted[table] = c
+        self.commit(c, {**meta, "compacted": compacted})
+
     # -- reads -------------------------------------------------------------
     def _read_schema(self, table: str, schema: T.StructType) -> T.StructType:
         if table in BUCKETED_TABLES:
@@ -206,10 +250,21 @@ class Warehouse:
         return self._read_dir(table, d, schema)
 
     def read_appends(self, table: str, through_wave: int, schema: T.StructType) -> DataFrame:
-        """Union of all committed waves ≤ through_wave (APPEND flavor)."""
-        dirs = [
+        """Union of all committed waves ≤ through_wave (APPEND flavor).
+        If the manifest carries a compaction watermark for `table`, waves
+        ≤ the watermark are read from the consolidated compact dir."""
+        _, meta = self.last_committed()
+        cw = int(meta.get("compacted", {}).get(table, -1))
+        dirs = []
+        if cw >= 0 and cw <= through_wave:
+            cd = os.path.join(self.root, table, f"compact={cw:06d}")
+            if os.path.exists(cd):
+                dirs.append(cd)
+        else:
+            cw = -1
+        dirs += [
             self._wave_dir(table, w)
-            for w in range(through_wave + 1)
+            for w in range(cw + 1, through_wave + 1)
             if os.path.exists(self._wave_dir(table, w))
         ]
         if not dirs:

@@ -149,6 +149,41 @@ def test_lineage_consistency(crawl):
     assert agg["x"] == sum(1 for r in orc.order if r["result"] == "failed")
 
 
+def test_compaction_mid_crawl_preserves_everything(spark, tmp_path):
+    """Warehouse.compact (the Iceberg rewrite-data-files analogue):
+    consolidating an APPEND table's per-wave dirs mid-crawl — including
+    the bucketed `seen` — must not change any final table, and the crawl
+    must keep appending past the compaction watermark."""
+    from rcspark.tables import FETCH_LOG_SCHEMA, SEEN_SCHEMA
+
+    fx = make_fixture(n_hosts=4, urls_per_host=15, link_fanout=5.0, seed=23)
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    eng_a = run_engine(spark, fx, root_a)
+
+    web, corpus_src = engine_inputs(spark, fx)
+    eng_b = CrawlEngine(spark, root_b, web, corpus_src, fx.robots, fx.seeds, fx.allowed_hosts)
+    for _ in range(3):
+        eng_b.run_wave()
+    eng_b.wh.compact("seen", SEEN_SCHEMA)
+    eng_b.wh.compact("fetch_log", FETCH_LOG_SCHEMA)
+    # per-wave dirs <= watermark are no longer read; the compact dir is
+    c, meta = eng_b.wh.last_committed()
+    assert meta["compacted"] == {"seen": c, "fetch_log": c}
+    eng_b.run(max_waves=200)
+
+    def snap(eng):
+        log = [
+            tuple(r)
+            for r in eng.fetch_log()
+            .orderBy(F.col("seq").asc_nulls_last(), "url_canon")
+            .collect()
+        ]
+        seen = sorted((r.digest, r.url_canon) for r in eng.seen_table().collect())
+        return log, seen
+
+    assert snap(eng_a) == snap(eng_b)
+
+
 def test_burst_mode_order_equality(spark, tmp_path, monkeypatch):
     """Per-domain concurrency (VERDICT r1 missing #6): with DOWNLOAD_DELAY
     monkeypatched to 0, hosts carrying no robots crawl_delay engage the
