@@ -379,8 +379,11 @@ class CrawlEngine:
             F.lit(n_new).cast("long").alias("new_urls"),
         )
         self.wh.write_wave("lineage", lineage, c)
+        # {**meta, ...}: carry forward manifest keys this wave doesn't own
+        # (e.g. the compaction watermark — dropping it would silently point
+        # readers back at per-wave dirs a gc() may have deleted)
         self.wh.commit(
-            c, {"seq_offset": seq_offset + n_scheduled, "n_pending": n_pending}
+            c, {**meta, "seq_offset": seq_offset + n_scheduled, "n_pending": n_pending}
         )
         for df in (denied, outcome, parsed, new_urls, *gc_dfs):
             df.unpersist()

@@ -221,6 +221,29 @@ class Warehouse:
         compacted[table] = c
         self.commit(c, {**meta, "compacted": compacted})
 
+    def gc(self, table: str) -> list[str]:
+        """Delete dirs the committed manifest can no longer reference:
+        per-wave dirs ≤ the table's compaction watermark and superseded
+        compact dirs. Safe to run any time AFTER the compaction commit
+        (the atomic manifest swap is the visibility barrier — nothing
+        reads these dirs once the watermark is in). Returns removed paths.
+        """
+        _, meta = self.last_committed()
+        cw = int(meta.get("compacted", {}).get(table, -1))
+        if cw < 0:
+            return []
+        removed = []
+        tdir = os.path.join(self.root, table)
+        for name in sorted(os.listdir(tdir)):
+            path = os.path.join(tdir, name)
+            if name.startswith("wave=") and int(name.split("=")[1]) <= cw:
+                shutil.rmtree(path)
+                removed.append(path)
+            elif name.startswith("compact=") and int(name.split("=")[1]) != cw:
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
+
     # -- reads -------------------------------------------------------------
     def _read_schema(self, table: str, schema: T.StructType) -> T.StructType:
         if table in BUCKETED_TABLES:

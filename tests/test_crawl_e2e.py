@@ -169,6 +169,9 @@ def test_compaction_mid_crawl_preserves_everything(spark, tmp_path):
     # per-wave dirs <= watermark are no longer read; the compact dir is
     c, meta = eng_b.wh.last_committed()
     assert meta["compacted"] == {"seen": c, "fetch_log": c}
+    # gc removes exactly the superseded per-wave dirs, and nothing breaks
+    removed = eng_b.wh.gc("seen") + eng_b.wh.gc("fetch_log")
+    assert removed and all(f"wave=" in p for p in removed)
     eng_b.run(max_waves=200)
 
     def snap(eng):
