@@ -299,12 +299,14 @@ def stream_crawl_loop(
             .filter(F.col("depth") <= C.DEPTH_LIMIT)         # A9 depth
         )
         deduped = canon.dropDuplicates(["digest", "retry_count"])
+        # event_id must be UNIQUE per (url, retry) for deterministic slot
+        # numbering: retries all share (parent_seq=-2, link_idx=-1), so a
+        # parent-derived id would tie same-host retries and leave j to
+        # arrival order. A content hash is unique w.h.p. and data-derived.
         slotted = deduped.select(
             "host",
-            (
-                F.col("parent_seq") * (1 << 20)
-                + F.col("link_idx") * 4
-                + F.col("retry_count")
+            F.xxhash64(
+                F.concat_ws(":", F.col("url_canon"), F.col("retry_count").cast("string"))
             ).alias("event_id"),
             F.lit(500).cast("long").alias("delay_ms"),
             "url_canon", "digest", "path",
