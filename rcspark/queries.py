@@ -1475,9 +1475,13 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH bands0 AS ({_BANDS_SQL}),
     bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash)
+      WHERE b <= 1000),
     dupes AS (
       SELECT DISTINCT b.doc_id AS doc_b
-      FROM bands a JOIN bands b USING (band_id, band_hash)
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
       WHERE a.doc_id < b.doc_id),
     q AS (
       SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
@@ -1492,12 +1496,11 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bands = dd.minhash_rows(docs).persist()  # read twice by the self-join
-    a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    # reuse the guarded library op: the hand-rolled self-join here had NO
+    # max_bucket skew guard — the same degenerate-bucket O(b²) class the
+    # round-2 Jaccard fix removed
     dupes = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        dd.lsh_candidate_pairs(dd.minhash_rows(docs), min_bands=1, max_bucket=1000)
         .select("doc_b")
         .distinct()
     )
