@@ -313,6 +313,76 @@ def langid_trigram_trained(
     )
 
 
+# -- stratified exact cumsum (the scalable sequence-packing core) ---------------
+
+def stratified_cumsum(
+    df,
+    stratum_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "stream_offset",
+    npartitions: int = 32,
+    persisted_out: list | None = None,
+):
+    """+ ``out_col``: the exact running sum of ``val_col`` BEFORE each row
+    within its stratum (ordered by ``order_col``) — without a per-stratum
+    window, so one giant stratum never funnels through a single task.
+
+    Same shape as schedule.assign_global_seq: range-repartition by
+    (stratum, order), sort within partitions, collect ONE subtotal row per
+    (partition, stratum) — driver sees npartitions·|strata| rows, never
+    data — then a vectorized pandas pass adds per-group cumsums on top of
+    the composed offsets. Integer-exact, deterministic, distributed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    part = (
+        df.repartitionByRange(npartitions, F.col(stratum_col), F.col(order_col))
+        .sortWithinPartitions(stratum_col, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(part)
+    sub = part.groupBy("_pid", stratum_col).agg(F.sum(val_col).alias("_s")).collect()
+    by_stratum: dict = {}
+    for r in sub:
+        by_stratum.setdefault(r[stratum_col], []).append((int(r["_pid"]), int(r["_s"])))
+    offsets: dict = {}
+    for st, lst in by_stratum.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            offsets[(pid, st)] = acc
+            acc += s
+
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def add(batches):
+        carry: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            bases = {
+                st: carry.get(st, offsets.get((pid, st), 0))
+                for st in pdf[stratum_col].unique()
+            }
+            within = (
+                pdf.groupby(stratum_col, sort=False)[val_col].cumsum() - pdf[val_col]
+            )
+            out = pdf.assign(
+                **{out_col: (within + pdf[stratum_col].map(bases)).astype("int64")}
+            )
+            for st, tot in pdf.groupby(stratum_col, sort=False)[val_col].sum().items():
+                carry[st] = bases[st] + int(tot)
+            yield out
+
+    return part.mapInPandas(add, out_schema).drop("_pid")
+
+
 # -- fingerprint ---------------------------------------------------------------
 
 def fingerprint(toks: Column, k: int = SHINGLE_K) -> Column:

@@ -1564,10 +1564,12 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The "pack documents into 4096-token context windows" prep op: per
 # language stream, docs pack greedily in doc_id order; a doc's bin is
 # floor(stream_offset / SEQ_LEN) where stream_offset is the exact running
-# token count before it. Deterministic (pure window cumsum). Scale note:
-# the per-stratum window is the same shape as assign_global_seq's
-# range-partitioned cumsum — at 100 TB the stratum is range-partitioned by
-# doc_id and offsets compose from per-partition subtotals, not one task.
+# token count before it. Runs on tx.stratified_cumsum — range-partitioned
+# per-partition subtotals composed driver-side (npartitions·|strata| tiny
+# rows), NOT a per-stratum window, so one giant language stream never
+# funnels through a single task. The oracle restates the semantics as the
+# plain SQL window (value-hash equality proves the distributed cumsum
+# computes exactly the window's answer).
 
 _PACK_SEQ_LEN = 4096
 
@@ -1593,14 +1595,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "lang", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    o = t.withColumn(
-        "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    )
+    o = tx.stratified_cumsum(t, "lang", "doc_id", "n_tokens")
     return o.select(
         "doc_id", "lang", "n_tokens", "stream_offset",
         F.floor(F.col("stream_offset") / _PACK_SEQ_LEN).cast("long").alias("bin"),
