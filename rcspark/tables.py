@@ -191,17 +191,25 @@ class Warehouse:
         the commit still see the old dirs (which stay on disk — the atomic
         manifest swap is the only visibility switch), so a kill anywhere
         mid-compaction leaves a fully consistent warehouse.
+
+        Idempotent: a re-run at an unchanged watermark is a no-op (it must
+        be — the consolidated dir is the only copy of gc()'d waves, so it
+        is never deleted before its replacement is fully written).
         """
         assert table not in SNAPSHOT_TABLES, "compact() is for APPEND tables"
         c, meta = self.last_committed()
         if c < 0:
             return
+        if int(meta.get("compacted", {}).get(table, -1)) == c:
+            return  # nothing appended since the last compaction: no-op
         df = self.read_appends(table, c, schema)
         final = os.path.join(self.root, table, f"compact={c:06d}")
         tmp = final + ".inprogress"
-        for p in (final, tmp):
-            if os.path.exists(p):
-                shutil.rmtree(p)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        # Write the replacement FIRST; any prior compact dir (a lower
+        # watermark, or an uncommitted leftover at this name) stays intact
+        # and readable until the new copy exists on disk.
         if table in BUCKETED_TABLES and "digest" in df.columns:
             from pyspark.sql import functions as F
 
@@ -216,7 +224,15 @@ class Warehouse:
             )
         else:
             df.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
+        if os.path.exists(final):  # uncommitted leftover from a killed attempt
+            old = final + ".superseded"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, final)
         compacted = dict(meta.get("compacted", {}))
         compacted[table] = c
         self.commit(c, {**meta, "compacted": compacted})
@@ -233,16 +249,44 @@ class Warehouse:
         if cw < 0:
             return []
         removed = []
+        gone_waves = []
         tdir = os.path.join(self.root, table)
         for name in sorted(os.listdir(tdir)):
             path = os.path.join(tdir, name)
             if name.startswith("wave=") and int(name.split("=")[1]) <= cw:
                 shutil.rmtree(path)
                 removed.append(path)
+                gone_waves.append(int(name.split("=")[1]))
             elif name.startswith("compact=") and int(name.split("=")[1]) != cw:
                 shutil.rmtree(path)
                 removed.append(path)
+        if gone_waves:
+            self._record_gc(table, gone_waves)
         return removed
+
+    def _gc_log_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_gc.json")
+
+    def _record_gc(self, table: str, waves: list[int]) -> None:
+        """Tombstone the per-wave dirs gc() removed, so a later historical
+        read (through_wave below the compaction watermark) can tell
+        'this wave was never written' apart from 'this wave was deleted'."""
+        path = self._gc_log_path(table)
+        prior: list[int] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                prior = json.load(f).get("waves", [])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"waves": sorted(set(prior) | set(waves))}, f)
+        os.replace(tmp, path)
+
+    def gc_tombstones(self, table: str) -> set[int]:
+        path = self._gc_log_path(table)
+        if not os.path.exists(path):
+            return set()
+        with open(path) as f:
+            return set(json.load(f).get("waves", []))
 
     # -- reads -------------------------------------------------------------
     def _read_schema(self, table: str, schema: T.StructType) -> T.StructType:
@@ -275,7 +319,12 @@ class Warehouse:
     def read_appends(self, table: str, through_wave: int, schema: T.StructType) -> DataFrame:
         """Union of all committed waves ≤ through_wave (APPEND flavor).
         If the manifest carries a compaction watermark for `table`, waves
-        ≤ the watermark are read from the consolidated compact dir."""
+        ≤ the watermark are read from the consolidated compact dir.
+
+        Raises FileNotFoundError on a historical read (through_wave below
+        the compaction watermark) that needs a per-wave dir gc() has
+        deleted — the consolidated dir only serves reads AT the watermark,
+        so such a read would otherwise silently return partial data."""
         _, meta = self.last_committed()
         cw = int(meta.get("compacted", {}).get(table, -1))
         dirs = []
@@ -284,6 +333,15 @@ class Warehouse:
             if os.path.exists(cd):
                 dirs.append(cd)
         else:
+            if cw > through_wave:
+                gone = self.gc_tombstones(table) & set(range(0, through_wave + 1))
+                if gone:
+                    raise FileNotFoundError(
+                        f"read_appends({table!r}, through_wave={through_wave}) "
+                        f"needs gc()'d wave dirs {sorted(gone)} (compaction "
+                        f"watermark is {cw}); historical reads below the "
+                        "watermark are only valid before gc()"
+                    )
             cw = -1
         dirs += [
             self._wave_dir(table, w)

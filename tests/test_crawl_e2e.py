@@ -187,6 +187,50 @@ def test_compaction_mid_crawl_preserves_everything(spark, tmp_path):
     assert snap(eng_a) == snap(eng_b)
 
 
+def test_compact_rerun_is_noop_and_gc_guards_historical_reads(spark, tmp_path):
+    """Two warehouse invariants (ADVICE r2, high + low):
+
+    1. compact() re-run at an unchanged watermark must be a no-op — the
+       old code rmtree'd the live compact dir (the only copy of gc()'d
+       waves) before lazily re-reading it, silently losing the table.
+    2. After gc(), a historical read_appends below the compaction
+       watermark must raise, not silently return partial data.
+    """
+    from rcspark.tables import SEEN_SCHEMA, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows_by_wave = {
+        w: [(w * 10 + i, f"https://h{i}.test/p{w}", w) for i in range(5)]
+        for w in range(3)
+    }
+    for w in range(3):
+        wh.write_wave("seen", spark.createDataFrame(rows_by_wave[w], SEEN_SCHEMA), w)
+    wh.commit(2, {})
+
+    all_rows = sorted(r for rs in rows_by_wave.values() for r in rs)
+
+    def snap():
+        return sorted(tuple(r) for r in wh.read_appends("seen", 2, SEEN_SCHEMA).collect())
+
+    wh.compact("seen", SEEN_SCHEMA)
+    assert snap() == all_rows
+    wh.gc("seen")
+    # the killer call pattern: compact again with nothing new appended
+    wh.compact("seen", SEEN_SCHEMA)
+    assert snap() == all_rows
+
+    # historical read below the watermark now needs gc()'d dirs → raise
+    with pytest.raises(FileNotFoundError, match="gc"):
+        wh.read_appends("seen", 1, SEEN_SCHEMA).collect()
+
+    # appending past the watermark and recompacting still works
+    wh.write_wave("seen", spark.createDataFrame([(99, "https://h9.test/x", 3)], SEEN_SCHEMA), 3)
+    wh.commit(3, wh.last_committed()[1])
+    wh.compact("seen", SEEN_SCHEMA)
+    got = sorted(tuple(r) for r in wh.read_appends("seen", 3, SEEN_SCHEMA).collect())
+    assert got == sorted(all_rows + [(99, "https://h9.test/x", 3)])
+
+
 def test_burst_mode_order_equality(spark, tmp_path, monkeypatch):
     """Per-domain concurrency (VERDICT r1 missing #6): with DOWNLOAD_DELAY
     monkeypatched to 0, hosts carrying no robots crawl_delay engage the
