@@ -38,6 +38,15 @@ def digest60_seeded(seed: int, col: Column) -> Column:
     return digest60(F.concat(F.lit(f"{seed}:"), col))
 
 
+def digest60_py(s: str) -> int:
+    """Python twin of digest60 (hashlib md5 == Spark md5 == DuckDB md5):
+    for driver-side derivations over literals/small samples that must
+    agree bit-for-bit with both engines (e.g. k-means seed order)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:HEX_CHARS], 16)
+
+
 def sql_digest60(expr: str) -> str:
     """DuckDB twin of ``digest60`` for an arbitrary SQL expression."""
     return f"CAST('0x' || substr(md5({expr}), 1, {HEX_CHARS}) AS BIGINT)"

@@ -1762,22 +1762,38 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seeded init and a fixed iteration count, so the DuckDB oracle re-derives
 # the identical codebook CTE-by-CTE (sim.sql_kmeans_ctes) — training stays
 # inside the hard correctness gate, not just the recall test.
+#
+# PRODUCTION SHAPE (VERDICT r2 next-round #2): Lloyd runs over the 1/4
+# digest-sample with ncells = isqrt(n_train) clamped (derived, not a
+# constant), and search probes the 2 nearest cells (nprobe buys back the
+# recall that smaller cells cost). The full corpus is scanned once, for
+# the final assignment — training never touches it. The pure-offline
+# variant (persisted codebook table, zero training in the query path) is
+# sim.train_ivf_codebook/load_ivf_codebook, exercised in
+# tests/test_datapipe.py::test_ivf_offline_codebook_roundtrip.
 
 @register(
     "emb_ann_ivf_trained",
     oracle=f"""
-    WITH {sim.sql_kmeans_ctes(ncells=sim.IVF_CELLS, iters=sim.KMEANS_ITERS, dim=_EMB_DIM)},
-    probes AS (
-      SELECT e.vec_id AS probe_id, e.embedding AS pv, c.cell
-      FROM embeddings e JOIN cells_ c USING (vec_id)
-      WHERE e.vec_id IN ({_PROBES_SQL})),
+    WITH {sim.sql_kmeans_ctes(ncells=None, iters=sim.KMEANS_ITERS, dim=_EMB_DIM,
+                              sample_mod=sim.IVF_SAMPLE_MOD)},
+    pcells AS (
+      SELECT probe_id, cell FROM (
+        SELECT vec_id AS probe_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+        FROM distF WHERE vec_id IN ({_PROBES_SQL}))
+      WHERE rn <= 2),
+    pv AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE vec_id IN ({_PROBES_SQL})),
     scored AS (
-      SELECT p.probe_id, CAST(p.cell AS BIGINT) AS cell, e.vec_id,
+      SELECT pc.probe_id, CAST(pc.cell AS BIGINT) AS cell, e.vec_id,
              {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_sim
-      FROM probes p
-      JOIN cells_ c2 ON c2.cell = p.cell
+      FROM pcells pc
+      JOIN pv p ON p.probe_id = pc.probe_id
+      JOIN cells_ c2 ON c2.cell = pc.cell
       JOIN embeddings e ON e.vec_id = c2.vec_id
-      WHERE e.vec_id <> p.probe_id),
+      WHERE e.vec_id <> pc.probe_id),
     r AS (
       SELECT *, row_number() OVER (
         PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
@@ -1788,7 +1804,9 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return sim.ann_topk_ivf_trained(emb, _PROBES, k=5).select(
+    return sim.ann_topk_ivf_trained(
+        emb, _PROBES, k=5, ncells=None, sample_mod=sim.IVF_SAMPLE_MOD, nprobe=2
+    ).select(
         "probe_id",
         F.col("cell").cast("long").alias("cell"),
         "vec_id",

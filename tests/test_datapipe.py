@@ -318,6 +318,95 @@ def test_kmeans_ivf_balanced_and_recall(spark):
     assert r_trained / sf_trained > r_fixed / sf_fixed  # better recall per scanned row
 
 
+def test_div_half_away_matches_duckdb():
+    """The centroid-update rounding rule (ADVICE r2 medium): one exact-
+    integer half-away-from-zero formula on both sides. Sweep every
+    quotient shape incl. exact .5 halves, negative sums, and non-halves,
+    and check Python vs the DuckDB SQL twin value-for-value."""
+    import duckdb
+
+    cases = [(s, n) for s in range(-25, 26) for n in (1, 2, 3, 4, 7, 10)]
+    sql = sim._sql_div_half_away("s", "n")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    got = dict(
+        ((r[0], r[1]), r[2])
+        for r in con.execute(f"SELECT s, n, {sql} FROM t").fetchall()
+    )
+    for s, n in cases:
+        py = sim._div_half_away(s, n)
+        assert got[(s, n)] == py, (s, n, got[(s, n)], py)
+        # and the rule really is half-away: check against Fraction
+        from fractions import Fraction
+
+        q = Fraction(s, n)
+        lo, hi = q.__floor__(), q.__ceil__()
+        expect = (hi if q >= 0 else lo) if abs(q - lo) == abs(hi - q) and lo != hi else (
+            lo if abs(q - lo) < abs(hi - q) else hi
+        )
+        assert py == expect, (s, n, py, expect)
+
+
+def test_kmeans_driver_equals_distributed(spark):
+    """The driver-side numpy trainer (the faiss-shaped offline default)
+    and the distributed Spark Lloyd must produce bit-identical codebooks —
+    they're exact-integer twins, so equality is ==, not allclose."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for kw in (
+        dict(ncells=None, sample_mod=sim.IVF_SAMPLE_MOD),
+        dict(ncells=sim.IVF_CELLS, sample_mod=None),
+    ):
+        a = sim.kmeans_centroids(emb, distributed=False, **kw)
+        b = sim.kmeans_centroids(emb, distributed=True, **kw)
+        assert a == b, kw
+
+
+def test_ivf_offline_codebook_roundtrip(spark, tmp_path):
+    """Production trained-IVF path (VERDICT r2 next-round #2): the codebook
+    is trained OFFLINE on the digest-sample with derived ncells, persisted
+    as a tiny parquet table, and search against the loaded codebook is
+    bit-identical to the inline-sampled query path — i.e. zero training
+    work remains in the query path."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "codebook")
+    cents = sim.train_ivf_codebook(spark, emb, path=path)
+    loaded = sim.load_ivf_codebook(spark, path)
+    assert loaded == cents
+    probes = [0, 1, 2, 3, 4]
+    offline = sim.ann_topk_ivf_trained(emb, probes, k=5, cents=loaded, nprobe=2)
+    inline = sim.ann_topk_ivf_trained(
+        emb, probes, k=5, ncells=None, sample_mod=sim.IVF_SAMPLE_MOD, nprobe=2
+    )
+    assert sorted(map(tuple, offline.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_ivf_derived_params_scale_with_corpus(spark):
+    """VERDICT r2 next-round #8: ANN parameters must grow with corpus
+    size. derive_ncells is isqrt-clamped; the sampled trainer actually
+    produces more cells on the bigger table; and nprobe=2 search recall
+    stays at-or-above the old fixed-8-cell nprobe=1 floor."""
+    assert sim.derive_ncells(16) == sim.IVF_MIN_CELLS
+    assert sim.derive_ncells(900) == 30
+    assert sim.derive_ncells(10**9) == sim.IVF_MAX_CELLS
+    small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # sf0.001 and sf0.01 both hold 500 embeddings; sf0.1 is the bigger corpus
+    big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    c_small = sim.kmeans_centroids(small, ncells=None, sample_mod=sim.IVF_SAMPLE_MOD)
+    c_big = sim.kmeans_centroids(big, ncells=None, sample_mod=sim.IVF_SAMPLE_MOD)
+    assert len(c_big) > len(c_small)
+
+    probes = [0, 1, 2, 3, 4]
+    brute = {(r["probe_id"], r["vec_id"]) for r in sim.cosine_topk(small, probes, k=5).collect()}
+    hits = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.ann_topk_ivf_trained(
+            small, probes, k=5, ncells=None, sample_mod=sim.IVF_SAMPLE_MOD, nprobe=2
+        ).collect()
+    }
+    assert len(hits & brute) / 25 >= 0.12  # >= the fixed-codebook floor
+
+
 def test_banded_neardup_recall_floor(spark):
     """Banded LSH near-dup recall on PLANTED near-duplicates (the testdata
     embeddings carry no pair above cos 0.5, so the test plants its own):
