@@ -347,13 +347,17 @@ def audio_features(clips: DataFrame) -> DataFrame:
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+PHASH_MAX_BUCKET = 10_000  # shared with the DuckDB oracle's guard CTE
+
+
 def phash_neardup_pairs(
     items: DataFrame,
     max_hamming: int = 6,
     id_col: str = "item_id",
     phash_col: str = "phash",
     nbands: int = 8,
-    max_bucket: int = 10_000,
+    max_bucket: int = PHASH_MAX_BUCKET,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate media pairs by perceptual-hash
     Hamming distance, banded-LSH blocked (SURVEY A17 — the dupe-media
@@ -380,6 +384,8 @@ def phash_neardup_pairs(
             )
         ).alias("band", "byte"),
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(bands)
     sizes = bands.groupBy("band", "byte").agg(F.count("*").alias("_b"))
     bounded = bands.join(
         sizes.filter(F.col("_b") <= max_bucket), ["band", "byte"]

@@ -36,7 +36,7 @@ _TITLE = r"<title>([^<]*)</title>"
 @pandas_udf(PARSE_SCHEMA)
 def parse_page(body: pd.Series) -> pd.DataFrame:
     """bytes → (links, image_url, caption); vectorized pandas str ops."""
-    text = body.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    text = body.str.decode("utf-8", "replace").fillna("")
     links = text.str.findall(_HREF)
     image_url = text.str.extract(_IMG, expand=False)
     caption = text.str.extract(_TITLE, expand=False)
@@ -76,7 +76,7 @@ def _parse_with_patterns(
 ) -> pd.DataFrame:
     """Per-row patterns, vectorized per distinct pattern (hosts ≫ patterns:
     a batch carries at most one pattern triple per host)."""
-    text = body.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    text = body.str.decode("utf-8", "replace").fillna("")
     links = pd.Series([None] * len(text), dtype=object)
     image = pd.Series([None] * len(text), dtype=object)
     caption = pd.Series([None] * len(text), dtype=object)

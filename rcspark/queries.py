@@ -40,7 +40,12 @@ from .datapipe import dedupdocs as dd
 from .datapipe import similarity as sim
 from .datapipe import text as tx
 from .datapipe.hashing import digest60, sql_digest60
-from .datapipe.multimodal import image_features, reencode_lossy, synthesize_images
+from .datapipe.multimodal import (
+    PHASH_MAX_BUCKET as _PHASH_MAX_BUCKET,
+    image_features,
+    reencode_lossy,
+    synthesize_images,
+)
 from .dedup import bloom_update, empty_bloom, filter_unseen
 from .fetch import classify_outcome
 from .robots import apply_robots_gate
@@ -1885,10 +1890,15 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT item_id, phash, CAST(b AS INT) AS band,
              (phash >> CAST(8 * b AS INT)) & 255 AS byte
       FROM p, range(8) r(b)),
+    sizes AS (
+      SELECT band, byte, count(*) AS _b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN sizes USING (band, byte)
+      WHERE sizes._b <= {_PHASH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.item_id AS id_a, c.item_id AS id_b,
              a.phash AS pa, c.phash AS pb
-      FROM bands a JOIN bands c USING (band, byte)
+      FROM bounded a JOIN bounded c USING (band, byte)
       WHERE a.item_id < c.item_id)
     SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(pa, pb)) <= 6

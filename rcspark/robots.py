@@ -141,10 +141,12 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
     groups: list[tuple[list[str], dict]] = []  # (agents, rules)
     cur_agents: list[str] = []
     cur: dict | None = None
-    for raw in text.splitlines():
+    # a UTF-8 BOM glues onto the first directive's key ("﻿user-agent")
+    # and would silently drop that whole group — strip it up front
+    for raw in text.lstrip("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
-            continue
+            continue  # blank / comment / truncated directive ("Disallow")
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
@@ -154,18 +156,23 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
                 cur = {"allow": [], "deny": [], "delay": None, "_open": True}
                 cur_agents = [val.lower()]
                 groups.append((cur_agents, cur))
-        elif cur is not None:
+        elif cur is not None and key in ("allow", "disallow", "crawl-delay"):
+            # only KNOWN rule lines end a group's user-agent accumulation;
+            # unknown directives (sitemap, host, garbage keys, bare colons)
+            # are ignored entirely per RFC 9309 — they must neither split a
+            # "User-agent: a / unknown / User-agent: b" run into two groups
+            # nor drop rules that follow them
             cur["_open"] = False
             if key == "allow" and val:
                 cur["allow"].append(val)
             elif key == "disallow":
                 if val:  # empty Disallow = allow all (no rule)
                     cur["deny"].append(val)
-            elif key == "crawl-delay":
+            else:  # crawl-delay
                 try:
                     cur["delay"] = float(val)
                 except ValueError:
-                    pass
+                    pass  # malformed delay value: directive ignored
 
     agent = agent.lower()
     exact = [g for agents, g in groups if agent in agents]

@@ -303,12 +303,33 @@ def stream_crawl_loop(
         # numbering: retries all share (parent_seq=-2, link_idx=-1), so a
         # parent-derived id would tie same-host retries and leave j to
         # arrival order. A content hash is unique w.h.p. and data-derived.
-        slotted = deduped.select(
+        #
+        # delay_ms is the SAME slot tick the BSP engine quantizes with
+        # (schedule.with_budget; ADVICE r2: it was a hardcoded 500):
+        # per-host robots crawl_delay floored by DOWNLOAD_DELAY, rounded to
+        # ms, delay-0 hosts falling back to REQUEST_SERVICE_MS — constants
+        # read at drain time so monkeypatched fixtures agree across both
+        # worlds. (The stream clock stays 1-per-tick even for delay-0
+        # hosts — a conservative pacing vs the BSP CONCURRENT_PER_DOMAIN
+        # burst groups; the pinned equality is order-insensitive.) The
+        # robots frame is static → stream-static broadcast join.
+        delays = F.broadcast(robots.select("host", "crawl_delay"))
+        raw_ms = F.round(
+            F.greatest(
+                F.coalesce(F.col("crawl_delay"), F.lit(0.0)),
+                F.lit(float(C.DOWNLOAD_DELAY)),
+            )
+            * 1000
+        ).cast("long")
+        slotted = deduped.join(delays, "host", "left").select(
             "host",
             F.xxhash64(
                 F.concat_ws(":", F.col("url_canon"), F.col("retry_count").cast("string"))
             ).alias("event_id"),
-            F.lit(500).cast("long").alias("delay_ms"),
+            F.when(raw_ms > 0, raw_ms)
+            .otherwise(F.lit(int(C.REQUEST_SERVICE_MS)))
+            .cast("long")
+            .alias("delay_ms"),
             "url_canon", "digest", "path",
             "depth", "priority", "retry_count", "parent_seq", "link_idx",
         )

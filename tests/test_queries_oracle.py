@@ -33,9 +33,18 @@ QS = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+# VERDICT r2 #5: prose ("N queries" in CLAUDE.md / BENCH/*.md) must not
+# drift from the registry. Bump this constant — and the prose — together.
+EXPECTED_QUERY_COUNT = 57
+
+
 def test_registry_shape():
     assert set(ORACLES) <= set(QS)
-    assert len(QS) >= 30
+    assert len(QS) == EXPECTED_QUERY_COUNT, (
+        f"registry holds {len(QS)} queries, expected {EXPECTED_QUERY_COUNT} — "
+        "update EXPECTED_QUERY_COUNT and the counts in CLAUDE.md/BENCH docs"
+    )
+    assert len(ORACLES) == len(QS), "every query needs a DuckDB oracle twin"
 
 
 @pytest.mark.parametrize("name", sorted(QS))

@@ -147,6 +147,44 @@ def test_parse_robots_agent_precedence_and_empty_disallow():
     assert w["deny_rules"] == ["/all"] and w["crawl_delay"] == 1.0
 
 
+def test_parse_robots_garbage_golden_vectors():
+    """Malformed-line golden vectors (VERDICT r2 next-round #6): garbage
+    through the parser's skip paths must never silently drop a valid
+    group or the rules that follow it."""
+    from rcspark.robots import parse_robots_txt
+
+    # UTF-8 BOM glued to the first directive must not kill the group
+    r = parse_robots_txt("﻿User-agent: *\nDisallow: /x\n")
+    assert r["deny_rules"] == ["/x"]
+
+    # truncated directive (no colon), bare colon, unknown keys: all ignored,
+    # rules on following lines still land in the open group
+    txt = (
+        "User-agent: *\n"
+        "Disallow\n"              # truncated: no colon
+        ":\n"                     # bare colon
+        "Sitemap: https://e.test/s.xml\n"  # unknown directive
+        "garbage-key: value\n"
+        "Disallow: /kept\n"
+        "Crawl-delay: fast\n"     # malformed number: directive ignored
+        "Crawl-delay: 3\n"
+    )
+    r = parse_robots_txt(txt)
+    assert r["deny_rules"] == ["/kept"]
+    assert r["crawl_delay"] == 3.0
+
+    # unknown directives between User-agent lines must NOT split the run
+    # into two groups (RFC 9309: only rule lines end agent accumulation)
+    txt = "User-agent: a\nSitemap: s\nUser-agent: b\nDisallow: /both\n"
+    assert parse_robots_txt(txt, agent="a")["deny_rules"] == ["/both"]
+    assert parse_robots_txt(txt, agent="b")["deny_rules"] == ["/both"]
+
+    # rules before any User-agent line attach to no group; later valid
+    # group still parses
+    txt = "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n"
+    assert parse_robots_txt(txt)["deny_rules"] == ["/real"]
+
+
 def test_wildcard_rules_spark_matches_python_twin(spark):
     """Gate with protego wildcard dialect: '*' and trailing '$' — the
     Spark SQL match expression and robots_allowed_py must agree on every
