@@ -407,6 +407,32 @@ def test_ivf_derived_params_scale_with_corpus(spark):
     assert len(hits & brute) / 25 >= 0.12  # >= the fixed-codebook floor
 
 
+def test_derived_lsh_planes_scale_with_corpus(spark):
+    """VERDICT r2 next-round #8 (LSH half): plane counts derived from the
+    corpus size, with the historical constants as floors — so at gate
+    scale the derived value IS the constant (oracles unaffected) and at
+    production counts the bucket COUNT grows, not bucket occupancy."""
+    # floor regime: anything ≤ 128·2^8 vectors keeps the constant
+    assert sim.derive_nplanes(500) == sim.NPLANES
+    assert sim.derive_nplanes(128 * 256) == sim.NPLANES
+    # growth regime: E[bucket] stays ≈ LSH_TARGET_BUCKET
+    assert sim.derive_nplanes(10_000_000) == 17
+    for n in (10**6, 10**8, 10**10):
+        p = sim.derive_nplanes(n)
+        assert p == sim.LSH_MAX_PLANES or n / 2**p <= sim.LSH_TARGET_BUCKET
+    assert sim.derive_nplanes(10**12) == sim.LSH_MAX_PLANES  # cap
+    # monotone in corpus size
+    ps = [sim.derive_nplanes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ps == sorted(ps)
+
+    # at testdata scale the derived path is bit-identical to the constants
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert sim.derive_nplanes(sim.approx_corpus_size(emb)) == sim.NPLANES
+    auto = sim.ann_topk_lsh(emb, [0, 1, 2], k=3, nplanes=None)
+    fixed = sim.ann_topk_lsh(emb, [0, 1, 2], k=3, nplanes=sim.NPLANES)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
 def test_banded_neardup_recall_floor(spark):
     """Banded LSH near-dup recall on PLANTED near-duplicates (the testdata
     embeddings carry no pair above cos 0.5, so the test plants its own):
