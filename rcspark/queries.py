@@ -2065,3 +2065,149 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# =============================================================================
+# Round-3 relational extensions (rcspark.relational): as-of join, iterative
+# exact-integer PageRank, sitemap extraction — operators Spark lacks as
+# built-ins, composed from DataFrame ops (SURVEY.md §2 Table B extensions).
+# =============================================================================
+
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT e.event_id, e.user_id % 100 AS k,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           q.o_orderkey AS asof_orderkey, q.cents AS asof_price_cents
+    FROM events e LEFT JOIN LATERAL (
+      SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      WHERE o.o_custkey % 100 = e.user_id % 100 AND o.o_orderdate <= e.ts
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) q ON TRUE
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (rcspark.relational.asof_join): each event picks the
+    latest order at-or-before its timestamp within its user cohort — the
+    distributed merge-as-of (one keyed exchange + window), checked against
+    DuckDB's LATERAL top-1 formulation."""
+    from .relational import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 100).alias("k"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("ts").alias("_pts"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("k"),
+        F.col("o_orderdate").alias("_qts"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("asof_price_cents"),
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="k",
+        probe_ts="_pts",
+        quote_ts="_qts",
+        value_cols=["asof_orderkey", "asof_price_cents"],
+        tie_col="asof_orderkey",
+    )
+    return out.select("event_id", "k", "ts_s", "asof_orderkey", "asof_price_cents")
+
+
+from .relational import sql_pagerank_ctes as _sql_pagerank_ctes  # noqa: E402
+
+_EDGES_SQL = """
+      SELECT DISTINCT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst
+      FROM lineitem WHERE (l_orderkey % 50) <> (l_partkey % 50)"""
+
+
+@register(
+    "crawl_host_pagerank",
+    oracle=f"""
+    WITH {_sql_pagerank_ctes(_EDGES_SQL, iters=3)}
+    SELECT host, rank FROM prF
+    """,
+)
+def crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority frontier prioritization (rcspark.relational.
+    pagerank_hosts): 3 PageRank iterations in exact integer micro-units
+    over the host link graph derived from lineitem — an ITERATIVE graph
+    algorithm inside the hard cross-engine gate (the oracle re-derives
+    every iteration CTE-by-CTE). Feeds A5 priority at crawl scale."""
+    from .relational import pagerank_hosts
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank_hosts(edges, iters=3)
+
+
+@register(
+    "crawl_sitemap_extract",
+    oracle="""
+    WITH pages AS (
+      SELECT 'h' || (o_custkey % 20) AS host,
+             '<urlset>' || string_agg(
+               '<url><loc>http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+                 || '</loc><lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
+                 || '</lastmod></url>', '' ORDER BY
+               '<url><loc>http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+                 || '</loc><lastmod>' || strftime(o_orderdate, '%Y-%m-%d')
+                 || '</lastmod></url>') || '</urlset>' AS body
+      FROM orders GROUP BY 1),
+    ex AS (
+      SELECT host,
+             regexp_extract_all(body, '<loc>([^<]*)</loc>', 1) AS locs,
+             regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+      FROM pages),
+    sel AS (
+      SELECT host,
+             unnest(list_transform(range(1, len(locs) + 1), i ->
+               {'seq': CAST(i AS BIGINT), 'loc': locs[i], 'lastmod': mods[i]})) AS u
+      FROM ex)
+    SELECT host, struct_extract(u, 'seq') AS seq,
+           struct_extract(u, 'loc') AS loc,
+           struct_extract(u, 'lastmod') AS lastmod
+    FROM sel
+    """,
+)
+def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed injection (rcspark.relational.sitemap_entries): per-host
+    sitemap XML bodies (deterministically assembled from orders — sorted
+    string_agg, identical in both engines) are parsed back into
+    (host, seq, loc, lastmod) rows with codegen regexp_extract_all + zip +
+    posexplode. The A1 front half for sitemap-publishing sites."""
+    from .relational import sitemap_entries
+
+    orders = load(spark, sf_dir, "orders")
+    entry = F.concat(
+        F.lit("<url><loc>http://h"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod></url>"),
+    )
+    pages = (
+        orders.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string")).alias("host"),
+            entry.alias("_e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("_e")), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    return sitemap_entries(pages)

@@ -1,0 +1,194 @@
+"""Relational operators Spark lacks as built-ins — composed from DataFrame
+ops so Catalyst keeps optimizing them (SURVEY.md §2 Table B extensions;
+round 3).
+
+- ``asof_join``: the distributed merge-as-of (union + keyed window) — each
+  probe row picks the latest quote at-or-before its timestamp. No range
+  join, no per-row Python: ONE shuffle on the key plus a within-partition
+  sort, the same shape pandas.merge_asof/KDB aj take single-node.
+  [U flink temporal table join; pandas merge_asof]
+- ``pagerank_hosts``: fixed-iteration PageRank in exact integer micro-units
+  — the crawl-frontier host-authority prioritization signal (feeds A5
+  priority). Integer arithmetic makes it bit-reproducible in DuckDB, so an
+  iterative graph algorithm sits inside the hard correctness gate.
+  [U scrapy frontier priority; classic PageRank]
+- ``sitemap_entries``: sitemap-XML bodies → (loc, lastmod) rows via
+  codegen regexp_extract_all + zip + posexplode — the A1 seed-injection
+  front half for sites publishing sitemaps. [U scrapy SitemapSpider]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000  # rank micro-units
+PAGERANK_DAMPING_PCT = 85   # d = 0.85 as an integer percentage
+
+
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    probe_ts: str,
+    quote_ts: str,
+    value_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """For each probe row: the quote row with the greatest
+    (quote_ts, tie_col) among quotes with the same `key` and
+    quote_ts <= probe_ts (inclusive). Probe columns pass through; value
+    columns arrive NULL when no quote qualifies.
+
+    Shape: union probes+quotes, window partitionBy(key) orderBy
+    (t, src, tie) with last(value, ignorenulls) over the unbounded-
+    preceding frame — quotes sort before probes at an equal timestamp, so
+    the inclusive <= falls out of the sort order, and ascending tie_col
+    makes `last` pick the max-tie quote deterministically. One exchange on
+    `key`; at 100 TB this is the plan you want (hash-partition both sides
+    once, sort-merge within partitions — no O(probes·quotes) range
+    explosion and no broadcast requirement on either side).
+    """
+    probe_cols = [c for c in probes.columns]
+    q = quotes.select(
+        F.col(key).alias("_k"),
+        F.col(quote_ts).alias("_t"),
+        F.lit(0).alias("_src"),
+        F.col(tie_col).alias("_tie"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_cols],
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(quotes.schema[tie_col].dataType).alias("_tie"),
+        *[F.lit(None).cast(quotes.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_src").asc(), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = [
+        F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(c)
+        for c in value_cols
+    ]
+    return (
+        q.unionByName(p)
+        .select("_k", "_src", *probe_cols, *picked)
+        .filter(F.col("_src") == 1)
+        .drop("_src", "_k")
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+) -> DataFrame:
+    """(host, rank) after `iters` PageRank iterations over DISTINCT edges,
+    every step in exact integer micro-units:
+
+      contrib(v) = Σ_{(u,v)∈E} rank(u) div outdeg(u)
+      rank'(v)   = ((100-d)·scale + d·contrib(v)) div 100
+
+    Dangling mass leaks (the standard simplified formulation) — both
+    engines mirror it, and for crawl prioritization only the relative
+    order matters. Fixed iterations + integer div ⇒ the DuckDB oracle
+    re-derives identical ranks CTE-by-CTE (sql_pagerank_ctes).
+
+    Scale shape: ranks re-join edges on src each iteration — a hash join
+    that AQE broadcasts while the host dim is small and shuffles once it
+    is not; at web scale insert a localCheckpoint between iterations to
+    cut lineage (iters is small and fixed, so the plan stays bounded).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("host")).union(
+        e.select(F.col("dst").alias("host"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("host", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank div od").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                F.expr(
+                    f"CAST(({100 - damping_pct} * CAST({scale} AS BIGINT) + "
+                    f"{damping_pct} * coalesce(contrib, CAST(0 AS BIGINT))) div 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def sql_pagerank_ctes(
+    edges_sql: str,
+    iters: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+) -> str:
+    """DuckDB CTE chain re-deriving pagerank_hosts exactly; `edges_sql`
+    must yield DISTINCT (src, dst). Final ranks in CTE `prF`(host, rank)."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1)",
+        f"pr0 AS (SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.dst AS host, sum(r.rank // o.od) AS contrib
+      FROM edges e JOIN {prev} r ON r.host = e.src JOIN outdeg o ON o.src = e.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""pr{t} AS (
+      SELECT n.host,
+             CAST(({100 - damping_pct} * CAST({scale} AS BIGINT)
+                   + {damping_pct} * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{t} c USING (host))"""
+        )
+        prev = f"pr{t}"
+    ctes.append(f"prF AS (SELECT host, rank FROM {prev})")
+    return ",\n    ".join(ctes)
+
+
+SITEMAP_LOC_RE = "<loc>([^<]*)</loc>"
+SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+
+
+def sitemap_entries(pages: DataFrame, body_col: str = "body") -> DataFrame:
+    """pages(..., body: string) → one row per sitemap <url> entry:
+    original columns + (seq, loc, lastmod). Pure codegen: two
+    regexp_extract_all arrays zipped and posexploded — no Python, no UDF.
+    Assumes well-formed entries carry both tags (a count mismatch zips to
+    NULL-padded rows rather than silently dropping — arrays_zip pads)."""
+    keep = [c for c in pages.columns if c != body_col]
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(SITEMAP_LOC_RE), 1)
+    mods = F.regexp_extract_all(F.col(body_col), F.lit(SITEMAP_LASTMOD_RE), 1)
+    return (
+        pages.select(*keep, F.posexplode(F.arrays_zip(locs, mods)).alias("_i", "_e"))
+        .select(
+            *keep,
+            (F.col("_i") + 1).cast("long").alias("seq"),
+            F.col("_e").getField("0").alias("loc"),
+            F.col("_e").getField("1").alias("lastmod"),
+        )
+    )

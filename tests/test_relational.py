@@ -1,0 +1,106 @@
+"""Semantic contracts for rcspark.relational (round-3 Table B extensions):
+as-of join vs pandas merge_asof, PageRank invariants, sitemap edge cases.
+The cross-engine value checks live in the driver contract
+(join_asof_events / crawl_host_pagerank / crawl_sitemap_extract oracles)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rcspark.relational import (
+    PAGERANK_SCALE,
+    asof_join,
+    pagerank_hosts,
+    sitemap_entries,
+)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Constructed case with inclusive-boundary hits, same-timestamp quote
+    ties, probes before any quote, and keys with no quotes at all."""
+    quotes = [
+        # (k, t, qid, val)
+        (1, 10, 100, 7), (1, 10, 101, 8),   # tie at t=10 → max qid wins
+        (1, 20, 102, 9),
+        (2, 15, 200, 3),
+    ]
+    probes = [
+        # (k, t, pid)
+        (1, 5, 0),    # before any quote → NULL
+        (1, 10, 1),   # inclusive boundary → qid 101
+        (1, 15, 2),   # between → qid 101
+        (1, 25, 3),   # after last → qid 102
+        (2, 15, 4),   # inclusive on key 2 → qid 200
+        (3, 50, 5),   # key with no quotes → NULL
+    ]
+    qdf = spark.createDataFrame(quotes, "k int, t int, qid int, val int")
+    pdf = spark.createDataFrame(probes, "k int, t int, pid int")
+    out = asof_join(
+        pdf, qdf, key="k", probe_ts="t", quote_ts="t",
+        value_cols=["qid", "val"], tie_col="qid",
+    )
+    got = {r["pid"]: (r["qid"], r["val"]) for r in out.collect()}
+    assert got == {
+        0: (None, None), 1: (101, 8), 2: (101, 8),
+        3: (102, 9), 4: (200, 3), 5: (None, None),
+    }
+    # cross-check the non-tie rows against pandas merge_asof semantics
+    qp = pd.DataFrame(quotes, columns=["k", "t", "qid", "val"]).sort_values(["t", "qid"])
+    pp = pd.DataFrame(probes, columns=["k", "t", "pid"]).sort_values("t")
+    merged = pd.merge_asof(pp, qp, on="t", by="k", direction="backward")
+    for _, row in merged.iterrows():
+        if row["pid"] in (1, 2):  # merge_asof keeps the LAST sorted tie — same rule
+            assert got[row["pid"]][0] == row["qid"]
+
+
+def test_asof_join_one_exchange(spark):
+    """The plan must contain exactly one Exchange for the union+window —
+    no range-join blowup, no broadcast requirement."""
+    qdf = spark.createDataFrame([(1, 1, 1)], "k int, t int, qid int")
+    pdf = spark.createDataFrame([(1, 2, 0)], "k int, t int, pid int")
+    out = asof_join(pdf, qdf, "k", "t", "t", ["qid"], "qid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_invariants(spark):
+    """On a 3-cycle every node keeps rank exactly scale (the stationary
+    point); a hub-and-spoke graph ranks the sink strictly highest; a
+    dangling sink leaks mass but stays ordered."""
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r["host"]: r["rank"] for r in pagerank_hosts(cyc, iters=4).collect()}
+    assert ranks == {"a": PAGERANK_SCALE, "b": PAGERANK_SCALE, "c": PAGERANK_SCALE}
+
+    star = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        "src string, dst string",
+    )
+    r = {x["host"]: x["rank"] for x in pagerank_hosts(star, iters=3).collect()}
+    assert r["hub"] > max(r["s1"], r["s2"], r["s3"])
+    assert r["s1"] > r["s2"] == r["s3"]  # s1 gets the hub's mass back
+
+
+def test_sitemap_entries_edges(spark):
+    """Empty bodies yield no rows; entries keep document order via seq;
+    a lastmod-less tail entry pads NULL instead of mis-zipping."""
+    pages = spark.createDataFrame(
+        [
+            ("h0", "<urlset></urlset>"),
+            ("h1", "<urlset><url><loc>u1</loc><lastmod>d1</lastmod></url>"
+                   "<url><loc>u2</loc><lastmod>d2</lastmod></url></urlset>"),
+            ("h2", "<urlset><url><loc>u3</loc><lastmod>d3</lastmod></url>"
+                   "<url><loc>u4</loc></url></urlset>"),
+        ],
+        "host string, body string",
+    )
+    rows = sorted(
+        (r["host"], r["seq"], r["loc"], r["lastmod"])
+        for r in sitemap_entries(pages).collect()
+    )
+    assert rows == [
+        ("h1", 1, "u1", "d1"), ("h1", 2, "u2", "d2"),
+        ("h2", 1, "u3", "d3"), ("h2", 2, "u4", None),
+    ]
