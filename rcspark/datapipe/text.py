@@ -394,3 +394,80 @@ def fingerprint(toks: Column, k: int = SHINGLE_K) -> Column:
 def sql_fingerprint(toks_expr: str, k: int = SHINGLE_K) -> str:
     sh = sql_shingles(toks_expr, k)
     return f"list_min(list_transform({sh}, s -> {sql_digest60('s')}))"
+
+
+# -- PII scrubbing (round 3) ---------------------------------------------------
+# Curation-pipeline redaction: patterns shared verbatim between engines —
+# the subset of regex syntax used ((?i), \d, \b, classes, bounded reps) is
+# identical in Java regex (Spark) and RE2 (DuckDB). Replacement order is a
+# fixed fold, so overlapping matches resolve identically.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("PHONE", r"(?:\+\d{1,2}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact e-mail / phone / IPv4 literals to [TAG] placeholders."""
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+def sql_pii_scrub(expr: str) -> str:
+    out = expr
+    for tag, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")  # DuckDB literals keep backslashes as-is
+        out = f"regexp_replace({out}, '{p}', '[{tag}]', 'g')"
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """How many PII literals the scrub would redact (Σ per-pattern hits)."""
+    n = F.lit(0)
+    for _tag, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+    return n
+
+
+def sql_pii_count(expr: str) -> str:
+    terms = []
+    for _tag, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        terms.append(f"len(regexp_extract_all({expr}, '{p}'))")
+    return " + ".join(terms)
+
+
+# -- chunking with overlap (round 3) -------------------------------------------
+
+def chunk_starts(n_tokens: Column, window: int, stride: int) -> Column:
+    """0-based chunk start offsets: 0, stride, 2·stride … < n_tokens."""
+    return F.when(n_tokens <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_tokens - 1, F.lit(stride)).cast("array<int>")
+    )
+
+
+def chunk_texts(toks: Column, window: int, stride: int) -> Column:
+    """Sliding windows of `window` tokens every `stride` tokens (overlap =
+    window - stride), each rejoined with single spaces — the RAG/pretrain
+    chunking shape (vs doc_pack_sequences, which packs WHOLE docs into
+    fixed contexts). Pure higher-order codegen; trailing chunks shorten.
+    """
+    return F.transform(
+        chunk_starts(F.size(toks), window, stride),
+        lambda s: F.array_join(F.slice(toks, s + 1, window), " "),
+    )
+
+
+def sql_chunk_texts(toks_expr: str, window: int, stride: int) -> str:
+    starts = (
+        f"CASE WHEN len({toks_expr}) <= 0 THEN []::BIGINT[] "
+        f"ELSE range(0, len({toks_expr}), {stride}) END"
+    )
+    return (
+        f"list_transform({starts}, s -> "
+        f"array_to_string(list_slice({toks_expr}, s + 1, s + {window}), ' '))"
+    )

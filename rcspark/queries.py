@@ -2211,3 +2211,125 @@ def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sitemap_entries(pages)
+
+
+# =============================================================================
+# Round-3 curation extensions: PII scrubbing, chunking-with-overlap, exact
+# heavy-hitter tokens (rcspark.datapipe.text) — the remaining standard
+# training-data curation ops beyond dedup/quality/packing.
+# =============================================================================
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' reach user' || doc_id || '@mail.example or +1 555-123-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from 192.168.' || (doc_id % 256) || '.42' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST({tx.sql_pii_count('t')} AS BIGINT) AS n_pii,
+           {sql_digest60(tx.sql_pii_scrub('t'))} AS scrubbed_digest
+    FROM planted
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (rcspark.datapipe.text.pii_scrub): e-mail / phone /
+    IPv4 literals → [TAG] placeholders, counted and digest-checked. PII is
+    PLANTED deterministically (the corpus text carries none), so the
+    oracle exercises real redactions, not no-ops."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".42"),
+    )
+    return docs.select(
+        "doc_id",
+        tx.pii_count(t).cast("long").alias("n_pii"),
+        digest60(tx.pii_scrub(t)).alias("scrubbed_digest"),
+    )
+
+
+_CHUNK_W, _CHUNK_S = 64, 48  # 16-token overlap
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.sql_tokens('text')} AS tk FROM documents),
+    ch AS (
+      SELECT doc_id, len(tk) AS n,
+             {tx.sql_chunk_texts('tk', _CHUNK_W, _CHUNK_S)} AS chunks
+      FROM toks),
+    sel AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(chunks) + 1), i ->
+               {{'idx': CAST(i AS BIGINT), 'c': chunks[i]}})) AS u
+      FROM ch)
+    SELECT doc_id, struct_extract(u, 'idx') AS chunk_idx,
+           CAST(LEAST({_CHUNK_W}, n - (struct_extract(u, 'idx') - 1) * {_CHUNK_S}) AS BIGINT)
+             AS n_chunk_tokens,
+           {sql_digest60("struct_extract(u, 'c')")} AS chunk_digest
+    FROM sel
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (rcspark.datapipe.text.
+    chunk_texts): 64-token windows every 48 tokens — the RAG/pretraining
+    chunker, complementing doc_pack_sequences (whole-doc packing). Pure
+    higher-order codegen; per-chunk token counts and digests checked."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tx.tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(tk).alias("_n"),
+        F.posexplode(tx.chunk_texts(tk, _CHUNK_W, _CHUNK_S)).alias("_i", "_c"),
+    )
+    return out.select(
+        "doc_id",
+        (F.col("_i") + 1).cast("long").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_W), F.col("_n") - F.col("_i") * _CHUNK_S)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        digest60(F.col("_c")).alias("chunk_digest"),
+    )
+
+
+@register(
+    "doc_top_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({tx.sql_tokens('text')}) AS token FROM documents),
+    g AS (
+      SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+    r AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+      FROM g)
+    SELECT token, cnt, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 100
+    """,
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-100 tokens by frequency with a
+    total-order tie-break — the vocabulary/Zipf audit every curation run
+    starts with. Map-side partial counts; only distinct tokens shuffle;
+    the final top-k is a TakeOrderedAndProject, not a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("token", "cnt", F.col("rnk").cast("long").alias("rnk"))
+    )

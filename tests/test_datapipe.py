@@ -463,3 +463,58 @@ def test_banded_neardup_recall_floor(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= 0.85, r2
     assert r2 > r1, (r1, r2)
+
+
+def test_pii_scrub_and_count(spark):
+    """Golden vectors through every PII pattern: redaction tags, counts,
+    overlap-free fold order, and clean text passing through untouched."""
+    from rcspark.datapipe import text as tx
+
+    rows = [
+        (0, "mail A.User+tag@Sub.Example.ORG now"),
+        (1, "call +1 555-123-4567 or 555 987 6543 today"),
+        (2, "host 10.0.255.7 and 192.168.0.42"),
+        (3, "nothing sensitive here at all"),
+        (4, "combo a@b.co 555-000-1111 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: (r["s"], r["n"])
+        for r in df.select(
+            "i",
+            tx.pii_scrub(F.col("t")).alias("s"),
+            tx.pii_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    assert out[0] == ("mail [EMAIL] now", 1)
+    assert out[1] == ("call [PHONE] or [PHONE] today", 2)
+    assert out[2] == ("host [IPV4] and [IPV4]", 2)
+    assert out[3] == ("nothing sensitive here at all", 0)
+    assert out[4] == ("combo [EMAIL] [PHONE] [IPV4]", 3)
+
+
+def test_chunk_texts_shapes(spark):
+    """Chunk boundary math: overlap, short docs, empty docs, exact-fit."""
+    from rcspark.datapipe import text as tx
+
+    toks = F.split(F.col("t"), " ")
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b"), (2, ""), (3, "a b c d")],
+        "i long, t string",
+    )
+    # window 4, stride 3 → doc0 (7 toks): [a b c d], [d e f g], [g]
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            tx.chunk_texts(
+                F.when(F.col("t") == "", F.array().cast("array<string>")).otherwise(toks),
+                4,
+                3,
+            ).alias("c"),
+        ).collect()
+    }
+    assert got[0] == ["a b c d", "d e f g", "g"]
+    assert got[1] == ["a b"]
+    assert got[2] == []
+    assert got[3] == ["a b c d", "d"]
