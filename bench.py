@@ -136,6 +136,13 @@ BENCH_QUERIES = [
     "emb_neardup_pairs",
     "img_features",
     "stream_stateful_schedule",
+    # round-3 operators
+    "join_asof_events",
+    "crawl_host_pagerank",
+    "crawl_sitemap_extract",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "doc_top_tokens",
 ]
 
 
