@@ -99,6 +99,105 @@ def fetch_http_arrow(
     return by_host.mapInPandas(run, out_schema)
 
 
+class PooledHttpTransport:
+    """Production transport binding for fetch_http_arrow: stdlib
+    ``http.client`` with a per-process connection pool keyed by
+    (scheme, host, port) — keep-alive reuse, bounded body reads, no
+    redirect following (A12 is the ENGINE's job: the 3xx Location comes
+    back as `redirect_to` and re-enters discovery).
+
+    Picklable by construction: the live pool never crosses process
+    boundaries (__getstate__ drops it), each Spark python worker rebuilds
+    its own connections lazily — exactly one pool per executor process,
+    the per-host affinity coming from fetch_http_arrow's
+    repartition("host"). Network errors return (None, None, None) (the
+    classify_outcome 'failed' path) and evict the pooled connection.
+
+    Exercised for real in tests/test_fetch_arrow.py against an in-process
+    localhost HTTP server (the sandbox has no external network); an
+    aiohttp/h2 pipelined client is a drop-in with the same contract.
+    """
+
+    def __init__(self, timeout: float = 10.0, max_body: int = 8 << 20,
+                 user_agent: str = "rcspark/0.3", resolve=None):
+        """``resolve``: optional picklable callable (host, port) ->
+        (address, port) — the DNS/IP-pool seam. When it rewrites the
+        address, the request still carries the ORIGINAL Host header
+        (virtual-hosting semantics), which is also what lets tests serve a
+        many-host fixture web from one localhost server."""
+        self.timeout = timeout
+        self.max_body = max_body
+        self.user_agent = user_agent
+        self.resolve = resolve
+        self._pool: dict = {}
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_pool"] = {}
+        return d
+
+    def _conn(self, scheme: str, host: str, port: int):
+        import http.client
+
+        key = (scheme, host, port)
+        conn = self._pool.get(key)
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = cls(host, port, timeout=self.timeout)
+            self._pool[key] = conn
+        return conn
+
+    def __call__(self, url: str):
+        from urllib.parse import urlsplit
+
+        key = None
+        try:
+            sp = urlsplit(url)
+            if sp.scheme not in ("http", "https") or not sp.hostname:
+                return (None, None, None)
+            port = sp.port or (443 if sp.scheme == "https" else 80)
+            addr, aport = (
+                self.resolve(sp.hostname, port) if self.resolve else (sp.hostname, port)
+            )
+            key = (sp.scheme, addr, aport)
+            target = (sp.path or "/") + (f"?{sp.query}" if sp.query else "")
+            headers = {"User-Agent": self.user_agent, "Accept": "*/*"}
+            if (addr, aport) != (sp.hostname, port):
+                headers["Host"] = sp.netloc.rsplit("@", 1)[-1]
+            conn = self._conn(sp.scheme, addr, aport)
+            try:
+                conn.request("GET", target, headers=headers)
+                resp = conn.getresponse()
+            except Exception:
+                # stale keep-alive or first failure: one fresh-connection retry
+                conn.close()
+                self._pool.pop(key, None)
+                conn = self._conn(sp.scheme, addr, aport)
+                conn.request("GET", target, headers=headers)
+                resp = conn.getresponse()
+            body = resp.read(self.max_body)
+            # drain so http.client can keep the connection alive
+            while resp.read(65536):
+                pass
+            status = int(resp.status)
+            redirect_to = (
+                resp.getheader("Location") if status in REDIRECT_STATUSES else None
+            )
+            return (status, redirect_to, bytes(body) if body else None)
+        except Exception:
+            stale = self._pool.pop(key, None) if key is not None else None
+            if stale is not None:
+                try:
+                    stale.close()
+                except Exception:
+                    pass
+            return (None, None, None)
+
+
 def classify_outcome(fetched: DataFrame) -> DataFrame:
     """+ result string ∈ {fetched, retry, redirect, failed}."""
     retry_ok = F.col("retry_count") < F.lit(RETRY_TIMES)

@@ -96,7 +96,14 @@ class CrawlEngine:
         robots_pdf: pd.DataFrame,
         seeds_pdf: pd.DataFrame,
         allowed_hosts: list[str],
+        transport=None,
     ):
+        """``transport``: optional real-fetch binding (see
+        fetch.PooledHttpTransport). None → the sandbox default, an
+        equi-join against the `web` table (simulate_fetch). With a
+        transport the wave fetch runs through fetch_http_arrow's
+        per-host Arrow batches instead — same output contract, pinned
+        equal end-to-end in tests/test_fetch_arrow.py."""
         self.spark = spark
         self.wh = Warehouse(spark, root)
         self.web = web
@@ -104,6 +111,7 @@ class CrawlEngine:
         self.robots = robots_table(spark, robots_pdf).persist()
         self.seeds_pdf = seeds_pdf
         self.allowed_hosts = list(allowed_hosts)
+        self.transport = transport
 
     # -- bootstrap ---------------------------------------------------------
     def _bootstrap(self) -> None:
@@ -171,7 +179,13 @@ class CrawlEngine:
         # 5. fetch + outcome (A10-A12). No count() action here: n_scheduled
         # rides as an observe() metric on the fetch_log write (step 12) —
         # one of the three per-wave driver jobs VERDICT r1 #8 retired.
-        outcome = classify_outcome(simulate_fetch(scheduled, self.web)).persist()
+        if self.transport is not None:
+            from .fetch import fetch_http_arrow
+
+            fetched = fetch_http_arrow(scheduled, self.transport)
+        else:
+            fetched = simulate_fetch(scheduled, self.web)
+        outcome = classify_outcome(fetched).persist()
 
         # 6. parse 200s (A14) — select narrow columns BEFORE the UDF so the
         # body column never rides through later stages (UDFs block pruning)
