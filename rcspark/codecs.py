@@ -49,6 +49,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         fmt = "ppm"
     elif data[:2] == b"Q6":
         fmt = "qppm"
+    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png  # real interoperable codec (round 3)
+
+        pix = decode_png(data)
+        if pix.shape[2] == 1:  # greyscale → RGB for the uniform contract
+            pix = np.repeat(pix, 3, axis=2)
+        return np.ascontiguousarray(pix[:, :, :3]), "png"
     else:
         raise ValueError(f"unknown magic {data[:2]!r}")
     # header: magic\nW H\n255\n

@@ -52,7 +52,14 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def decode_external(data: bytes, fmt: str) -> np.ndarray:
-    """Real-codec decode (JPEG/PNG/...). STUB: no codec libs in container."""
+    """Real-codec decode for interchange formats. PNG is REAL (round 3:
+    rcspark.png — stdlib zlib + numpy, all five filters, CRC-checked);
+    JPEG/WebP remain the documented seam where PIL/cv2 bind on a real
+    cluster (no codec libs in this container)."""
+    if fmt == "png" or data[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..png import decode_png
+
+        return decode_png(data)
     raise NotImplementedError(
         f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
     )

@@ -45,3 +45,132 @@ def test_phash_deterministic_and_robust():
     # quantization shouldn't move the perceptual hash much
     h2 = phash64(quantize(img))
     assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 6
+
+
+# -- real PNG codec (round 3: rcspark.png) -------------------------------------
+
+def _ref_filter_row(ftype, line, prev, ch):
+    """INDEPENDENT forward implementation of RFC 2083 §6 scanline filters
+    (the encoder side the decoder must invert) — written against the spec,
+    sharing no code with rcspark.png."""
+    import numpy as np
+
+    n = len(line)
+    out = bytearray(n)
+    for x in range(n):
+        raw = int(line[x])
+        left = int(line[x - ch]) if x >= ch else 0
+        up = int(prev[x])
+        ul = int(prev[x - ch]) if x >= ch else 0
+        if ftype == 0:
+            v = raw
+        elif ftype == 1:
+            v = raw - left
+        elif ftype == 2:
+            v = raw - up
+        elif ftype == 3:
+            v = raw - ((left + up) >> 1)
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            v = raw - pred
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def test_png_roundtrip_identity():
+    import numpy as np
+
+    from rcspark.png import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    pix = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    data = encode_png(pix)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png(data)
+    assert out.shape == (23, 17, 3)
+    assert (out == pix).all()
+    # deterministic bytes (stable digests across runs)
+    assert encode_png(pix) == data
+
+
+def test_png_decoder_inverts_all_spec_filters():
+    """Hand-build a PNG whose five scanlines use filters 0..4, filtered by
+    the independent reference implementation above; the decoder must
+    recover the raw pixels exactly. Also cover greyscale and RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rcspark.png import decode_png
+
+    def build(colour, ch, w=7):
+        rng = np.random.default_rng(100 + colour)
+        pix = rng.integers(0, 256, size=(5, w * ch), dtype=np.uint8)
+        raw = bytearray()
+        prev = bytes(w * ch)
+        for y in range(5):
+            raw.append(y)  # filter type = row index: covers 0..4
+            filtered = _ref_filter_row(y, pix[y], prev, ch)
+            raw.extend(filtered)
+            prev = bytes(pix[y])
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, 5, 8, colour, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"tEXt", b"Comment\x00made by the test")
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        return pix.reshape(5, w, ch), data
+
+    for colour, ch in ((0, 1), (2, 3), (6, 4)):
+        pix, data = build(colour, ch)
+        out = decode_png(data)
+        assert out.shape == pix.shape
+        assert (out == pix).all(), f"colour type {colour}"
+
+
+def test_png_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from rcspark.png import decode_png, encode_png
+
+    data = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    data[40] ^= 0xFF  # flip a byte inside a chunk → CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_image_pipeline_ingests_real_png(spark):
+    """A16 with a REAL interchange format: PNG-encoded images flow through
+    the same image_features mapInPandas stage as the numpy stand-ins, and
+    decode_image's magic sniffing reports fmt='png'."""
+    import numpy as np
+
+    from rcspark.codecs import decode_image
+    from rcspark.datapipe.multimodal import decode_external, image_features
+    from rcspark.png import encode_png
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        pix = rng.integers(0, 256, size=(10 + i, 8, 3), dtype=np.uint8)
+        rows.append((f"png{i}", bytearray(encode_png(pix)), pix))
+    df = spark.createDataFrame(
+        [(r[0], bytes(r[1])) for r in rows], "image_id string, bytes binary"
+    )
+    feats = {r["image_id"]: r for r in image_features(df).collect()}
+    for image_id, data, pix in rows:
+        f = feats[image_id]
+        assert (f["w"], f["h"], f["fmt"]) == (8, pix.shape[0], "png")
+        assert abs(f["mean_r"] - pix[:, :, 0].mean()) < 1e-3  # means are rounded
+        # decode_external (the former hard stub) now really decodes PNG
+        assert (decode_external(bytes(data), "png") == pix).all()
+        pix2, fmt = decode_image(bytes(data))
+        assert fmt == "png" and (pix2 == pix).all()
