@@ -357,6 +357,31 @@ def audio_features(clips: DataFrame) -> DataFrame:
 PHASH_MAX_BUCKET = 10_000  # shared with the DuckDB oracle's guard CTE
 
 
+def convert_images(
+    images: DataFrame, to_fmt: str = "png", bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """A16 convert-on-store: re-encode every image to a single storage
+    format before the corpus write — the Scrapy ImagesPipeline semantic
+    (it converts everything to JPEG; we convert to PNG, the sandbox's real
+    interoperable codec, which is lossless so decoded pixels are
+    bit-identical). Arrow-batched mapInPandas; schema unchanged (bytes
+    replaced, fmt restamped)."""
+    import pandas as pd
+
+    if to_fmt != "png":
+        raise ValueError(f"convert_images supports to_fmt='png', got {to_fmt!r}")
+
+    from ..codecs import decode_image
+    from ..png import encode_png
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [encode_png(decode_image(bytes(b))[0]) for b in pdf[bytes_col]]
+            yield pdf.assign(**{bytes_col: out, fmt_col: to_fmt})
+
+    return images.mapInPandas(run, images.schema)
+
+
 def phash_neardup_pairs(
     items: DataFrame,
     max_hamming: int = 6,

@@ -97,13 +97,18 @@ class CrawlEngine:
         seeds_pdf: pd.DataFrame,
         allowed_hosts: list[str],
         transport=None,
+        store_format: str | None = None,
     ):
         """``transport``: optional real-fetch binding (see
         fetch.PooledHttpTransport). None → the sandbox default, an
         equi-join against the `web` table (simulate_fetch). With a
         transport the wave fetch runs through fetch_http_arrow's
         per-host Arrow batches instead — same output contract, pinned
-        equal end-to-end in tests/test_fetch_arrow.py."""
+        equal end-to-end in tests/test_fetch_arrow.py.
+
+        ``store_format``: optional A16 convert-on-store format for corpus
+        images ('png' — multimodal.convert_images); None stores fetched
+        bytes as-is. PNG is lossless, so decoded pixels are unchanged."""
         self.spark = spark
         self.wh = Warehouse(spark, root)
         self.web = web
@@ -112,6 +117,7 @@ class CrawlEngine:
         self.seeds_pdf = seeds_pdf
         self.allowed_hosts = list(allowed_hosts)
         self.transport = transport
+        self.store_format = store_format
 
     # -- bootstrap ---------------------------------------------------------
     def _bootstrap(self) -> None:
@@ -284,6 +290,10 @@ class CrawlEngine:
             imgs["url_canon"],
             F.lit(t).alias("wave"),
         )
+        if self.store_format is not None:
+            from .datapipe.multimodal import convert_images
+
+            new_corpus = convert_images(new_corpus, self.store_format)
 
         # 10. fetch_log (+ robots-denied rows, seq NULL)
         log = outcome.select(

@@ -296,3 +296,38 @@ def test_resume_exactness(spark, tmp_path):
         return log, seen, corpus
 
     assert snap(eng_a) == snap(eng_b2)
+
+
+def test_convert_on_store_png_corpus(spark, tmp_path):
+    """A16 convert-on-store: an engine with store_format='png' writes a
+    corpus of REAL PNG files whose decoded pixels and captions equal the
+    pass-through engine's exactly (PNG is lossless) — the Scrapy
+    ImagesPipeline convert semantic with an interoperable format."""
+    from rcspark.codecs import decode_image
+    from rcspark.png import PNG_SIG
+
+    fx = make_fixture(n_hosts=3, urls_per_host=10, seed=7)
+    web, corpus_src = engine_inputs(spark, fx)
+    eng_a = CrawlEngine(
+        spark, str(tmp_path / "raw"), web, corpus_src,
+        fx.robots, fx.seeds, fx.allowed_hosts,
+    )
+    eng_a.run()
+    eng_b = CrawlEngine(
+        spark, str(tmp_path / "png"), web, corpus_src,
+        fx.robots, fx.seeds, fx.allowed_hosts, store_format="png",
+    )
+    eng_b.run()
+
+    raw = {r.image_id: r for r in eng_a.corpus_table().collect()}
+    png = {r.image_id: r for r in eng_b.corpus_table().collect()}
+    assert set(raw) == set(png) and raw
+    for image_id, r in png.items():
+        assert r.fmt == "png"
+        assert bytes(r.bytes)[:8] == PNG_SIG
+        pix_png, fmt = decode_image(bytes(r.bytes))
+        assert fmt == "png"
+        pix_raw, _ = decode_image(bytes(raw[image_id].bytes))
+        assert (pix_png == pix_raw).all()
+        assert r.caption == raw[image_id].caption
+        assert r.phash == raw[image_id].phash
