@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "stream_stateful_schedule",
     # round-3 operators
     "join_asof_events",
+    "join_range_events",
     "crawl_host_pagerank",
     "crawl_sitemap_extract",
     "doc_pii_scrub",

@@ -2333,3 +2333,49 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .select("token", "cnt", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "join_range_events",
+    oracle="""
+    SELECT e.event_id, e.user_id % 20 AS k, p.event_id AS window_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS w_start_s
+    FROM events e
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id % 20 = e.user_id % 20
+     AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 6 HOUR
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (rcspark.relational.interval_join): every
+    event landing inside a purchase's 6-hour attribution window within its
+    user cohort. Intervals explode into fixed time buckets; the join is a
+    plain hash equi-join on (cohort, bucket) + exact range filter — work
+    scales with overlap density, never the cross product. Checked against
+    DuckDB's native range-predicate join."""
+    from .relational import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id", (F.col("user_id") % 20).alias("k"), F.col("ts")
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("user_id") % 20).alias("k"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    out = interval_join(
+        points, windows, "ts", "w_start", "w_end", keys=["k"], bucket_seconds=6 * 3600
+    )
+    return out.select(
+        "event_id",
+        "k",
+        "window_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start_s"),
+    )

@@ -170,6 +170,52 @@ def sql_pagerank_ctes(
     return ",\n    ".join(ctes)
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    start_ts <= point_ts < end_ts (and equal `keys`, if given) — the range
+    join Spark has no native optimized operator for.
+
+    A naive theta-join is O(|points|·|intervals|) per key. Here each
+    interval EXPLODES into the fixed time buckets it covers
+    (ceil(len/bucket)+1 rows — bounded when interval length is), points
+    map to one bucket, and the join runs on (keys…, bucket) as a plain
+    hash equi-join followed by the exact range filter. Work scales with
+    overlap density, not with the cross product; `bucket_seconds` tunes
+    rows-per-interval against candidates-per-point (set it near the
+    typical interval length). The same shape Flink uses for interval
+    joins and DuckDB's IEJoin replaces single-node.
+
+    Columns of both inputs pass through (same-name collisions are the
+    caller's to alias, apart from the join keys).
+    """
+    keys = list(keys or [])
+
+    def bucket_of(col: str) -> Column:
+        # floor division; any constant session-tz offset cancels out — the
+        # bucket join only PRUNES, the exact range filter decides membership
+        return F.floor(F.unix_timestamp(F.col(col)) / F.lit(int(bucket_seconds))).cast(
+            "long"
+        )
+
+    p_bucket = bucket_of(point_ts)
+    i_lo = bucket_of(start_ts)
+    i_hi = bucket_of(end_ts)
+    p = points.withColumn("_bucket", p_bucket)
+    i = intervals.withColumn("_bucket", F.explode(F.sequence(i_lo, i_hi)))
+    joined = p.join(i, [*keys, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bucket")
+
+
 SITEMAP_LOC_RE = "<loc>([^<]*)</loc>"
 SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
 

@@ -104,3 +104,34 @@ def test_sitemap_entries_edges(spark):
         ("h1", 1, "u1", "d1"), ("h1", 2, "u2", "d2"),
         ("h2", 1, "u3", "d3"), ("h2", 2, "u4", None),
     ]
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    """Edge semantics: inclusive start, exclusive end, key isolation, and
+    intervals spanning multiple buckets (bucket_seconds smaller than the
+    interval) — pruning must never drop a true pair."""
+    from rcspark.relational import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (0, 1, "2024-01-02 00:00:00"),  # == start → IN
+            (1, 1, "2024-01-04 23:59:59"),  # just inside → IN
+            (2, 1, "2024-01-05 00:00:00"),  # == end → OUT
+            (3, 2, "2024-01-03 12:00:00"),  # right time, other key → OUT
+            (4, 1, "2024-01-01 23:59:59"),  # before start → OUT
+        ],
+        "pid int, k int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(100, 1, "2024-01-02 00:00:00", "2024-01-05 00:00:00")],
+        "iid int, k int, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    for bucket in (3600, 86_400, 7 * 86_400):  # interval spans 72/3/1 buckets
+        got = sorted(
+            r["pid"]
+            for r in interval_join(
+                points, intervals, "ts", "s", "e", keys=["k"], bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == [0, 1], bucket
