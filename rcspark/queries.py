@@ -2379,3 +2379,333 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start_s"),
     )
+
+
+# =============================================================================
+# Round-3 batch 2: repetition/decontamination quality gates, exact
+# percentiles, pivot, semi-join, ntile buckets, URL blocklist
+# =============================================================================
+
+# -- Gopher-style repetition signals ------------------------------------------
+# The canonical pretraining quality gate (Rae et al. 2021 §A1.1): fraction
+# of the document covered by duplicated / by the single most-frequent
+# word-bigram. Counting happens in a (doc_id, bigram) groupBy — map-side
+# partial aggregation means only distinct bigrams per doc cross the
+# shuffle, and work scales with corpus size, never doc-pair count.
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, unnest({tx.sql_shingles('toks', 2)}) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    g AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt) AS dup_bigram_frac,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: duplicate-bigram fraction and
+    top-bigram fraction per document. Ratios divide identical BIGINT
+    aggregates on both engines, so the doubles are bit-identical."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    g = (
+        t.select("doc_id", F.explode(tx.shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return g.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("cnt")
+        ).alias("dup_bigram_frac"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+    )
+
+
+# -- benchmark decontamination ------------------------------------------------
+# Test-set contamination scan: corpus docs sharing any word-5-gram with a
+# benchmark set (here: every 97th doc, standing in for an eval suite). The
+# benchmark shingle-digest set is tiny → broadcast; the corpus side
+# explodes shingles ONCE and semi-joins, so nothing but the per-doc hit
+# counts ever aggregates. At 100 TB the benchmark side stays broadcastable
+# (eval suites are MBs) and the corpus scan is embarrassingly parallel.
+
+_DECON_K = 5
+
+@register(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({tx.sql_shingles('toks', _DECON_K)}) AS s
+      FROM t WHERE len(toks) >= {_DECON_K}),
+    d AS (SELECT doc_id, {sql_digest60('s')} AS sd FROM sh),
+    bench AS (
+      SELECT DISTINCT sd FROM d WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n_hits
+      FROM d JOIN bench USING (sd)
+      WHERE d.doc_id % 97 <> 0
+      GROUP BY d.doc_id),
+    totals AS (
+      SELECT doc_id, count(*) AS n_shingles FROM d GROUP BY doc_id)
+    SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(t2.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_hits AS DOUBLE) / t2.n_shingles AS contaminated_frac
+    FROM hits h JOIN totals t2 USING (doc_id)
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: per-corpus-doc count of word
+    5-grams that appear anywhere in the benchmark subset."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _DECON_K
+    )
+    d = t.select(
+        "doc_id", F.explode(tx.shingles(F.col("toks"), _DECON_K)).alias("s")
+    ).select("doc_id", digest60(F.col("s")).alias("sd"))
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0).select("sd").distinct()
+    )
+    hits = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "sd")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = d.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+# -- exact discrete percentiles -----------------------------------------------
+# Exact p50/p90/p99 per group in integer cents: row_number + count over the
+# group, pick rank ceil(q*n) — percentile_disc semantics, zero float
+# accumulation (the one sort per group IS the exact-percentile lower
+# bound; the approximate path at 100 TB is percentile_approx/t-digest,
+# which no DuckDB twin can hash-match).
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_disc(0.5/0.9/0.99) per event_type over integer
+    cents — rank arithmetic is all integer division, identical in both
+    engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))).alias(
+            "p50_cents"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("cents"))
+        ).alias("p90_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("cents"))
+        ).alias("p99_cents"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+
+
+# -- pivot --------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+@register(
+    "agg_pivot_events",
+    oracle="""
+    SELECT user_id,
+           """
+    + ",\n           ".join(
+        f"CAST(coalesce(count(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT)"
+        f" AS {t}_n,\n           "
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{t}'"
+        f" THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT)"
+        f" AS {t}_cents"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type matrix (count + cents sum per type).
+    The explicit value list keeps Spark's pivot single-pass (no extra
+    distinct-values job) — the form that survives 100 TB; absent
+    (user, type) cells are coalesced to 0 on both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    cols = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_cents"), F.lit(0)).cast("long").alias(f"{t}_cents")
+        )
+    return piv.select(*cols)
+
+
+# -- semi join / EXISTS -------------------------------------------------------
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        AND floor(o.o_totalprice * 100 + 0.5) > 10000000)
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one finished
+    order over $100k. Completes the semi/anti pair (anti:
+    crawl_seen_antijoin); the filtered orders side is the small side, so
+    Catalyst broadcasts it and no customer row ever shuffles."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) > 10000000)
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# -- ntile / percent_rank buckets ---------------------------------------------
+
+@register(
+    "window_decile_bucket",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS BIGINT) AS decile,
+           round(percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id), 6) AS pct_rank
+    FROM documents
+    """,
+)
+def window_decile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketing windows: per-language ntile(10) deciles +
+    percent_rank over (n_chars, doc_id) — the total-order tie-break makes
+    both window functions deterministic across engines."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# -- URL blocklist (deny-domains + deny-URL regex) ----------------------------
+# Scrapy LinkExtractor deny/deny_domains semantics [U scrapy/linkextractors/
+# lxmlhtml.py]: a domain blocklist matches the host itself or any
+# subdomain. Matching is on dot-suffixes of the host (public-suffix-list
+# style) via a codegen InSet filter — zero joins, zero shuffles. A
+# million-entry blocklist swaps the literal set for a broadcast hash
+# equi-join on the exploded suffixes (same exprs); either way no
+# LIKE-any nested loop.
+
+_DENY_HOSTS = ("h7.example", "h21.example", "h33.example", "ads.example")
+_DENY_HOSTS_SQL = ", ".join(f"'{h}'" for h in _DENY_HOSTS)
+_DENY_URL_RE = "/o/[0-9]*13$"
+
+@register(
+    "crawl_url_blocklist",
+    oracle=f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    p AS (SELECT url_canon, host, string_split(host, '.') AS parts FROM f),
+    suf AS (
+      SELECT url_canon, host,
+             list_transform(range(1, len(parts) + 1),
+               i -> array_to_string(list_slice(parts, i, 99), '.')) AS suffixes
+      FROM p)
+    SELECT url_canon, host,
+           CASE
+             WHEN len(list_filter(suffixes, s -> s IN ({_DENY_HOSTS_SQL}))) > 0
+               THEN 'blocked_host'
+             WHEN regexp_matches(url_canon, '{_DENY_URL_RE}') THEN 'blocked_url'
+             ELSE 'allowed'
+           END AS verdict
+    FROM suf
+    """,
+)
+def crawl_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _build_frontier(spark, sf_dir).select("url_canon", "host")
+    # parts materialized as its own projection first — an inlined split
+    # would re-run inside the transform lambda per element (PLANS.md HOF
+    # re-evaluation gotcha)
+    p = f.select("url_canon", "host", F.split(F.col("host"), r"\.").alias("parts"))
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("parts"))),
+        lambda i: F.array_join(F.slice(F.col("parts"), i, 99), "."),
+    )
+    hit = F.size(F.filter(suffixes, lambda s: s.isin(*_DENY_HOSTS))) > 0
+    return p.select(
+        "url_canon",
+        "host",
+        F.when(hit, F.lit("blocked_host"))
+        .when(F.col("url_canon").rlike(_DENY_URL_RE), F.lit("blocked_url"))
+        .otherwise(F.lit("allowed"))
+        .alias("verdict"),
+    )
