@@ -2067,6 +2067,74 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+# -- watermarked sliding-window aggregation -----------------------------------
+# Event-time watermark semantics made oracle-checkable: a 1-hour window
+# sliding every 30 minutes with a 2-hour watermark in APPEND mode emits
+# exactly the windows whose end <= max(event ts) - 2h (the final
+# watermark); the tail windows stay open and are withheld. The DuckDB twin
+# replays that rule in batch SQL: each event lands in its two epoch-aligned
+# slide buckets, and the watermark filter reproduces append-mode emission.
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    e AS (
+      SELECT event_type,
+             unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000),
+               make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+             ]) AS w_start
+      FROM events),
+    g AS (SELECT event_type, w_start, count(*) AS n FROM e GROUP BY 1, 2)
+    SELECT event_type,
+           strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s,
+           n
+    FROM g, mx
+    WHERE w_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window count with a 2-hour watermark,
+    APPEND output (only finalized windows are ever emitted — the
+    late-data contract), drained with trigger(availableNow)."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    # withWatermark rejects TIMESTAMP_NTZ; the cast shifts every instant by
+    # the same session offset, and for any offset that is a multiple of the
+    # 30-min slide the shift cancels out of both the epoch alignment and the
+    # watermark inequality, so rendered wall-clock windows stay tz-proof.
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(file_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            "event_type",
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start_s"),
+            F.col("n"),
+        )
+    )
+    sink = f"stream_wincounts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # =============================================================================
 # Round-3 relational extensions (rcspark.relational): as-of join, iterative
 # exact-integer PageRank, sitemap extraction — operators Spark lacks as
