@@ -783,3 +783,195 @@ def ann_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "bucket", "vec_id", "cos_sim", "rnk")
     )
+
+
+# -- Product Quantization (PQ) ANN ---------------------------------------------
+# The memory-bound 100 TB tier: each 64-dim float vector compresses to
+# PQ_M sub-codes (4 subspaces × 16 codes — 4 bits each, 2 bytes per vector
+# vs 256), and search runs against the codes with an asymmetric-distance
+# (ADC) lookup table built once per probe. Sub-codebooks are TRAINED — the
+# same exact micro-unit-integer Lloyd as the IVF tier (_kmeans_numpy), run
+# once per subspace on the dim-slice — so encoding, LUTs, and ADC
+# distances are exact int64 arithmetic that Spark, DuckDB, and numpy
+# reproduce bit-for-bit. At corpus scale training runs offline on the
+# digest-sample (sample_mod, same contract as kmeans_centroids) and the
+# tiny codebook (PQ_M·PQ_KSUB·PQ_DSUB ints) ships to search jobs as
+# literals, like train_ivf_codebook/load_ivf_codebook.
+
+PQ_M = 4  # subspaces
+PQ_DSUB = 16  # dims per subspace (PQ_M * PQ_DSUB = embedding dim)
+PQ_KSUB = 16  # codes per subspace -> 4 bits each
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = KMEANS_ITERS,
+    sample_mod: int | None = None,
+) -> dict[int, dict[int, list[int]]]:
+    """{subspace m: {code c: [cq..]}} — one exact-integer Lloyd per
+    dim-slice over ONE collected (digest-sampled) training set. Seed order
+    is the global (digest60('seed:'||vec_id), vec_id) ranking, identical
+    for every subspace; empty cells drop out per (m, cell) — both
+    reproduced by the SQL twin (sql_pq_ctes)."""
+    from ..datapipe.hashing import digest60
+
+    src = emb.select(
+        F.col(id_col).alias("vec_id"), _quant_col(F.col(vec_col)).alias("qq")
+    )
+    if sample_mod is not None:
+        src = src.filter(
+            digest60(F.concat(F.lit("ivfsample:"), F.col("vec_id").cast("string")))
+            % sample_mod
+            == 0
+        )
+    rows = src.collect()
+    out: dict[int, dict[int, list[int]]] = {}
+    for m in range(PQ_M):
+        sub = [
+            {"vec_id": r["vec_id"], "q": r["qq"][m * PQ_DSUB : (m + 1) * PQ_DSUB]}
+            for r in rows
+        ]
+        out[m] = _kmeans_numpy(sub, PQ_KSUB, iters, PQ_DSUB)
+    return out
+
+
+_PQ_FAR = 1 << 62  # LUT sentinel for dropped-out cells (never argmin-selected)
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: dict[int, dict[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code0..code{M-1}) — the PQ compression pass. Pure map-side
+    codegen (slice + integer argmin over struct array_min); zero shuffles,
+    so it pipelines into whatever sink partitioning the caller wants. Each
+    subspace slice is materialized as its own column first (HOF
+    re-evaluation gotcha: an inlined slice would re-run per code)."""
+    df = emb.select(
+        F.col(id_col).alias("vec_id"), _quant_col(F.col(vec_col)).alias("q")
+    )
+    for m in range(PQ_M):
+        df = df.withColumn(f"_s{m}", F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB))
+        entries = [
+            F.struct(
+                _int_dist(F.col(f"_s{m}"), cq).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cq in sorted(cents[m].items())
+        ]
+        df = df.withColumn(
+            f"code{m}", F.array_min(F.array(*entries))["c"].cast("int")
+        ).drop(f"_s{m}")
+    return df.drop("q")
+
+
+def ann_topk_pq(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    cents: dict[int, dict[int, list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = KMEANS_ITERS,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes: per probe, a LUT of squared distances from
+    the probe's sub-vector to every (subspace, code) centroid is computed
+    ONCE (on the tiny broadcast probe frame); corpus rows then cost PQ_M
+    array lookups each — never a dim-length dot product. The corpus side
+    reads only the 2-byte codes at scale (encode is a separate pass /
+    stored table); one top-k window per probe with (adc, vec_id) total
+    order. ``cents`` takes a pre-trained codebook (pq_train — the offline
+    production path); without it training runs here."""
+    if cents is None:
+        cents = pq_train(emb, id_col, vec_col, iters, sample_mod)
+    codes = pq_encode(emb, cents, id_col, vec_col)
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), _quant_col(F.col(vec_col)).alias("q")
+    )
+    for m in range(PQ_M):
+        probes = probes.withColumn(
+            f"_s{m}", F.slice(F.col("q"), m * PQ_DSUB + 1, PQ_DSUB)
+        )
+        # LUT indexed by ORIGINAL cell id 0..PQ_KSUB-1; dropped-out cells
+        # hold a far sentinel (codes never reference them)
+        lut = [F.lit(_PQ_FAR).cast("long")] * PQ_KSUB
+        for c, cq in sorted(cents[m].items()):
+            lut[c] = _int_dist(F.col(f"_s{m}"), cq)
+        probes = probes.withColumn(f"_lut{m}", F.array(*lut)).drop(f"_s{m}")
+    probes = F.broadcast(probes.drop("q"))
+    scored = codes.join(probes, F.col("vec_id") != F.col("probe_id")).withColumn(
+        "adc_dist",
+        sum(
+            F.element_at(F.col(f"_lut{m}"), F.col(f"code{m}") + 1)
+            for m in range(PQ_M)
+        ).cast("long"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "vec_id", "adc_dist", "rnk")
+    )
+
+
+def sql_pq_ctes(iters: int = KMEANS_ITERS, dim: int = 64, sample_mod: int | None = None) -> str:
+    """DuckDB CTE chain re-deriving the PQ training + encoding end-to-end:
+    all PQ_M subspaces train in the SAME relational iteration (subspace m
+    is just a grouping column), mirroring pq_train/_kmeans_numpy step for
+    step — digest60 seed ranking, (dd, cell) argmin tie-break,
+    _div_half_away centroid update, per-(m, cell) dropout. Exposes
+    `codes`(vec_id, m, c) and `distF`(vec_id, m, cell, dd) for the
+    encode/ADC queries."""
+    seed_h = sql_digest60("'seed:' || vec_id::VARCHAR")
+    if sample_mod is not None:
+        samp_h = sql_digest60("'ivfsample:' || vec_id::VARCHAR")
+        tvecs = f"SELECT vec_id FROM embeddings WHERE ({samp_h}) % {sample_mod} = 0"
+    else:
+        tvecs = "SELECT vec_id FROM embeddings"
+    cq_update = _sql_div_half_away("sum(q.q)", "count(*)")
+    ctes = [
+        f"tvecs AS ({tvecs})",
+        f"""sq AS (
+      SELECT vec_id, CAST((i - 1) // {PQ_DSUB} AS INT) AS m,
+             CAST((i - 1) % {PQ_DSUB} AS INT) AS d,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {QUANT}) AS BIGINT) AS q
+      FROM embeddings, range(1, {dim + 1}) r(i))""",
+        "tsq AS (SELECT s.* FROM sq s JOIN tvecs t USING (vec_id))",
+        f"""seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY {seed_h}, vec_id) - 1 AS INT) AS cell
+      FROM tvecs
+      QUALIFY row_number() OVER (ORDER BY {seed_h}, vec_id) <= {PQ_KSUB})""",
+        """cent0 AS (
+      SELECT s.cell, q.m, q.d, q.q AS cq FROM seeds s JOIN tsq q USING (vec_id))""",
+    ]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""dist{t} AS (
+      SELECT q.vec_id, q.m, c.cell, sum((q.q - c.cq) * (q.q - c.cq)) AS dd
+      FROM tsq q JOIN {prev} c ON c.m = q.m AND c.d = q.d GROUP BY 1, 2, 3)""")
+        ctes.append(f"""assign{t} AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT vec_id, m, cell,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, cell) AS rn
+        FROM dist{t}) WHERE rn = 1)""")
+        ctes.append(f"""cent{t} AS (
+      SELECT a.cell, q.m, q.d, CAST({cq_update} AS BIGINT) AS cq
+      FROM assign{t} a JOIN tsq q ON q.vec_id = a.vec_id AND q.m = a.m
+      GROUP BY 1, 2, 3)""")
+        prev = f"cent{t}"
+    ctes.append(f"""distF AS (
+      SELECT q.vec_id, q.m, c.cell, sum((q.q - c.cq) * (q.q - c.cq)) AS dd
+      FROM sq q JOIN {prev} c ON c.m = q.m AND c.d = q.d GROUP BY 1, 2, 3)""")
+    ctes.append("""codes AS (
+      SELECT vec_id, m, cell AS c FROM (
+        SELECT vec_id, m, cell,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, cell) AS rn
+        FROM distF) WHERE rn = 1)""")
+    return ",\n    ".join(ctes)

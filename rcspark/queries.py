@@ -2777,3 +2777,66 @@ def crawl_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("allowed"))
         .alias("verdict"),
     )
+
+
+# -- Product Quantization: compression codes + ADC search ----------------------
+# The memory-bound ANN tier (sim.pq_train / pq_encode / ann_topk_pq):
+# 64-dim float32 vectors compress to 4 trained sub-codes of 4 bits each;
+# search touches only the codes plus a per-probe integer lookup table.
+# The shared CTE chain (sim.sql_pq_ctes) re-derives the exact-integer
+# Lloyd training of all four sub-codebooks in one relational iteration
+# (subspace is a grouping column), then the argmin codes and the
+# per-(vector, subspace, cell) distances — encode and ADC both read it.
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH {sim.sql_pq_ctes()}
+    SELECT vec_id,
+           {", ".join(f"CAST(max(CASE WHEN m = {m} THEN c END) AS BIGINT) AS code{m}" for m in range(4))}
+    FROM codes GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression pass: every corpus vector → 4 trained sub-codes
+    (2 bytes vs 256 at scale). Training is one bounded job (digest-sample
+    at scale); encoding is pure map-side codegen, zero shuffles."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = sim.pq_encode(emb, sim.pq_train(emb))
+    return out.select(
+        "vec_id", *[F.col(f"code{m}").cast("long").alias(f"code{m}") for m in range(4)]
+    )
+
+
+@register(
+    "emb_ann_pq",
+    oracle=f"""
+    WITH {sim.sql_pq_ctes()},
+    adc AS (
+      SELECT d.vec_id AS probe_id, x.vec_id, sum(d.dd) AS adc_dist
+      FROM codes x
+      JOIN distF d ON d.m = x.m AND d.cell = x.c
+      WHERE d.vec_id IN ({_PROBES_SQL}) AND x.vec_id <> d.vec_id
+      GROUP BY 1, 2),
+    r AS (
+      SELECT probe_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc)
+    SELECT probe_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the trained PQ codes:
+    per-probe LUT built once on the broadcast probe frame, corpus rows
+    cost 4 array lookups each. Exact int64 end-to-end, so the ranking
+    hash-matches the oracle's full re-derivation (training included)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_pq(emb, _PROBES, k=5).select(
+        "probe_id",
+        "vec_id",
+        "adc_dist",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
