@@ -2935,3 +2935,149 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("keep"),
     )
     return out
+
+
+# -- A14 back half: anchor/link extraction with anchor text --------------------
+# The link-extraction step that feeds both discovery (href) and an
+# anchor-text index (the highest-signal relevance feature a crawler emits).
+# Same codegen shape as sitemap extraction: per-host HTML bodies assembled
+# deterministically from orders (sorted string_agg, identical in both
+# engines), parsed back with two regexp_extract_all arrays zipped +
+# posexploded. [U scrapy/linkextractors/lxmlhtml.py]
+
+@register(
+    "crawl_anchor_extract",
+    oracle="""
+    WITH pages AS (
+      SELECT 'h' || (o_custkey % 20) AS host,
+             '<html>' || string_agg(e, '' ORDER BY e) || '</html>' AS body
+      FROM (
+        SELECT o_custkey,
+               '<a href="http://h' || (o_custkey % 20) || '.example/o/'
+                 || o_orderkey || '">Order ' || o_orderkey || '</a>' AS e
+        FROM orders) t
+      GROUP BY 1),
+    ex AS (
+      SELECT host,
+             regexp_extract_all(body, '<a href="([^"]*)">', 1) AS hrefs,
+             regexp_extract_all(body, '">([^<]*)</a>', 1) AS texts
+      FROM pages),
+    sel AS (
+      SELECT host,
+             unnest(list_transform(range(1, len(hrefs) + 1), i ->
+               {'seq': CAST(i AS BIGINT), 'href': hrefs[i], 'anchor': texts[i]})) AS u
+      FROM ex)
+    SELECT host, struct_extract(u, 'seq') AS seq,
+           struct_extract(u, 'href') AS href,
+           struct_extract(u, 'anchor') AS anchor
+    FROM sel
+    """,
+)
+def crawl_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction (rcspark.relational.anchor_pairs): per-host HTML
+    pages explode into (host, seq, href, anchor) rows — one row per
+    ``<a href>`` tag, keeping the anchor TEXT alongside the target URL.
+    Pure whole-stage-codegen regexp work; at 100 TB this is the
+    embarrassingly-parallel map stage between fetch and frontier-merge."""
+    from .relational import anchor_pairs
+
+    orders = load(spark, sf_dir, "orders")
+    entry = F.concat(
+        F.lit('<a href="http://h'),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit('">Order '),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</a>"),
+    )
+    pages = (
+        orders.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string")).alias("host"),
+            entry.alias("_e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<html>"),
+                F.array_join(F.array_sort(F.collect_list("_e")), ""),
+                F.lit("</html>"),
+            ).alias("body")
+        )
+    )
+    return anchor_pairs(pages)
+
+
+# -- A2/A5 guard: crawler-trap detection ---------------------------------------
+# Structural URL-trap heuristics (rcspark.urlnorm.trap_features): path
+# depth, repeated path segments (mirror/session loops), query-parameter
+# explosion (faceted-search / calendar traps). URLs are derived from part
+# so every verdict class occurs; the oracle re-derives depth/repeat/param
+# counts AND the precedence CASE from the same twin expressions.
+# [U scrapy depth middleware; heritrix PathologicalPath/TooManyPath rules]
+
+from .urlnorm import sql_trap_features as _sql_trap  # noqa: E402
+
+_TRAP_URL_SQL = """
+      SELECT p_partkey,
+             'http://t' || (p_partkey % 9) || '.example/'
+               || array_to_string(list_transform(range(1, (p_partkey % 11 + 1) + 1),
+                                                 i -> 's' || i), '/')
+               || repeat('/r' || (p_partkey % 3), p_partkey % 6)
+               || CASE WHEN p_partkey % 11 = 0 THEN ''
+                       ELSE '?q=1' || repeat('&q=1', p_partkey % 11 - 1) END AS url
+      FROM part"""
+
+_TRAP_SQL = _sql_trap("url")
+
+
+@register(
+    "crawl_trap_filter",
+    oracle=f"""
+    WITH urls AS ({_TRAP_URL_SQL})
+    SELECT p_partkey, url,
+           {_TRAP_SQL["depth"]} AS depth,
+           {_TRAP_SQL["n_repeat"]} AS n_repeat,
+           {_TRAP_SQL["n_params"]} AS n_params,
+           {_TRAP_SQL["verdict"]} AS verdict
+    FROM urls
+    """,
+)
+def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap gate (rcspark.urlnorm.trap_features): per-URL depth /
+    repeated-segment / query-param-explosion counters plus the precedence
+    verdict the frontier uses to drop pathological URLs BEFORE scheduling.
+    All pure codegen column expressions — zero shuffles, pushes to the
+    scan, and at 100 TB it is free relative to the fetch it prevents."""
+    from .urlnorm import trap_features
+
+    part = load(spark, sf_dir, "part")
+    depth_n = (F.col("p_partkey") % 11 + 1).cast("int")
+    par_n = (F.col("p_partkey") % 11).cast("int")
+    url = F.concat(
+        F.lit("http://t"),
+        (F.col("p_partkey") % 9).cast("string"),
+        F.lit(".example/"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), depth_n), lambda i: F.concat(F.lit("s"), i.cast("string"))
+            ),
+            "/",
+        ),
+        F.repeat(
+            F.concat(F.lit("/r"), (F.col("p_partkey") % 3).cast("string")),
+            (F.col("p_partkey") % 6).cast("int"),
+        ),
+        F.when(par_n == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?q=1"), F.repeat(F.lit("&q=1"), par_n - 1))
+        ),
+    )
+    feats = trap_features(F.col("url"))
+    return part.select("p_partkey", url.alias("url")).select(
+        "p_partkey",
+        "url",
+        feats["depth"].alias("depth"),
+        feats["n_repeat"].alias("n_repeat"),
+        feats["n_params"].alias("n_params"),
+        feats["verdict"].alias("verdict"),
+    )

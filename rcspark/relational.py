@@ -322,3 +322,26 @@ def sql_cc_ctes(nodes_sql: str, edges_sql: str, iters: int = CC_ITERS) -> str:
         prev = f"cc{t}"
     ctes.append(f"ccF AS (SELECT node, cluster FROM {prev})")
     return ",\n    ".join(ctes)
+
+
+ANCHOR_HREF_RE = '<a href="([^"]*)">'
+ANCHOR_TEXT_RE = '">([^<]*)</a>'
+
+
+def anchor_pairs(pages: DataFrame, body_col: str = "body") -> DataFrame:
+    """pages(..., body) → one row per `<a href="U">T</a>` anchor: original
+    columns + (seq, href, anchor). Same codegen shape as sitemap_entries
+    (two regexp_extract_all arrays zipped + posexploded); the back half of
+    A14 that feeds an anchor-text index. [U scrapy/linkextractors]"""
+    keep = [c for c in pages.columns if c != body_col]
+    hrefs = F.regexp_extract_all(F.col(body_col), F.lit(ANCHOR_HREF_RE), 1)
+    texts = F.regexp_extract_all(F.col(body_col), F.lit(ANCHOR_TEXT_RE), 1)
+    return (
+        pages.select(*keep, F.posexplode(F.arrays_zip(hrefs, texts)).alias("_i", "_e"))
+        .select(
+            *keep,
+            (F.col("_i") + 1).cast("long").alias("seq"),
+            F.col("_e").getField("0").alias("href"),
+            F.col("_e").getField("1").alias("anchor"),
+        )
+    )

@@ -102,3 +102,58 @@ def canon_py(url: str) -> str | None:
     ]
     q = "&".join(sorted(kept))
     return f"{scheme}://{netloc}{path}" + (f"?{q}" if q else "")
+
+
+# -- Crawler-trap heuristics (round 3) ----------------------------------------
+# Structural URL signals every production frontier gates on before
+# scheduling: path depth, repeated path segments (/a/a/a/ mirrors,
+# session-id loops), and query-parameter explosion (faceted-search /
+# calendar traps). Pure codegen column expressions with an exact SQL twin
+# so the whole detector sits inside the cross-engine hash gate.
+# [U scrapy depth middleware; heritrix PathologicalPath/TooManyPath rules]
+
+TRAP_MAX_DEPTH = 8     # segments before 'trap-depth'
+TRAP_MAX_REPEAT = 3    # duplicated segments before 'trap-repeat'
+TRAP_MAX_PARAMS = 8    # query params before 'trap-params'
+
+
+def _segs_col(url: Column) -> Column:
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    return F.filter(F.split(path, "/"), lambda x: x != "")
+
+
+def trap_features(url: Column) -> dict[str, Column]:
+    """{depth, n_repeat, n_params, verdict} — verdict precedence is
+    params > repeat > depth (explosion traps fire first; a deep repeated
+    path reports the more specific repeat cause)."""
+    segs = _segs_col(url)
+    depth = F.size(segs).cast("long")
+    n_repeat = (F.size(segs) - F.size(F.array_distinct(segs))).cast("long")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&"))).cast("long")
+    verdict = (
+        F.when(n_params > TRAP_MAX_PARAMS, F.lit("trap-params"))
+        .when(n_repeat >= TRAP_MAX_REPEAT, F.lit("trap-repeat"))
+        .when(depth > TRAP_MAX_DEPTH, F.lit("trap-depth"))
+        .otherwise(F.lit("ok"))
+    )
+    return {"depth": depth, "n_repeat": n_repeat, "n_params": n_params, "verdict": verdict}
+
+
+def sql_trap_features(url_expr: str) -> dict[str, str]:
+    """DuckDB twins of trap_features over `url_expr` (expects a CTE column;
+    NOTE DuckDB string literals keep backslashes as-is — single-escape)."""
+    segs = (
+        f"list_filter(string_split(regexp_extract({url_expr},"
+        f" '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1), '/'), x -> x <> '')"
+    )
+    q = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    depth = f"CAST(len({segs}) AS BIGINT)"
+    n_repeat = f"CAST(len({segs}) - len(list_distinct({segs})) AS BIGINT)"
+    n_params = f"CAST(CASE WHEN {q} = '' THEN 0 ELSE len(string_split({q}, '&')) END AS BIGINT)"
+    verdict = (
+        f"CASE WHEN {n_params} > {TRAP_MAX_PARAMS} THEN 'trap-params' "
+        f"WHEN {n_repeat} >= {TRAP_MAX_REPEAT} THEN 'trap-repeat' "
+        f"WHEN {depth} > {TRAP_MAX_DEPTH} THEN 'trap-depth' ELSE 'ok' END"
+    )
+    return {"depth": depth, "n_repeat": n_repeat, "n_params": n_params, "verdict": verdict}

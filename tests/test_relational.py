@@ -194,3 +194,29 @@ def test_dedup_clusters_verdict_invariants(spark):
     assert (g.size().values == g["csize"].first().values).all()
     keepers = out[out["keep"] == 1].set_index("cluster")["doc_id"]
     assert (keepers.values == g["doc_id"].min().loc[keepers.index].values).all()
+
+
+def test_anchor_pairs_edges(spark):
+    """Anchorless bodies yield no rows; seq preserves document order;
+    extra columns ride along; anchors with empty text still pair."""
+    from pyspark.sql import functions as F
+
+    from rcspark.relational import anchor_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("h0", 7, "<html>no links here</html>"),
+            ("h1", 8, '<html><a href="u1">One</a><p>x</p><a href="u2">Two</a></html>'),
+            ("h2", 9, '<html><a href="u3"></a></html>'),
+        ],
+        "host string, wave int, body string",
+    )
+    rows = sorted(
+        (r["host"], r["wave"], r["seq"], r["href"], r["anchor"])
+        for r in anchor_pairs(pages).collect()
+    )
+    assert rows == [
+        ("h1", 8, 1, "u1", "One"),
+        ("h1", 8, 2, "u2", "Two"),
+        ("h2", 9, 1, "u3", ""),
+    ]

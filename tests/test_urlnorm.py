@@ -71,3 +71,48 @@ def test_canon_col_matches_py(spark):
     }
     for u in urls:
         assert got[u] == canon_py(u), f"twin mismatch for {u!r}"
+
+
+def test_trap_features_golden(spark):
+    """Golden vectors for the crawler-trap heuristics: each counter and
+    the verdict precedence (params > repeat > depth)."""
+    from rcspark.urlnorm import trap_features
+
+    cases = [
+        # url, depth, n_repeat, n_params, verdict
+        ("http://h.example/", 0, 0, 0, "ok"),
+        ("http://h.example/a/b/c", 3, 0, 0, "ok"),
+        ("http://h.example/a/b/c/d/e/f/g/h", 8, 0, 0, "ok"),
+        ("http://h.example/a/b/c/d/e/f/g/h/i", 9, 0, 0, "trap-depth"),
+        ("http://h.example/a/a/b", 3, 1, 0, "ok"),
+        ("http://h.example/x/a/a/a/a", 5, 3, 0, "trap-repeat"),
+        # repeat beats depth: 9 segments, 8 of them the same
+        ("http://h.example/" + "/".join(["s"] * 9), 9, 8, 0, "trap-repeat"),
+        ("http://h.example/p?a=1&b=2", 1, 0, 2, "ok"),
+        ("http://h.example/p?" + "&".join(f"k{i}=1" for i in range(8)), 1, 0, 8, "ok"),
+        ("http://h.example/p?" + "&".join(f"k{i}=1" for i in range(9)), 1, 0, 9,
+         "trap-params"),
+        # params beats repeat AND depth
+        ("http://h.example/" + "/".join(["s"] * 9) + "?"
+         + "&".join(f"k{i}=1" for i in range(9)), 9, 8, 9, "trap-params"),
+        # fragment is not part of the query
+        ("http://h.example/p?a=1#b=2&c=3", 1, 0, 1, "ok"),
+        # no query at all
+        ("http://h.example/p#frag", 1, 0, 0, "ok"),
+    ]
+    from rcspark.urlnorm import trap_features as tf
+
+    df = spark.createDataFrame([(u,) for u, *_ in cases], ["url"])
+    feats = tf(F.col("url"))
+    got = {
+        r["url"]: (r["depth"], r["n_repeat"], r["n_params"], r["verdict"])
+        for r in df.select(
+            "url",
+            feats["depth"].alias("depth"),
+            feats["n_repeat"].alias("n_repeat"),
+            feats["n_params"].alias("n_params"),
+            feats["verdict"].alias("verdict"),
+        ).collect()
+    }
+    for u, d, rep, par, v in cases:
+        assert got[u] == (d, rep, par, v), f"trap mismatch for {u!r}: {got[u]}"
