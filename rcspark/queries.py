@@ -3081,3 +3081,163 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["n_params"].alias("n_params"),
         feats["verdict"].alias("verdict"),
     )
+
+
+# =============================================================================
+# Round-3 batch 4: image+caption PAIR curation — the graft's payload table
+# (BASELINE.json input_hint: image_id, bytes, w, h, fmt, caption, phash).
+# Captions are derived deterministically from `part` in pure SQL-expressible
+# form (so the oracle restates them exactly); image dims/phash come from the
+# REAL synthesized-image pipeline on the Spark side and from the independent
+# numpy-twin expected parquet on the DuckDB side — same twin strategy as
+# img_features.  [U scrapy/pipelines/images.py — pair emission; LAION-style
+# pair filtering / caption dedup are the public-corpus analogues]
+# =============================================================================
+
+# Deterministic caption rule, keyed on p_partkey (ids are the %10==0 subset):
+#   %9==0  -> generic 'photo'          (blocklist-dup class)
+#   %13==0 -> ''                       (empty class)
+#   %7==0  -> name + type + name       (13 tokens: exceeds the token cap)
+#   %11==0 -> p_brand                  (2 tokens: under the token floor)
+#   else   -> p_name                   (normal 5-word caption)
+# Precedence order matters and is identical in both renderings.
+
+_CAPTION_SQL = """
+      CASE WHEN p_partkey % 9 = 0 THEN 'photo'
+           WHEN p_partkey % 13 = 0 THEN ''
+           WHEN p_partkey % 7 = 0 THEN p_name || ' ' || p_type || ' ' || p_name
+           WHEN p_partkey % 11 = 0 THEN p_brand
+           ELSE p_name END
+"""
+
+_CAP_BLOCKLIST = ("photo", "image", "img", "picture")
+
+
+def _caption_col() -> F.Column:
+    k = F.col("p_partkey")
+    return (
+        F.when(k % 9 == 0, F.lit("photo"))
+        .when(k % 13 == 0, F.lit(""))
+        .when(
+            k % 7 == 0,
+            F.concat_ws(" ", F.col("p_name"), F.col("p_type"), F.col("p_name")),
+        )
+        .when(k % 11 == 0, F.col("p_brand"))
+        .otherwise(F.col("p_name"))
+    )
+
+
+def _caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_id, bytes, w, h, fmt, phash, caption) — the input_hint table.
+
+    The caption frame is a projection of `part` (no shuffle); the join back
+    to the synthesized image table is on image_id, which at corpus scale is
+    the pair table's natural layout (one row per pair, images bucketed by
+    id digest) — here rendered as a plain equi-join.
+    """
+    part = load(spark, sf_dir, "part")
+    caps = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id"),
+        _caption_col().alias("caption"),
+    )
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return imgs.join(caps, "image_id")
+
+
+_CAP_PAIRS_SQL = f"""
+    ids AS (SELECT 'img' || p_partkey AS image_id, {_CAPTION_SQL} AS caption
+            FROM part WHERE p_partkey % 10 = 0),
+    pairs AS (
+      SELECT e.image_id, e.w, e.h, e.fmt, e.phash, i.caption
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids i USING (image_id))
+"""
+
+
+@register(
+    "img_caption_filter",
+    oracle=f"""
+    WITH {_CAP_PAIRS_SQL},
+    t AS (
+      SELECT *, len({tx.sql_tokens('caption')}) AS n_cap_tokens FROM pairs)
+    SELECT image_id, w, h, fmt, caption, CAST(n_cap_tokens AS BIGINT) AS n_cap_tokens
+    FROM t
+    WHERE LEAST(w, h) >= 32
+      AND GREATEST(w, h) <= 2 * LEAST(w, h)
+      AND n_cap_tokens BETWEEN 3 AND 12
+      AND caption NOT IN {tuple(_CAP_BLOCKLIST)!r}
+    """,
+)
+def img_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image+caption pair gate: minimum resolution, bounded
+    aspect ratio, caption token count in [3, 12], generic-caption
+    blocklist.  Every predicate is a codegen column expression over the
+    pair table — at 100 TB this is a single scan with all four filters
+    fused into the parquet read (no shuffle, no UDF); the token count
+    reuses the corpus tokenizer (datapipe.text.tokens)."""
+    pairs = _caption_pairs(spark, sf_dir)
+    n = F.size(tx.tokens(F.col("caption")))
+    return (
+        pairs.withColumn("n_cap_tokens", n.cast("long"))
+        .filter(
+            (F.least("w", "h") >= 32)
+            & (F.greatest("w", "h") <= 2 * F.least("w", "h"))
+            & F.col("n_cap_tokens").between(3, 12)
+            & ~F.col("caption").isin(*_CAP_BLOCKLIST)
+        )
+        .select("image_id", "w", "h", "fmt", "caption", "n_cap_tokens")
+    )
+
+
+@register(
+    "img_caption_dedup",
+    oracle=f"""
+    WITH {_CAP_PAIRS_SQL},
+    nz AS (SELECT * FROM pairs WHERE caption <> ''),
+    r AS (
+      SELECT image_id, caption, w, h,
+             CAST(w AS BIGINT) * h AS pixels,
+             row_number() OVER (
+               PARTITION BY caption
+               ORDER BY CAST(w AS BIGINT) * h DESC, phash ASC, image_id DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY caption) AS dup_count
+      FROM nz)
+    SELECT caption, image_id, w, h, pixels, CAST(dup_count AS BIGINT) AS dup_count
+    FROM r WHERE rn = 1
+    """,
+)
+def img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-caption dedup electing the best-resolution survivor (the
+    LAION 'same caption, keep biggest image' rule): group by caption,
+    survivor = max pixels, ties broken phash ASC then image_id DESC.
+
+    Scale shape: a single groupBy(caption) with max(struct(...)) — the
+    tie-break is encoded in the struct order (pixels, ~phash, image_id)
+    so NO window over the caption partition is needed; map-side partial
+    max means a hot generic caption ('photo' here, at web scale the
+    empty-alt-text class) ships one row per map task, not the whole
+    group, through the shuffle."""
+    pairs = _caption_pairs(spark, sf_dir).filter(F.col("caption") != "")
+    pixels = F.col("w").cast("long") * F.col("h")
+    best = (
+        pairs.select(
+            "caption",
+            F.struct(
+                pixels.alias("pixels"),
+                F.bitwise_not(F.col("phash")).alias("nph"),
+                F.col("image_id").alias("image_id"),
+                F.col("w").alias("w"),
+                F.col("h").alias("h"),
+            ).alias("s"),
+        )
+        .groupBy("caption")
+        .agg(F.max("s").alias("s"), F.count("*").cast("long").alias("dup_count"))
+    )
+    return best.select(
+        "caption",
+        F.col("s.image_id").alias("image_id"),
+        F.col("s.w").alias("w"),
+        F.col("s.h").alias("h"),
+        F.col("s.pixels").alias("pixels"),
+        "dup_count",
+    )
