@@ -3241,3 +3241,250 @@ def img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.pixels").alias("pixels"),
         "dup_count",
     )
+
+
+# =============================================================================
+# Substring-level dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): fingerprint every FULL 16-token window at
+# stride 8 (any duplicated run of >= 24 tokens is guaranteed to contain a
+# caught window), mark windows shared across >= 2 documents, report the
+# per-document duplicated-span fraction in exact ppm.  The suffix-array of
+# the paper is replaced by the Spark-shaped equivalent: a distinct +
+# groupBy over window digests — only distinct (doc, window) rows cross the
+# shuffle, and a max-df guard drops boilerplate windows (at web scale:
+# license headers, nav bars) before the semi-join back.
+# =============================================================================
+
+_SPAN_W, _SPAN_S, _SPAN_MAXDF = 16, 8, 100
+
+
+@register(
+    "doc_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tx.sql_tokens('text')} AS tk FROM documents),
+    spans AS (
+      SELECT doc_id,
+             {sql_digest60(f"list_aggregate(tk[i:i+{_SPAN_W - 1}], 'string_agg', ' ')")}
+               AS sd
+      FROM t, unnest(list_transform(
+               range(1, greatest(len(tk) - {_SPAN_W - 1}, 0) + 1, {_SPAN_S}),
+               x -> CAST(x AS INT))) u(i)),
+    docsets AS (SELECT DISTINCT doc_id, sd FROM spans),
+    g AS (SELECT sd, count(*) AS nd FROM docsets GROUP BY 1),
+    dup AS (SELECT sd FROM g WHERE nd >= 2 AND nd <= {_SPAN_MAXDF}),
+    agg AS (
+      SELECT s.doc_id, count(*) AS n_spans,
+             count(*) FILTER (s.sd IN (SELECT sd FROM dup)) AS n_dup_spans
+      FROM spans s GROUP BY 1)
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(1000000 * n_dup_spans // n_spans AS BIGINT) AS dup_frac_ppm
+    FROM agg WHERE n_spans >= 1
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring fraction over stride-8 16-token
+    window fingerprints — the curation signal behind span-level dedup.
+    Shape at 100 TB: windows/doc is n/8; distinct (doc, digest) before the
+    df-count keeps repetitive docs from inflating the shuffle; the dup set
+    is df-bounded (boilerplate guard) and joins back as a broadcast-able
+    semi-join when small, hash otherwise (left to AQE)."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tx.tokens(F.col("text"))
+    n = F.size(tk)
+    idx = F.when(
+        n >= _SPAN_W,
+        F.sequence(F.lit(1), n - (_SPAN_W - 1), F.lit(_SPAN_S)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: digest60(
+                        F.array_join(F.slice(tk, i, _SPAN_W), " ")
+                    ),
+                )
+            ).alias("sd"),
+        )
+    )
+    spans = spans.persist()
+    g = spans.select("doc_id", "sd").distinct().groupBy("sd").agg(
+        F.count("*").alias("nd")
+    )
+    dup = g.filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_MAXDF)).select("sd")
+    flagged = spans.join(dup.withColumn("_dup", F.lit(1)), "sd", "left")
+    out = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+        .filter(F.col("n_spans") >= 1)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000000 * n_dup_spans div n_spans").cast("long").alias("dup_frac_ppm"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    spans.unpersist()
+    return out
+
+
+# =============================================================================
+# Search-index surface: inverted index build + BM25 retrieval. The index is
+# the classic (token -> sorted posting list) build — the one genuinely big
+# shuffle a corpus search stack needs; BM25 runs entirely in exact int64
+# micro-units (a RATIONAL idf variant replaces ln so both engines compute
+# bit-identical scores; the tf saturation term is the standard
+# k1=1.2 / b=0.75 Robertson form, cleared of fractions):
+#   r_ppm  = 1e6 * dl * N div T                     (dl/avgdl in ppm)
+#   tfpart = 44e12 * tf div (20e6*tf + 6e6 + 18*r)  (ppm, saturating tf)
+#   idf    = 1e6 * (2N - 2df + 1) div (2df + 1)     (ppm, rational idf)
+#   score  = sum over query terms of tfpart*idf div 1e6
+# =============================================================================
+
+_BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_hash_join": ("hash", "join"),
+    "q_sort_merge": ("sort", "merge"),
+    "q_dup_scan": ("dup", "scan"),
+    "q_window_filter_batch": ("window", "filter", "batch"),
+}
+_BM25_TOPK = 10
+
+
+@register(
+    "doc_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({tx.sql_tokens('text')}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2)
+    SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           {sql_digest60("string_agg(doc_id, ',' ORDER BY doc_id)")} AS postings_digest
+    FROM tf GROUP BY token
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency, collection
+    frequency, and a digest of the SORTED posting list. Two map-side-
+    combinable aggregations — (doc, token) tf first so repeated tokens
+    within a doc never cross the shuffle twice, then the posting roll-up
+    keyed by token. At web scale the posting list of a stopword is the
+    skew point; real stacks block-compress postings — here the digest
+    stands in for the block writer, and the (doc, token) pre-aggregation
+    is the part that keeps the shuffle linear in distinct pairs."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        digest60(F.array_join(F.sort_array(F.collect_list("doc_id")), ",")).alias(
+            "postings_digest"
+        ),
+    )
+
+
+def _bm25_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(_BM25_QUERIES.items())
+        for t in terms
+    )
+    return f"(VALUES {rows}) AS q(query_id, token)"
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({tx.sql_tokens('text')}) AS token FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    stats AS (SELECT count(*) AS n, sum(dl) AS tt FROM dl),
+    q AS (SELECT * FROM {_bm25_values_sql()}),
+    tf AS (
+      SELECT t.doc_id, t.token, count(*) AS tf FROM t
+      JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+      GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             (44000000000000 * tf.tf //
+               (20000000 * tf.tf + 6000000 +
+                18 * ((1000000 * dl.dl * stats.n) // stats.tt)))
+             * ((1000000 * (2 * stats.n - 2 * df.df + 1)) // (2 * df.df + 1))
+             // 1000000 AS s
+      FROM q JOIN tf USING (token) JOIN df USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+    agg AS (SELECT query_id, doc_id, sum(s) AS score FROM scored GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM agg)
+    SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query workload, scored in exact
+    int64 micro-units (rational-idf variant — see section comment; ln is
+    banned because cross-engine libm equality is not a contract). Scale
+    shape: the query-term table is a broadcast literal, tf rows are
+    filtered to query terms BEFORE any aggregation (the inverted-index
+    access path), corpus stats (N, total tokens) are a one-row broadcast
+    cross join, and the final per-query top-k is a TakeOrdered over
+    |queries| partitions, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tt")
+    )
+    spark_rows = [
+        (qid, t) for qid, terms in sorted(_BM25_QUERIES.items()) for t in terms
+    ]
+    q = spark.createDataFrame(spark_rows, "query_id string, token string")
+    qterms = q.select("token").distinct()
+    tf = (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        q.join(tf, "token")
+        .join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("r_ppm", F.expr("1000000 * dl * n div tt"))
+        .withColumn(
+            "s",
+            F.expr(
+                "(44000000000000 * tf div (20000000 * tf + 6000000 + 18 * r_ppm))"
+                " * ((1000000 * (2 * n - 2 * df + 1)) div (2 * df + 1)) div 1000000"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
