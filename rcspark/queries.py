@@ -3488,3 +3488,299 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# =============================================================================
+# Deterministic sketches. Both are the real streaming-sketch constructions
+# (count-min, HyperLogLog) computed EXACTLY the same way in both engines:
+# hash family = digest60 seeded members, estimates in pure int64 (shifts +
+# integer division; ln is banned — see BM25 note), so the oracle is a full
+# rows+schema+hash twin rather than an epsilon check. At 100 TB the value
+# is the shape: a sketch build is a groupBy into a CONSTANT number of
+# cells (map-side combine ships <= cells rows per task regardless of input
+# size), and estimate lookup is a broadcast join of the finished sketch.
+# =============================================================================
+
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 256, 20
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH ev AS (
+      SELECT 'h' || (o_custkey % 997) AS host FROM orders),
+    rows_ AS (
+      SELECT host, CAST(j AS INT) AS j,
+             {sql_digest60("j || ':' || host")} % {_CMS_W} AS cell
+      FROM ev, range({_CMS_D}) r(j)),
+    sketch AS (
+      SELECT j, cell, count(*) AS c FROM rows_ GROUP BY 1, 2),
+    keys_ AS (
+      SELECT DISTINCT host FROM ev),
+    probes AS (
+      SELECT host, CAST(j AS INT) AS j,
+             {sql_digest60("j || ':' || host")} % {_CMS_W} AS cell
+      FROM keys_, range({_CMS_D}) r(j)),
+    est AS (
+      SELECT p.host, min(s.c) AS est
+      FROM probes p JOIN sketch s USING (j, cell) GROUP BY 1),
+    exact_ AS (SELECT host, count(*) AS exact_cnt FROM ev GROUP BY 1),
+    r AS (
+      SELECT e.host, e.est, x.exact_cnt,
+             row_number() OVER (ORDER BY e.est DESC, e.host ASC) AS rnk
+      FROM est e JOIN exact_ x USING (host))
+    SELECT host, CAST(est AS BIGINT) AS est, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_CMS_TOPK}
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over per-host request counts
+    (d=4 hash rows x w=256 counters, digest60 hash family): build the
+    sketch, then read back estimates for candidate keys and rank the
+    top-20, alongside exact counts so the overestimate bias is visible.
+    The sketch build shuffles at most d*w = 1024 cells per map task; the
+    estimate probe joins the 1024-row finished sketch broadcast-side."""
+    orders = load(spark, sf_dir, "orders")
+    ev = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 997).cast("string")).alias("host")
+    )
+    js = F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+
+    def cell_of(host: F.Column, j: F.Column) -> F.Column:
+        from .datapipe.hashing import digest60 as d60
+
+        return d60(F.concat(j.cast("string"), F.lit(":"), host)) % _CMS_W
+
+    rows_ = ev.select("host", F.explode(js).alias("j")).select(
+        "host", F.col("j").cast("int").alias("j"), cell_of(F.col("host"), F.col("j")).alias("cell")
+    )
+    sketch = rows_.groupBy("j", "cell").agg(F.count("*").alias("c"))
+    keys_ = ev.distinct()
+    probes = keys_.select("host", F.explode(js).alias("j")).select(
+        "host", F.col("j").cast("int").alias("j"), cell_of(F.col("host"), F.col("j")).alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("host")
+        .agg(F.min("c").alias("est"))
+    )
+    exact_ = ev.groupBy("host").agg(F.count("*").alias("exact_cnt"))
+    joined = est.join(exact_, "host")
+    w = Window.orderBy(F.col("est").desc(), F.col("host").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CMS_TOPK)
+        .select(
+            "host",
+            F.col("est").cast("long").alias("est"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# HLL with m=64 registers over digest60: bucket = digest % 64, the
+# remaining 56 bits feed the leading-zero rank rho = 56 - bitlen(v) + 1
+# (v=0 -> 57). Harmonic sum in exact integers: Z = sum 2^(50 - M_j)
+# (registers with M_j > 50 contribute 0 — identical CASE both engines),
+# estimate = alpha_64 * m^2 / Z rendered as (2903 << 50) // Z with
+# 2903 = round(0.709 * 64^2). Small-range linear counting is OMITTED by
+# design (it needs ln); the exact distinct ships beside the estimate.
+
+_HLL_M = 64
+
+
+@register(
+    "agg_hll_distinct",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, {sql_digest60("CAST(user_id AS VARCHAR)")} AS d
+      FROM events),
+    h AS (
+      SELECT event_type, d % {_HLL_M} AS reg, d // {_HLL_M} AS v FROM ev),
+    rho AS (
+      SELECT event_type, reg,
+             CASE WHEN v = 0 THEN 57 ELSE 56 - length(bin(v)) + 1 END AS rho
+      FROM h),
+    regmax AS (
+      SELECT event_type, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
+    grid AS (
+      SELECT et.event_type, CAST(r AS BIGINT) AS reg
+      FROM (SELECT DISTINCT event_type FROM events) et, range({_HLL_M}) g(r)),
+    full_ AS (
+      SELECT grid.event_type, grid.reg, coalesce(regmax.m, 0) AS m
+      FROM grid LEFT JOIN regmax USING (event_type, reg)),
+    z AS (
+      SELECT event_type,
+             sum(CASE WHEN m <= 50 THEN (CAST(1 AS BIGINT) << (50 - m)) ELSE 0 END) AS zsum,
+             sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS nonzero
+      FROM full_ GROUP BY 1),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+    SELECT z.event_type, CAST(z.nonzero AS BIGINT) AS nonzero_regs,
+           CAST((CAST(2903 AS BIGINT) << 50) // z.zsum AS BIGINT) AS hll_est,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM z JOIN ex USING (event_type)
+    """,
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, exact-integer
+    rendering (see section comment), shipped beside the exact distinct.
+    Scale shape: register maxima are a groupBy into |groups| * 64 rows —
+    the classic mergeable-sketch layout (partial registers max-combine on
+    the map side); the register grid is a literal cross join so empty
+    registers exist in both engines."""
+    ev = load(spark, sf_dir, "events")
+    from .datapipe.hashing import digest60 as d60
+
+    h = ev.select(
+        "event_type", d60(F.col("user_id").cast("string")).alias("d")
+    ).select(
+        "event_type",
+        (F.col("d") % _HLL_M).alias("reg"),
+        F.expr(f"d div {_HLL_M}").alias("v"),
+    )
+    rho = h.select(
+        "event_type",
+        "reg",
+        F.when(F.col("v") == 0, F.lit(57))
+        .otherwise(F.lit(56) - F.length(F.bin(F.col("v"))) + 1)
+        .alias("rho"),
+    )
+    regmax = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_HLL_M).select(F.col("id").cast("long").alias("reg"))
+        )
+    )
+    full_ = grid.join(regmax, ["event_type", "reg"], "left").select(
+        "event_type", "reg", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    z = full_.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("m") <= 50,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("zsum"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("nonzero"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return z.join(ex, "event_type").select(
+        "event_type",
+        F.col("nonzero").cast("long").alias("nonzero_regs"),
+        F.expr(f"({2903 << 50} div zsum)").cast("long").alias("hll_est"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+# =============================================================================
+# A5/A13 extension: freshness-driven RE-crawl scheduling — estimate a per-
+# URL change rate from its fetch history and schedule the next visit with
+# an interval inversely proportional to it (the incremental-crawl policy
+# [U scrapy/extensions/httpcache.py — staleness; public incremental crawlers
+# derive revisit cadence from observed change rates]). History is
+# synthesized deterministically from orders (n_obs = 2..6 waves; a wave's
+# changed bit is digest-derived), so the oracle restates it exactly.
+# =============================================================================
+
+
+@register(
+    "crawl_recrawl_schedule",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url,
+             o_orderkey AS k, (o_orderkey % 5) + 2 AS n_obs
+      FROM orders),
+    obs AS (
+      SELECT url, k, n_obs, CAST(w AS BIGINT) AS w,
+             CASE WHEN {sql_digest60("k || ':' || w")} % 3 = 0 THEN 1 ELSE 0 END AS chg
+      FROM u, unnest(list_transform(range(0, n_obs), x -> CAST(x AS INT))) o(w)),
+    agg AS (
+      SELECT url, n_obs, sum(chg) AS n_changes, max(w) AS last_wave
+      FROM obs GROUP BY 1, 2),
+    sched AS (
+      SELECT url, n_obs, n_changes,
+             1000000 * n_changes // n_obs AS change_rate_ppm,
+             last_wave + LEAST(16, 1 + 2000000 // (1000000 * n_changes // n_obs + 125000))
+               AS next_wave
+      FROM agg),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY next_wave ASC, change_rate_ppm DESC, url ASC) AS rnk
+      FROM sched)
+    SELECT url, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+           CAST(change_rate_ppm AS BIGINT) AS change_rate_ppm,
+           CAST(next_wave AS BIGINT) AS next_wave, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 100
+    """,
+)
+def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl revisit policy: per-URL change-rate estimation
+    (exact ppm over the fetch history) -> revisit interval inversely
+    proportional to the rate, capped at 16 waves -> global 'crawl next'
+    top-100. History explode is bounded (<= 6 waves/URL); the per-URL
+    roll-up is one map-side-combinable groupBy keyed by url (at 10^10
+    URLs: the frontier's natural digest-bucketed layout); the final rank
+    is a bounded TakeOrdered, not a global sort."""
+    from .datapipe.hashing import digest60 as d60
+
+    orders = load(spark, sf_dir, "orders")
+    u = orders.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.col("o_orderkey").alias("k"),
+        ((F.col("o_orderkey") % 5) + 2).alias("n_obs"),
+    )
+    obs = u.select(
+        "url",
+        "k",
+        "n_obs",
+        F.explode(F.sequence(F.lit(0), F.col("n_obs").cast("int") - 1)).alias("w"),
+    ).select(
+        "url",
+        "n_obs",
+        F.col("w").cast("long").alias("w"),
+        F.when(
+            d60(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("w").cast("string"))) % 3 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    agg = obs.groupBy("url", "n_obs").agg(
+        F.sum("chg").alias("n_changes"), F.max("w").alias("last_wave")
+    )
+    sched = agg.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        F.expr("1000000 * n_changes div n_obs").alias("change_rate_ppm"),
+        F.expr(
+            "last_wave + LEAST(16, 1 + 2000000 div (1000000 * n_changes div n_obs + 125000))"
+        ).alias("next_wave"),
+    )
+    w = Window.orderBy(
+        F.col("next_wave").asc(), F.col("change_rate_ppm").desc(), F.col("url").asc()
+    )
+    return (
+        sched.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "url",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+            F.col("change_rate_ppm").cast("long").alias("change_rate_ppm"),
+            F.col("next_wave").cast("long").alias("next_wave"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
