@@ -3289,7 +3289,10 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: windows/doc is n/8; distinct (doc, digest) before the
     df-count keeps repetitive docs from inflating the shuffle; the dup set
     is df-bounded (boilerplate guard) and joins back as a broadcast-able
-    semi-join when small, hash otherwise (left to AQE)."""
+    semi-join when small, hash otherwise (left to AQE). The span scan is
+    referenced twice (df-count + flag-back) and deliberately NOT persisted
+    so the driver sees one lazy auditable plan; a pipeline run would hold
+    it through a persisted_out handle like the library dedup ops."""
     docs = load(spark, sf_dir, "documents")
     tk = tx.tokens(F.col("text"))
     n = F.size(tk)
@@ -3310,7 +3313,6 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sd"),
         )
     )
-    spans = spans.persist()
     g = spans.select("doc_id", "sd").distinct().groupBy("sd").agg(
         F.count("*").alias("nd")
     )
@@ -3330,8 +3332,6 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * n_dup_spans div n_spans").cast("long").alias("dup_frac_ppm"),
         )
     )
-    out = out.localCheckpoint(eager=True)
-    spans.unpersist()
     return out
 
 
