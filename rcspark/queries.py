@@ -3784,3 +3784,139 @@ def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# =============================================================================
+# Streaming state-store dedup + funnel analytics (Table B streaming/window
+# rows, training-data stream-ingest dedup).
+# =============================================================================
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day_str
+    FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the state store: dropDuplicates on
+    (user_id, event_type, day) over a file stream in APPEND mode — each
+    key is emitted exactly once across batches, which is the stream-ingest
+    dedup a continuous training-data pipeline runs in front of the
+    warehouse. Only the KEY columns are emitted (first-arrival payloads
+    would be order-dependent, hence not oracle-checkable); the unbounded-
+    state variant to call out at production scale is
+    dropDuplicatesWithinWatermark, which this op's shape swaps into."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(file_stream_dir(sf_dir, "events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        )
+        .dropDuplicates(["user_id", "event_type", "day_str"])
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# Ordered funnel: signup -> view -> click -> purchase, each step's time the
+# FIRST occurrence strictly after the previous step. The cascade is four
+# user-keyed aggregations, each a map-side-combinable min — the join back
+# per stage is user-keyed and colocated with the aggregation's own
+# partitioning, so a 100x corpus re-uses one shuffle layout end to end.
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+    SELECT s1.user_id,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t1_s,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t2_s,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t3_s,
+           strftime(s4.t4, '%Y-%m-%d %H:%M:%S') AS t4_s,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                  + (s4.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_depth
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            LEFT JOIN s4 USING (user_id)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup->view->click->purchase): per user,
+    the first time of each step STRICTLY after the previous step, plus the
+    depth reached. The canonical product-analytics window op, expressed as
+    a user-keyed aggregation cascade rather than a per-user sort."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s4 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s3, "user_id")
+        .filter(F.col("ts") > F.col("t3"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t4"))
+    )
+    out = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+    )
+    depth = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+        + F.col("t4").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id",
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("t1_s"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("t2_s"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("t3_s"),
+        F.date_format("t4", "yyyy-MM-dd HH:mm:ss").alias("t4_s"),
+        depth.cast("long").alias("funnel_depth"),
+    )
