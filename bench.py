@@ -144,6 +144,16 @@ BENCH_QUERIES = [
     "doc_pii_scrub",
     "doc_chunk_overlap",
     "doc_top_tokens",
+    # round-3 batch 4+: pair curation, span dedup, search, sketches
+    "img_caption_filter",
+    "img_caption_dedup",
+    "doc_span_dedup",
+    "doc_inverted_index",
+    "doc_bm25_topk",
+    "agg_heavy_hitters_cms",
+    "agg_hll_distinct",
+    "crawl_recrawl_schedule",
+    "events_funnel_steps",
 ]
 
 
