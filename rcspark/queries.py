@@ -3920,3 +3920,103 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t4", "yyyy-MM-dd HH:mm:ss").alias("t4_s"),
         depth.cast("long").alias("funnel_depth"),
     )
+
+
+# =============================================================================
+# Cohort retention + grouping sets (Table B aggregations/window analytics).
+# Weeks are computed from wall-clock DATE arithmetic (never epoch-of-NTZ,
+# which is session-timezone-dependent in Spark): week = days since
+# 1992-01-01 div 7, identical in both engines.
+# =============================================================================
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1992-01-01') // 7 AS week
+      FROM events),
+    first_ AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+    act AS (
+      SELECT f.cohort_week, wk.week - f.cohort_week AS week_offset,
+             count(DISTINCT wk.user_id) AS n_active
+      FROM wk JOIN first_ f USING (user_id) GROUP BY 1, 2),
+    base AS (
+      SELECT cohort_week, n_active AS n_cohort FROM act WHERE week_offset = 0)
+    SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(b.n_cohort AS BIGINT) AS n_cohort,
+           CAST(1000000 * a.n_active // b.n_cohort AS BIGINT) AS retention_ppm
+    FROM act a JOIN base b USING (cohort_week)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active week,
+    per-offset distinct-active counts, retention in exact ppm against the
+    offset-0 cohort size. Three user/cohort-keyed aggregations — the
+    (user, week) distinct is the only input-sized shuffle; everything
+    after is cohort-cardinality-sized."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1992-01-01"))) / 7
+    ).cast("long")
+    wk = ev.select("user_id", week.alias("week")).distinct()
+    first_ = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        wk.join(first_, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        act.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.expr("1000000 * n_active div n_cohort").cast("long").alias("retention_ppm"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets_events",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(ts, '%Y-%m'), '<all>') AS month_str,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(event_type) * 2 + grouping(strftime(ts, '%Y-%m')) AS BIGINT)
+             AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m')), (event_type), ())
+    """,
+)
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation — the multi-grain
+    aggregation a reporting rollup emits in one pass (one Expand + one
+    shuffle instead of three jobs). Complements agg_rollup_events (ROLLUP)
+    and agg_pivot_events (PIVOT) on the Table B aggregation row."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month_str")
+    )
+    out = ev.groupingSets(
+        [["event_type", "month_str"], ["event_type"], []],
+        "event_type",
+        "month_str",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.grouping("event_type") * 2 + F.grouping("month_str"))
+        .cast("long")
+        .alias("gid"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("month_str", F.lit("<all>")).alias("month_str"),
+        "n",
+        "gid",
+    )
