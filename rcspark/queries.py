@@ -4020,3 +4020,115 @@ def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "gid",
     )
+
+
+# =============================================================================
+# A8/A4 extension: MIRROR-SITE detection — hosts serving near-identical
+# content sets (the web-scale dedup problem one level above documents:
+# mirrors, CDNs, scraped re-hosts). Blocking is by shared content item
+# with a max-df guard (an item on every host generates no pairs — the
+# boilerplate guard again), then candidate host pairs are verified at
+# exact-integer Jaccard over their item sets. Planted structure: even
+# hosts draw items from a small shared pool (high overlap), odd hosts
+# from a large one (low overlap).
+# =============================================================================
+
+_MIRROR_ITEM_MAXDF = 12
+_MIRROR_MIN_PPM = 500_000  # Jaccard >= 0.5
+
+
+@register(
+    "crawl_mirror_detect",
+    oracle=f"""
+    WITH pg AS (
+      SELECT DISTINCT 'h' || (o_custkey % 40) AS host,
+             CASE WHEN o_custkey % 2 = 0
+                  THEN {sql_digest60("'c' || (o_orderkey % 400)")}
+                  ELSE {sql_digest60("'c' || (o_orderkey % 997)")} END AS item
+      FROM orders),
+    sizes AS (SELECT host, count(*) AS sz FROM pg GROUP BY 1),
+    idf AS (SELECT item, count(*) AS df FROM pg GROUP BY 1),
+    blocked AS (
+      SELECT pg.host, pg.item FROM pg JOIN idf USING (item)
+      WHERE idf.df <= {_MIRROR_ITEM_MAXDF}),
+    cand AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter_blocked
+      FROM blocked a JOIN blocked b USING (item)
+      WHERE a.host < b.host GROUP BY 1, 2),
+    inter_ AS (
+      SELECT c.host_a, c.host_b, count(*) AS inter
+      FROM cand c JOIN pg x ON x.host = c.host_a
+                  JOIN pg y ON y.host = c.host_b AND y.item = x.item
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT i.host_a, i.host_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+             1000000 * i.inter // (sa.sz + sb.sz - i.inter) AS jaccard_ppm
+      FROM inter_ i JOIN sizes sa ON sa.host = i.host_a
+                    JOIN sizes sb ON sb.host = i.host_b)
+    SELECT host_a, host_b, CAST(inter AS BIGINT) AS inter,
+           CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+           CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+    FROM ver WHERE jaccard_ppm >= {_MIRROR_MIN_PPM}
+    """,
+)
+def crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: block candidate host pairs on shared
+    content items (df-capped so ubiquitous items generate no pairs), then
+    verify at exact-integer Jaccard >= 0.5 over full per-host item sets.
+    Scale shape: the blocked self-join is bounded by df^2 per item
+    (df-capped); the verify intersection joins on (item) and aggregates per
+    pair — work scales with true overlap, never |hosts|^2."""
+    orders = load(spark, sf_dir, "orders")
+    from .datapipe.hashing import digest60 as d60
+
+    item = F.when(
+        F.col("o_custkey") % 2 == 0,
+        d60(F.concat(F.lit("c"), (F.col("o_orderkey") % 400).cast("string"))),
+    ).otherwise(
+        d60(F.concat(F.lit("c"), (F.col("o_orderkey") % 997).cast("string")))
+    )
+    pg = (
+        orders.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("host"),
+            item.alias("item"),
+        )
+        .distinct()
+    )
+    sizes = pg.groupBy("host").agg(F.count("*").alias("sz"))
+    idf = pg.groupBy("item").agg(F.count("*").alias("df"))
+    blocked = pg.join(
+        idf.filter(F.col("df") <= _MIRROR_ITEM_MAXDF).select("item"), "item"
+    )
+    a = blocked.select(F.col("host").alias("host_a"), "item")
+    b = blocked.select(F.col("host").alias("host_b"), "item")
+    cand = (
+        a.join(b, "item")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("inter_blocked"))
+        .select("host_a", "host_b")
+    )
+    x = pg.select(F.col("host").alias("host_a"), "item")
+    y = pg.select(F.col("host").alias("host_b"), "item")
+    inter_ = (
+        cand.join(x, "host_a")
+        .join(y, ["host_b", "item"])
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ver = (
+        inter_.join(sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")), "host_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("1000000 * inter div (size_a + size_b - inter)"),
+        )
+    )
+    return ver.filter(F.col("jaccard_ppm") >= _MIRROR_MIN_PPM).select(
+        "host_a",
+        "host_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
+    )
