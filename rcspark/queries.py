@@ -4022,15 +4022,19 @@ def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # =============================================================================
 # A8/A4 extension: MIRROR-SITE detection — hosts serving near-identical
 # content sets (the web-scale dedup problem one level above documents:
 # mirrors, CDNs, scraped re-hosts). Blocking is by shared content item
 # with a max-df guard (an item on every host generates no pairs — the
-# boilerplate guard again), then candidate host pairs are verified at
-# exact-integer Jaccard over their item sets. Planted structure: even
-# hosts draw items from a small shared pool (high overlap), odd hosts
-# from a large one (low overlap).
+# boilerplate guard again); candidate host pairs are then verified at
+# exact-integer Jaccard over their FULL item sets. Planted structure:
+# every primary host 'hK' has a mirror 'mK' carrying ~90% of its items
+# (rows with o_orderkey % 10 == 0 are not mirrored); item ids are
+# namespaced per host slot, so non-mirror pairs share nothing at ANY sf
+# (no pool-saturation artifacts as data grows).
 # =============================================================================
 
 _MIRROR_ITEM_MAXDF = 12
@@ -4040,21 +4044,24 @@ _MIRROR_MIN_PPM = 500_000  # Jaccard >= 0.5
 @register(
     "crawl_mirror_detect",
     oracle=f"""
-    WITH pg AS (
-      SELECT DISTINCT 'h' || (o_custkey % 40) AS host,
-             CASE WHEN o_custkey % 2 = 0
-                  THEN {sql_digest60("'c' || (o_orderkey % 400)")}
-                  ELSE {sql_digest60("'c' || (o_orderkey % 997)")} END AS item
+    WITH base AS (
+      SELECT 'h' || (o_custkey % 20) AS host,
+             {sql_digest60("'c' || (o_orderkey % 499) || ':' || (o_custkey % 20)")} AS item,
+             o_orderkey % 10 AS k10
       FROM orders),
+    pg AS (
+      SELECT DISTINCT host, item FROM base
+      UNION
+      SELECT DISTINCT 'm' || substr(host, 2) AS host, item FROM base WHERE k10 <> 0),
     sizes AS (SELECT host, count(*) AS sz FROM pg GROUP BY 1),
     idf AS (SELECT item, count(*) AS df FROM pg GROUP BY 1),
     blocked AS (
       SELECT pg.host, pg.item FROM pg JOIN idf USING (item)
       WHERE idf.df <= {_MIRROR_ITEM_MAXDF}),
     cand AS (
-      SELECT a.host AS host_a, b.host AS host_b, count(*) AS inter_blocked
+      SELECT DISTINCT a.host AS host_a, b.host AS host_b
       FROM blocked a JOIN blocked b USING (item)
-      WHERE a.host < b.host GROUP BY 1, 2),
+      WHERE a.host < b.host),
     inter_ AS (
       SELECT c.host_a, c.host_b, count(*) AS inter
       FROM cand c JOIN pg x ON x.host = c.host_a
@@ -4076,21 +4083,30 @@ def crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     content items (df-capped so ubiquitous items generate no pairs), then
     verify at exact-integer Jaccard >= 0.5 over full per-host item sets.
     Scale shape: the blocked self-join is bounded by df^2 per item
-    (df-capped); the verify intersection joins on (item) and aggregates per
+    (df-capped); the verify intersection joins on item and aggregates per
     pair — work scales with true overlap, never |hosts|^2."""
     orders = load(spark, sf_dir, "orders")
     from .datapipe.hashing import digest60 as d60
 
-    item = F.when(
-        F.col("o_custkey") % 2 == 0,
-        d60(F.concat(F.lit("c"), (F.col("o_orderkey") % 400).cast("string"))),
-    ).otherwise(
-        d60(F.concat(F.lit("c"), (F.col("o_orderkey") % 997).cast("string")))
+    base = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string")).alias("host"),
+        d60(
+            F.concat(
+                F.lit("c"),
+                (F.col("o_orderkey") % 499).cast("string"),
+                F.lit(":"),
+                (F.col("o_custkey") % 20).cast("string"),
+            )
+        ).alias("item"),
+        (F.col("o_orderkey") % 10).alias("k10"),
     )
     pg = (
-        orders.select(
-            F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("host"),
-            item.alias("item"),
+        base.select("host", "item")
+        .union(
+            base.filter(F.col("k10") != 0).select(
+                F.concat(F.lit("m"), F.expr("substr(host, 2)")).alias("host"),
+                "item",
+            )
         )
         .distinct()
     )
@@ -4104,9 +4120,8 @@ def crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "item")
         .filter(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
-        .agg(F.count("*").alias("inter_blocked"))
         .select("host_a", "host_b")
+        .distinct()
     )
     x = pg.select(F.col("host").alias("host_a"), "item")
     y = pg.select(F.col("host").alias("host_b"), "item")
@@ -4117,11 +4132,16 @@ def crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter"))
     )
     ver = (
-        inter_.join(sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")), "host_a")
-        .join(sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")), "host_b")
+        inter_.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")),
+            "host_b",
+        )
         .withColumn(
-            "jaccard_ppm",
-            F.expr("1000000 * inter div (size_a + size_b - inter)"),
+            "jaccard_ppm", F.expr("1000000 * inter div (size_a + size_b - inter)")
         )
     )
     return ver.filter(F.col("jaccard_ppm") >= _MIRROR_MIN_PPM).select(
