@@ -3581,8 +3581,8 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # HLL with m=64 registers over digest60: bucket = digest % 64, the
-# remaining 56 bits feed the leading-zero rank rho = 56 - bitlen(v) + 1
-# (v=0 -> 57). Harmonic sum in exact integers: Z = sum 2^(50 - M_j)
+# remaining 54 bits feed the leading-zero rank rho = 54 - bitlen(v) + 1
+# (v=0 -> 55). Harmonic sum in exact integers: Z = sum 2^(50 - M_j)
 # (registers with M_j > 50 contribute 0 — identical CASE both engines),
 # estimate = alpha_64 * m^2 / Z rendered as (2903 << 50) // Z with
 # 2903 = round(0.709 * 64^2). Small-range linear counting is OMITTED by
@@ -3595,13 +3595,14 @@ _HLL_M = 64
     "agg_hll_distinct",
     oracle=f"""
     WITH ev AS (
-      SELECT event_type, {sql_digest60("CAST(user_id AS VARCHAR)")} AS d
+      SELECT event_type,
+             {sql_digest60("user_id || ':' || strftime(ts, '%Y-%m-%d')")} AS d
       FROM events),
     h AS (
       SELECT event_type, d % {_HLL_M} AS reg, d // {_HLL_M} AS v FROM ev),
     rho AS (
       SELECT event_type, reg,
-             CASE WHEN v = 0 THEN 57 ELSE 56 - length(bin(v)) + 1 END AS rho
+             CASE WHEN v = 0 THEN 55 ELSE 54 - length(bin(v)) + 1 END AS rho
       FROM h),
     regmax AS (
       SELECT event_type, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
@@ -3617,7 +3618,8 @@ _HLL_M = 64
              sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS nonzero
       FROM full_ GROUP BY 1),
     ex AS (
-      SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+      SELECT event_type, count(DISTINCT user_id || ':' || strftime(ts, '%Y-%m-%d'))
+               AS exact_distinct FROM events GROUP BY 1)
     SELECT z.event_type, CAST(z.nonzero AS BIGINT) AS nonzero_regs,
            CAST((CAST(2903 AS BIGINT) << 50) // z.zsum AS BIGINT) AS hll_est,
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
@@ -3625,7 +3627,9 @@ _HLL_M = 64
     """,
 )
 def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-user estimate per event type, exact-integer
+    """HyperLogLog distinct user-day estimate per event type (a
+    cardinality in the hundreds per group even at tiny sf — clear of the
+    small-range regime that the omitted linear-counting correction serves), exact-integer
     rendering (see section comment), shipped beside the exact distinct.
     Scale shape: register maxima are a groupBy into |groups| * 64 rows —
     the classic mergeable-sketch layout (partial registers max-combine on
@@ -3634,9 +3638,12 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     from .datapipe.hashing import digest60 as d60
 
-    h = ev.select(
-        "event_type", d60(F.col("user_id").cast("string")).alias("d")
-    ).select(
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    h = ev.select("event_type", d60(key).alias("d")).select(
         "event_type",
         (F.col("d") % _HLL_M).alias("reg"),
         F.expr(f"d div {_HLL_M}").alias("v"),
@@ -3644,8 +3651,8 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = h.select(
         "event_type",
         "reg",
-        F.when(F.col("v") == 0, F.lit(57))
-        .otherwise(F.lit(56) - F.length(F.bin(F.col("v"))) + 1)
+        F.when(F.col("v") == 0, F.lit(55))
+        .otherwise(F.lit(54) - F.length(F.bin(F.col("v"))) + 1)
         .alias("rho"),
     )
     regmax = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
@@ -3669,7 +3676,7 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("nonzero"),
     )
     ex = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+        F.countDistinct(key).alias("exact_distinct")
     )
     return z.join(ex, "event_type").select(
         "event_type",
