@@ -4159,3 +4159,165 @@ def crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_b").cast("long").alias("size_b"),
         F.col("jaccard_ppm").cast("long").alias("jaccard_ppm"),
     )
+
+
+# =============================================================================
+# A6 extension: per-IP politeness collapse — virtual hosts sharing an IP
+# (CDNs, shared hosting) must share ONE politeness budget, or a thousand
+# vanity domains on one box turn the per-host budget into a DoS.  Hosts
+# resolve deterministically to a synthetic IP pool (the resolve seam of
+# fetch.PooledHttpTransport is where real DNS binds); the wave keeps the
+# top-B URLs per IP.  [U scrapy/core/downloader/__init__.py — per-slot
+# concurrency, ip_concurrency]
+# =============================================================================
+
+_IP_BUDGET = 8
+
+
+@register(
+    "crawl_ip_politeness",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url,
+             'h' || (o_custkey % 50) AS host,
+             o_orderkey % 100 AS priority
+      FROM orders),
+    ips AS (
+      SELECT DISTINCT host,
+             '10.0.0.' || ({sql_digest60("host")} % 17) AS ip
+      FROM f),
+    hc AS (SELECT ip, count(*) AS n_hosts_on_ip FROM ips GROUP BY 1),
+    r AS (
+      SELECT f.url, f.host, i.ip, f.priority,
+             row_number() OVER (PARTITION BY i.ip
+                                ORDER BY f.priority ASC, f.url ASC) AS rn
+      FROM f JOIN ips i USING (host))
+    SELECT r.ip, r.host, r.url, CAST(r.priority AS BIGINT) AS priority,
+           CAST(r.rn AS BIGINT) AS rn, CAST(hc.n_hosts_on_ip AS BIGINT) AS n_hosts_on_ip
+    FROM r JOIN hc USING (ip) WHERE r.rn <= {_IP_BUDGET}
+    """,
+)
+def crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IP politeness: collapse virtual hosts onto their resolved IP
+    and budget the wave per IP (top-{B} by priority with a total-order
+    tie-break), emitting how many hosts share each IP. Scale shape: same
+    salted two-phase top-k as crawl_schedule applies when one IP fronts a
+    mega-CDN — here the plain window states the semantics; the resolve
+    seam in fetch.PooledHttpTransport is where production DNS binds."""
+    orders = load(spark, sf_dir, "orders")
+    from .datapipe.hashing import digest60 as d60
+
+    f = orders.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host"),
+        (F.col("o_orderkey") % 100).alias("priority"),
+    )
+    ips = f.select("host").distinct().select(
+        "host",
+        F.concat(F.lit("10.0.0."), (d60(F.col("host")) % 17).cast("string")).alias("ip"),
+    )
+    hc = ips.groupBy("ip").agg(F.count("*").alias("n_hosts_on_ip"))
+    w = Window.partitionBy("ip").orderBy(F.col("priority").asc(), F.col("url").asc())
+    r = (
+        f.join(F.broadcast(ips), "host")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IP_BUDGET)
+    )
+    return r.join(F.broadcast(hc), "ip").select(
+        "ip",
+        "host",
+        "url",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rn").cast("long").alias("rn"),
+        F.col("n_hosts_on_ip").cast("long").alias("n_hosts_on_ip"),
+    )
+
+
+# =============================================================================
+# Anomaly detection on operational time series: median absolute deviation
+# (the robust z-score ops dashboards run over per-day event volumes), in
+# exact integers end to end — both medians are exact lower medians via
+# rank arithmetic (the agg_percentile_disc machinery), the flag threshold
+# is |x - med| > 3 * MAD in integer compare.
+# =============================================================================
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_str, count(*) AS x
+      FROM events GROUP BY 1, 2),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY x, day_str) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    med AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med
+      FROM r1 GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.day_str, d.x, m.med, abs(d.x - m.med) AS ad
+      FROM daily d JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ad, day_str) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+      FROM r2 GROUP BY 1)
+    SELECT d.event_type, d.day_str, CAST(d.x AS BIGINT) AS n,
+           CAST(d.med AS BIGINT) AS med, CAST(m.mad AS BIGINT) AS mad,
+           CAST(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags over per-day event volumes: exact lower
+    medians (rank arithmetic, no float percentiles) for center and MAD,
+    flag = deviation > 3*MAD. The two median passes are windows over
+    |event_type| partitions of |days| rows — dashboard-sized; the only
+    input-sized work is the daily roll-up, which combines map-side."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
+        .groupBy("event_type", "day_str")
+        .agg(F.count("*").alias("x"))
+    )
+    w1 = Window.partitionBy("event_type").orderBy("x", "day_str")
+    wn = Window.partitionBy("event_type")
+    r1 = daily.select(
+        "event_type",
+        "day_str",
+        "x",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x"))).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "day_str")
+    r2 = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad"))).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day_str",
+        F.col("x").cast("long").alias("n"),
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        (F.col("ad") > 3 * F.col("mad")).cast("long").alias("is_anomaly"),
+    )
