@@ -4321,3 +4321,92 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("long").alias("mad"),
         (F.col("ad") > 3 * F.col("mad")).cast("long").alias("is_anomaly"),
     )
+
+
+# =============================================================================
+# BPE-ish subword tokenization (the task brief's "token counting
+# (whitespace + a BPE-ish regex)" made first-class): characters are
+# space-split per word, then a fixed RANK-ORDERED merge table is applied
+# exhaustively (left-to-right non-overlapping, the regex rendering of the
+# BPE apply loop — identical in Java regex and RE2 for these literal
+# patterns). Output: per-doc subword piece counts, compression ratio in
+# ppm, and a digest of the full piece sequence.
+# =============================================================================
+
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("a n", "an"),
+    ("i n", "in"),
+    ("e r", "er"),
+    ("o n", "on"),
+    ("r e", "re"),
+    ("an d", "and"),
+)
+
+
+def _bpe_spark(tok):
+    s = F.trim(F.regexp_replace(tok, "(.)", "$1 "))
+    for pat, rep in _BPE_MERGES:
+        s = F.regexp_replace(s, pat, rep)
+    return s
+
+
+def _bpe_sql(tok: str) -> str:
+    s = f"trim(regexp_replace({tok}, '(.)', '\\1 ', 'g'))"
+    for pat, rep in _BPE_MERGES:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    return s
+
+
+@register(
+    "doc_bpe_tokenize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tx.sql_tokens('text')} AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_aggregate(tk, 'string_agg', '')) AS BIGINT) AS n_chars,
+             list_transform(tk, x -> {_bpe_sql('x')}) AS pieces
+      FROM t WHERE len(tk) > 0)
+    SELECT doc_id, n_tokens, n_chars,
+           CAST(list_sum(list_transform(pieces, s -> len(string_split(s, ' '))))
+                AS BIGINT) AS n_bpe_pieces,
+           CAST(1000000 * list_sum(list_transform(pieces,
+                s -> len(string_split(s, ' ')))) // n_chars AS BIGINT) AS pieces_per_char_ppm,
+           {sql_digest60("list_aggregate(pieces, 'string_agg', '|')")} AS pieces_digest
+    FROM m
+    """,
+)
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mini-BPE: per-word char split + 8 rank-ordered merges
+    applied exhaustively, reported as per-doc piece counts, pieces/char
+    compression ppm, and a digest over the whole piece sequence. Pure
+    codegen string expressions (8 chained regexp_replace per token inside
+    one transform — the lambda touches only its own element, so no
+    captured-expression re-evaluation); no shuffle at all beyond the scan."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tx.tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.length(F.array_join(tk, "")).cast("long").alias("n_chars"),
+        F.transform(tk, _bpe_spark).alias("pieces"),
+    ).filter(F.col("n_tokens") > 0)
+    n_pieces = F.aggregate(
+        F.transform(F.col("pieces"), lambda s: F.size(F.split(s, " "))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        n_pieces.alias("n_bpe_pieces"),
+        F.expr(
+            "1000000 * aggregate(transform(pieces, s -> size(split(s, ' '))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) div n_chars"
+        ).alias("pieces_per_char_ppm"),
+        digest60(F.array_join(F.col("pieces"), "|")).alias("pieces_digest"),
+    )
