@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "agg_hll_distinct",
     "crawl_recrawl_schedule",
     "events_funnel_steps",
+    "crawl_mirror_detect",
+    "crawl_ip_politeness",
+    "events_retention_cohorts",
+    "doc_bpe_tokenize",
 ]
 
 
