@@ -4410,3 +4410,63 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pieces_per_char_ppm"),
         digest60(F.array_join(F.col("pieces"), "|")).alias("pieces_digest"),
     )
+
+
+# -- stream-static join: enrich a stream with a broadcast dimension ------------
+# The third streaming join shape (beside the state-store dedup and the
+# stateful politeness clock): a file stream joined to a STATIC dimension
+# frame — Spark re-plans the static side per micro-batch, the classic
+# enrich-on-ingest topology. The dimension (event_type -> weight) is a
+# deterministic literal table; the aggregation is over the enriched rows.
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5), ('error', 0))
+    SELECT e.event_type, strftime(e.ts, '%Y-%m') AS month_str,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d.weight) AS BIGINT) AS weighted
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the events file stream enriched with
+    a static (event_type -> weight) dimension, then aggregated per month.
+    In COMPLETE mode the memory sink holds the final totals; at production
+    scale the same topology feeds warehouse upserts via foreachBatch."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    ev_schema = load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(file_stream_dir(sf_dir, "events"))
+        .join(F.broadcast(dim), "event_type")
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM").alias("month_str"),
+            "weight",
+        )
+        .groupBy("event_type", "month_str")
+        .agg(F.count("*").alias("n"), F.sum("weight").cast("long").alias("weighted"))
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "event_type", "month_str", F.col("n").cast("long").alias("n"), "weighted"
+    )
