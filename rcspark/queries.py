@@ -4470,3 +4470,147 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_type", "month_str", F.col("n").cast("long").alias("n"), "weighted"
     )
+
+
+# -- MinHash estimate vs exact Jaccard (estimator transparency) ----------------
+# Same pattern as the CMS/HLL queries: ship the sketch ESTIMATE beside the
+# exact value so the estimator's error is a first-class, oracle-checked
+# output. est = matching signature components / k over the full 16-perm
+# signature; exact = the shingle-set Jaccard, both in exact ppm.
+
+
+@register(
+    "doc_minhash_est_error",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash) WHERE b <= 1000),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    nm AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_match
+      FROM cand c
+      JOIN bands a ON a.doc_id = c.doc_a
+      JOIN bands b ON b.doc_id = c.doc_b
+       AND b.band_id = a.band_id AND b.band_hash = a.band_hash
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
+    rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN rows_ a ON a.doc_id = c.doc_a
+      JOIN rows_ b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT n.doc_a, n.doc_b, CAST(n.n_match AS BIGINT) AS n_match,
+           CAST(1000000 * n.n_match // 16 AS BIGINT) AS est_ppm,
+           CAST(1000000 * i.inter // (sa.sz + sb.sz - i.inter) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(1000000 * n.n_match // 16
+                - 1000000 * i.inter // (sa.sz + sb.sz - i.inter) AS BIGINT)
+             AS err_ppm
+    FROM nm n JOIN inter i USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = n.doc_a
+    JOIN sizes sb ON sb.doc_id = n.doc_b
+    """,
+)
+def doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimate vs exact, per LSH candidate pair: the
+    estimator's error surfaced as data (the k=16 signature gives 62.5k-ppm
+    granularity; the exact side reuses the candidates-first verify join).
+    Scale shape: signature match-count joins 16-row signatures per pair;
+    the exact side is the same bounded verify as doc_jaccard_pairs."""
+    docs = load(spark, sf_dir, "documents")
+    rows = dd.minhash_rows(docs)
+    cand = dd.lsh_candidate_pairs(rows, min_bands=1, max_bucket=1000).select(
+        "doc_a", "doc_b"
+    )
+    a = rows.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = rows.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    nm = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "band_id", "band_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_match"))
+    )
+    ver = dd.jaccard_pairs(docs, candidates=cand).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b"
+    )
+    out = nm.join(ver, ["doc_a", "doc_b"])
+    est = F.expr("1000000 * n_match div 16")
+    exact = F.expr("1000000 * inter div (size_a + size_b - inter)")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_match").cast("long").alias("n_match"),
+        est.cast("long").alias("est_ppm"),
+        exact.cast("long").alias("jaccard_ppm"),
+        (est - exact).cast("long").alias("err_ppm"),
+    )
+
+
+# -- OOV rate vs the corpus head vocabulary ------------------------------------
+# The vocabulary-coverage gate (docs dominated by tail/garbage tokens get
+# filtered before training): head vocab = top-16 corpus tokens by
+# frequency (total-order tie-break), per-doc out-of-vocabulary token
+# fraction in exact ppm. Two-pass: the tiny head vocab broadcasts; the
+# per-doc count is one map-side-combinable aggregation.
+
+_OOV_VOCAB_K = 16
+
+
+@register(
+    "doc_oov_rate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({tx.sql_tokens('text')}) AS token FROM documents),
+    g AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+        FROM g) WHERE rnk <= {_OOV_VOCAB_K}),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             count(*) FILTER (t.token NOT IN (SELECT token FROM vocab)) AS n_oov
+      FROM t GROUP BY 1)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(1000000 * n_oov // n_tokens AS BIGINT) AS oov_ppm
+    FROM per
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus head
+    vocabulary (top-16 by frequency, total-order tie-break) in exact ppm.
+    The head vocab is a broadcast left join with a null-flag count; only
+    the (doc, token) explode is input-sized."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    g = t.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    per = (
+        t.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("1000000 * n_oov div n_tokens").cast("long").alias("oov_ppm"),
+    )
