@@ -97,3 +97,29 @@ def test_bm25_rare_term_outranks_common(spark):
     for q, rs in by_q.items():
         scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ip_politeness_budget_respected(spark):
+    rows = QUERIES["crawl_ip_politeness"](spark, SF_DIR).collect()
+    assert rows
+    per_ip = {}
+    for r in rows:
+        per_ip.setdefault(r.ip, []).append(r)
+    for ip, rs in per_ip.items():
+        assert len(rs) <= 8  # _IP_BUDGET
+        assert {r.rn for r in rs} == set(range(1, len(rs) + 1))
+        # hosts sharing an IP share ONE budget (the collapse is real):
+        # n_hosts_on_ip is consistent across the group
+        assert len({r.n_hosts_on_ip for r in rs}) == 1
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    rows = QUERIES["doc_minhash_est_error"](spark, SF_DIR).collect()
+    assert rows
+    # k=16 signature: granularity 62.5k ppm; 3-sigma binomial bound at
+    # the sample level — check the AGGREGATE bias, not per-pair noise.
+    mean_err = sum(r.err_ppm for r in rows) / len(rows)
+    assert abs(mean_err) < 150_000, f"MinHash estimator biased: {mean_err} ppm"
+    for r in rows:
+        assert 0 <= r.n_match <= 16
+        assert 0 <= r.jaccard_ppm <= 1_000_000
