@@ -293,6 +293,155 @@ def neardup_pairs_banded(
     )
 
 
+SEMDEDUP_TAU = 0.9
+SEMDEDUP_QUANT = 1_000_000
+
+
+def semdedup(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    ncells: int = IVF_CELLS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Semantic dedup (Abbas et al. 2023, "SemDeDup"): cluster the
+    L2-normalized embeddings, and within each cluster drop every item that
+    has cosine >= tau to a higher-priority item, where priority keeps the
+    LOWEST similarity-to-centroid first (the paper's best-performing
+    survivor rule: peripheral examples carry the most information).
+
+    Output: (vec_id, cell, sim_centroid, kept) for EVERY input row.
+
+    Scale shape: pair comparison is confined to cells — ncells grows as
+    isqrt(n) (derive_ncells) so expected cell size stays bounded; the
+    centroid build ships n·dim integer rows (the MinHash signature
+    pattern) with a map-side-combinable sum; the dominator check is a
+    cell-colocated self-join reusing the cell partitioning.
+
+    Cross-engine determinism: centroids are per-cell component sums of
+    micro-unit-quantized normalized vectors — exact int64, fold-order
+    free (means would be float accumulation); cosine is scale-invariant
+    so the un-divided sum IS the centroid direction. Normalization is
+    bit-reproducible (IEEE sqrt + division), and a power-of-two scaled
+    duplicate normalizes to the identical doubles, landing in the same
+    cell with pairwise cosine exactly 1.0.
+    """
+    src = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("dvec"),
+    )
+    # materialize the norm as its own column: a HOF lambda re-evaluates a
+    # captured expression per element (the O(len^2) gotcha)
+    n = src.withColumn("nn", norm(F.col("dvec")))
+    nr = n.select(
+        "vec_id",
+        F.transform(F.col("dvec"), lambda x: x / F.col("nn")).alias("nrm"),
+    )
+    # q fans out twice (centroid build + member table): persist so the
+    # 8-cell x 64-dim assignment expression runs once per row
+    q = nr.select(
+        "vec_id",
+        F.transform(
+            F.col("nrm"),
+            lambda x: F.round(x * SEMDEDUP_QUANT).cast("long"),
+        ).alias("qvec"),
+        ivf_cell(F.col("nrm"), ncells, dim).cast("long").alias("cell"),
+    ).persist()
+    if persisted_out is not None:
+        persisted_out.append(q)
+    expl = q.select("cell", F.posexplode("qvec").alias("pos", "qv"))
+    sums = expl.groupBy("cell", "pos").agg(F.sum("qv").alias("s"))
+    cents = sums.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+        ).alias("cvec")
+    )
+    # m fans out 3 ways (output, both sides of the dominator join): persist
+    # the tiny (id, qvec, cell, sim) frame so the giant cell-assignment
+    # expression tree is evaluated — and codegen-compiled — exactly once
+    m = (
+        q.join(F.broadcast(cents), "cell")
+        .withColumn("sim_centroid", cosine(F.col("qvec"), F.col("cvec")))
+        .drop("cvec")
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(m)
+    a = m.select("vec_id", "cell", "qvec", "sim_centroid")
+    b = m.select(
+        F.col("vec_id").alias("_bid"),
+        F.col("cell").alias("_bcell"),
+        F.col("qvec").alias("_bq"),
+        F.col("sim_centroid").alias("_bsim"),
+    )
+    dom = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("_bcell"))
+            & (
+                (F.col("_bsim") < F.col("sim_centroid"))
+                | (
+                    (F.col("_bsim") == F.col("sim_centroid"))
+                    & (F.col("_bid") < F.col("vec_id"))
+                )
+            ),
+        )
+        .filter(cosine(F.col("qvec"), F.col("_bq")) >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dom", F.lit(True))
+    )
+    return (
+        m.join(dom, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "sim_centroid",
+            F.col("_dom").isNull().alias("kept"),
+        )
+    )
+
+
+def sql_semdedup(
+    corpus_sql: str,
+    tau: float = SEMDEDUP_TAU,
+    ncells: int = IVF_CELLS,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of semdedup(). ``corpus_sql`` must yield
+    (vec_id BIGINT, dvec DOUBLE[]) — the double-cast embedding."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    n AS (
+      SELECT vec_id, dvec, sqrt({sql_dot("dvec", "dvec", dim)}) AS nn FROM corpus),
+    nr AS (
+      SELECT vec_id, list_transform(dvec, x -> x / nn) AS nrm FROM n),
+    q AS (
+      SELECT vec_id,
+             list_transform(nrm, x -> CAST(round(x * {SEMDEDUP_QUANT}) AS BIGINT)) AS qvec,
+             CAST({sql_ivf_cell("nrm", ncells, dim)} AS BIGINT) AS cell
+      FROM nr),
+    cent AS (
+      SELECT cell, i AS pos, sum(qvec[i]) AS s
+      FROM q, range(1, {dim + 1}) r(i) GROUP BY 1, 2),
+    ca AS (SELECT cell, list(s ORDER BY pos) AS cvec FROM cent GROUP BY cell),
+    m AS (
+      SELECT q.vec_id, q.cell, q.qvec,
+             {sql_cosine("q.qvec", "ca.cvec", dim)} AS sim_centroid
+      FROM q JOIN ca USING (cell)),
+    dom AS (
+      SELECT DISTINCT a.vec_id FROM m a JOIN m b
+      ON a.cell = b.cell
+         AND (b.sim_centroid < a.sim_centroid
+              OR (b.sim_centroid = a.sim_centroid AND b.vec_id < a.vec_id))
+      WHERE {sql_cosine("a.qvec", "b.qvec", dim)} >= {tau})
+    SELECT m.vec_id, m.cell, m.sim_centroid, (dom.vec_id IS NULL) AS kept
+    FROM m LEFT JOIN dom USING (vec_id)
+    """
+
+
 def ann_topk_ivf(
     emb: DataFrame,
     probe_ids: list[int],

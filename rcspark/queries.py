@@ -1762,6 +1762,41 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- semantic dedup (SemDeDup) over planted exact-duplicate embeddings --------
+# The corpus is the embeddings table plus a x2-scaled copy of every fifth
+# vector (power-of-two scaling is float-exact and cosine-invariant, so each
+# plant normalizes to bit-identical doubles — a guaranteed same-cell pair
+# with cosine exactly 1.0). semdedup() must keep exactly one of each pair
+# under the keep-most-peripheral rule; the oracle re-derives cells,
+# integer-sum centroids, and the dominator anti-join CTE-by-CTE.
+
+_SEMDEDUP_CORPUS_SQL = """
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS dvec
+      FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@register(
+    "emb_semdedup",
+    oracle=sim.sql_semdedup(_SEMDEDUP_CORPUS_SQL, dim=_EMB_DIM),
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    plants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias("embedding"),
+    )
+    return sim.semdedup(base.unionByName(plants), dim=_EMB_DIM)
+
+
 # IVF against k-means-TRAINED centroids (VERDICT r1 next-round #10): the
 # trainer is Lloyd's in exact micro-unit integer arithmetic with digest60-
 # seeded init and a fixed iteration count, so the DuckDB oracle re-derives
@@ -3240,6 +3275,125 @@ def img_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.h").alias("h"),
         F.col("s.pixels").alias("pixels"),
         "dup_count",
+    )
+
+
+# -- content sniffing: magic bytes vs declared format (no decode) -------------
+# A crawl corpus can't trust Content-Type or file extensions; the integrity
+# gate sniffs the REAL container magic straight off the binary column with
+# codegen substring/hex expressions — no UDF, no decode, so at 100 TB it
+# fuses into the corpus scan (blob column read but never shipped to Python).
+# Mismatches are planted: every p_partkey % 30 == 0 image is converted to
+# real PNG bytes (rcspark.png) while its declared fmt keeps the original
+# label, so the sniffer must catch exactly that subset. The oracle re-derives
+# the expected verdicts from the independent-twin fmt column + the plant rule.
+
+def _sniff_col(b: F.Column) -> F.Column:
+    """Magic-number sniff over a binary column — pure codegen expressions.
+
+    Covers the two corpus containers (P6/Q6), the sandbox's real
+    interoperable codec (PNG), and the three lossy interchange formats a
+    web crawl actually sees (JPEG/GIF/WebP, which bind to PIL on a real
+    cluster but sniff identically)."""
+    h4 = F.hex(F.substring(b, 1, 4))
+    h2 = F.substring(h4, 1, 4)
+    webp = F.hex(F.substring(b, 9, 4))
+    return (
+        F.when(h4 == "89504E47", F.lit("png"))
+        .when(h2 == "5036", F.lit("ppm"))
+        .when(h2 == "5136", F.lit("qppm"))
+        .when(F.substring(h4, 1, 6) == "FFD8FF", F.lit("jpeg"))
+        .when(h4 == "47494638", F.lit("gif"))
+        .when((h4 == "52494646") & (webp == "57454250"), F.lit("webp"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+@register(
+    "img_format_sniff",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id, p_partkey
+                 FROM part WHERE p_partkey % 10 = 0),
+    e AS (
+      SELECT e.image_id, e.fmt, i.p_partkey
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids i USING (image_id))
+    SELECT image_id, fmt AS declared_fmt,
+           CASE WHEN p_partkey % 30 = 0 THEN 'png' ELSE fmt END AS sniffed_fmt,
+           (p_partkey % 30 = 0) AS mismatch
+    FROM e
+    """,
+)
+def img_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import convert_images
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir)).withColumn(
+        "declared_fmt", F.col("fmt")
+    )
+    # plant: convert the %30 subset to real PNG bytes, keep the stale label
+    key = F.regexp_extract("image_id", r"^img(\d+)$", 1).cast("long")
+    plant = convert_images(imgs.filter(key % 30 == 0))
+    rest = imgs.filter(key % 30 != 0)
+    corpus = rest.unionByName(plant)
+    sniffed = _sniff_col(F.col("bytes"))
+    return corpus.select(
+        "image_id",
+        "declared_fmt",
+        sniffed.alias("sniffed_fmt"),
+        (sniffed != F.col("declared_fmt")).alias("mismatch"),
+    )
+
+
+# -- resolution / aspect-ratio bucketing (LAION-style corpus profiling) -------
+# Training-data curation bins the pair corpus by size tier x aspect class
+# before sampling; one groupBy over scan-level CASE expressions — map-side
+# combinable, 9 output groups regardless of corpus size.
+
+@register(
+    "img_resolution_bucket",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0),
+    e AS (
+      SELECT e.w, e.h, e.fmt
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)),
+    b AS (
+      SELECT CASE WHEN LEAST(w, h) < 32 THEN 'small'
+                  WHEN LEAST(w, h) < 64 THEN 'medium' ELSE 'large' END AS size_tier,
+             CASE WHEN w = h THEN 'square'
+                  WHEN w > h THEN 'wide' ELSE 'tall' END AS aspect,
+             w, h, fmt
+      FROM e)
+    SELECT size_tier, aspect,
+           count(*) AS n_images,
+           CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+           CAST(count(DISTINCT fmt) AS BIGINT) AS n_fmts
+    FROM b GROUP BY size_tier, aspect
+    """,
+)
+def img_resolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    size_tier = (
+        F.when(F.least("w", "h") < 32, F.lit("small"))
+        .when(F.least("w", "h") < 64, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    aspect = (
+        F.when(F.col("w") == F.col("h"), F.lit("square"))
+        .when(F.col("w") > F.col("h"), F.lit("wide"))
+        .otherwise(F.lit("tall"))
+    )
+    return (
+        imgs.select(
+            size_tier.alias("size_tier"),
+            aspect.alias("aspect"),
+            "w", "h", "fmt",
+        )
+        .groupBy("size_tier", "aspect")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("total_pixels"),
+            F.count_distinct("fmt").cast("long").alias("n_fmts"),
+        )
     )
 
 
