@@ -2170,6 +2170,153 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+# -- streaming SESSION windows (dynamic-gap sessionization in the engine) ------
+# session_window merges an event into the open session iff it lands strictly
+# before last_event + gap; the session's window is [first, last + gap). The
+# oracle restates the merge rule as gaps-and-islands (new session when
+# ts - lag(ts) >= gap) and applies the same append-mode finalization
+# contract as stream_windowed_counts: only sessions whose END has passed
+# the final watermark (max ts - delay) are ever emitted.
+
+_SESSION_GAP = "8 hours"
+_SESSION_DELAY = "24 hours"
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts >= lag(ts) OVER w + INTERVAL 8 HOUR THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 8 HOUR AS s_end, count(*) AS n_events
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start_s,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS s_end_s,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM sess, mx WHERE s_end <= m - INTERVAL 24 HOUR
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window aggregation per user (8-hour
+    inactivity gap, 24-hour watermark, APPEND output, availableNow
+    drain). Session state lives in the state store keyed by user — the
+    training-pipeline analogue is sessionizing crawl/interaction logs on
+    ingest. The tz-shift of the NTZ cast cancels: session boundaries
+    depend only on time DIFFERENCES, and the emission inequality shifts
+    both sides equally."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(file_stream_dir(sf_dir, "events"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", _SESSION_DELAY)
+        .groupBy("user_id", F.session_window("ts", _SESSION_GAP).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("s_start_s"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("s_end_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# -- stream-stream interval join (view -> purchase attribution) ----------------
+# Both sides are streams; the inner join emits a match as soon as both rows
+# arrive, while the watermarks + time-bound let the state store EVICT: a
+# buffered view can be dropped once the watermark passes view_ts + 2h — the
+# contract that makes an attribution join runnable forever. Matches don't
+# wait for finalization (inner-join semantics), so the oracle is the plain
+# interval join; the epoch difference cancels the NTZ cast's tz shift.
+
+@register(
+    "stream_join_attrib",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS delay_s
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    d = file_stream_dir(sf_dir, "events")
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(ev_schema)
+            .parquet(d)
+            .filter(F.col("event_type") == event_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    views, purch = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purch,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + INTERVAL 2 HOURS"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long")).alias("delay_s"),
+    )
+    sink = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # =============================================================================
 # Round-3 relational extensions (rcspark.relational): as-of join, iterative
 # exact-integer PageRank, sitemap extraction — operators Spark lacks as
@@ -3644,6 +3791,198 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- per-doc keyword extraction: top-k tokens by integer tf-idf ----------------
+# The keyword tagger a curation pipeline runs before clustering/labeling:
+# tf from the (doc, token) pre-aggregation (the inverted-index shuffle
+# shape), df per token, idf as the ln-free rational 1e6*N div (df+1) so
+# scores are exact int64 in both engines; top-3 per doc with a total-order
+# tie-break. The df side is a broadcast (vocabulary << corpus at web scale
+# after the tf pre-aggregation).
+
+_KEYWORD_TOPK = 3
+
+
+@register(
+    "doc_keyword_tfidf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * ((1000000 * n.n_docs) // (df.df + 1)) AS score
+      FROM tf JOIN df USING (token), n),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+      FROM s)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_KEYWORD_TOPK}
+    """,
+)
+def doc_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    s = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((1000000 * n_docs) div (df + 1))"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KEYWORD_TOPK)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("long").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# -- bigram-LM fluency scoring (the CCNet perplexity-filter shape) -------------
+# CCNet ranks crawl text by language-model perplexity; the sandbox twin
+# trains the LM on the corpus itself (bigram counts) and scores each doc by
+# its mean bigram likelihood in exact ppm: p(w1 w2) ~ c(w1 w2)*1e6 div c(w1),
+# averaged over the doc's bigrams with integer division (ln-free, like BM25).
+# Shapes that carry to 100 TB: bigrams are derived per-row with zip_with
+# (no explode until the count aggregation), the count tables are (distinct
+# bigram) and (distinct token) sized — vocabulary-bounded — and the score
+# join is keyed on the bigram (broadcast here; at web scale a plain shuffle
+# join on a vocabulary-partitioned count table).
+
+def _bigrams_col(tk: F.Column) -> F.Column:
+    n = F.size(tk)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_BIGRAMS = f"""
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) dt,
+           unnest(list_transform(range(1, len(tk)), x -> CAST(x AS INT))) u(i)
+"""
+
+
+@register(
+    "doc_lm_score",
+    oracle=f"""
+    WITH bg AS ({_SQL_BIGRAMS}),
+    c2 AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+    c1 AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             (c2.c * 1000000) // c1.c AS p_ppm
+      FROM bg JOIN c2 USING (bigram)
+              JOIN c1 ON c1.token = split_part(bg.bigram, ' ', 1)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+      FROM scored GROUP BY 1)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, lm_score_ppm
+    FROM agg
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams_col(tx.tokens(F.col("text")))).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bg.join(F.broadcast(c2), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1.withColumnRenamed("token", "w1")), "w1")
+        .withColumn("p_ppm", F.expr("(c2 * 1000000) div c1"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(p_ppm) div count(*)").cast("long").alias("lm_score_ppm"),
+    )
+
+
+# -- temperature-scaled language resampling (the UniMax / T5 mixing rule) ------
+# Multilingual pretraining mixes languages by n_s^(1/T) rather than raw
+# counts; T=2 is floor(sqrt(n)) — exact in both engines because IEEE sqrt
+# is correctly rounded (see derive_ncells). Per-language keep-rate in
+# permille, membership by digest bucket (no RNG state: deterministic,
+# reshard-proof), weight = 1/p for unbiased downstream aggregation.
+
+_TSAMPLE_BOOST = 8
+
+
+@register(
+    "doc_temperature_sample",
+    oracle=f"""
+    WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+    p AS (
+      SELECT lang, n_lang,
+             LEAST(1000, ({_TSAMPLE_BOOST} * 1000
+                          * CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT))
+                         // n_lang) AS p_permille
+      FROM n)
+    SELECT d.doc_id, d.lang, p.n_lang, p.p_permille,
+           round(1000.0 / p.p_permille, 6) AS weight
+    FROM documents d JOIN p USING (lang)
+    WHERE {sql_digest60("'tsample:' || d.doc_id::VARCHAR")} % 1000 < p.p_permille
+    """,
+)
+def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    p = n.withColumn(
+        "p_permille",
+        F.least(
+            F.lit(1000),
+            F.expr(
+                f"({_TSAMPLE_BOOST} * 1000"
+                " * CAST(floor(sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT))"
+                " div n_lang"
+            ),
+        ),
+    )
+    bucket = F.pmod(
+        digest60(F.concat(F.lit("tsample:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    return (
+        docs.join(F.broadcast(p), "lang")
+        .filter(bucket < F.col("p_permille"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            "p_permille",
+            F.round(1000.0 / F.col("p_permille"), 6).alias("weight"),
+        )
+    )
+
+
 # =============================================================================
 # Deterministic sketches. Both are the real streaming-sketch constructions
 # (count-min, HyperLogLog) computed EXACTLY the same way in both engines:
@@ -4145,6 +4484,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SCD2 state-history construction (gaps-and-islands) ------------------------
+# The warehouse's slowly-changing-dimension type-2 build: per user, collapse
+# consecutive runs of the same event_type (ordered by ts, event_id) into
+# [valid_from, valid_to) interval rows with a version number; the current
+# row's valid_to is NULL. Two windows over one user-keyed sort — the change
+# flag + running sum is the standard islands construction and reuses the
+# same partitioning for both windows and the final group, so a 100x events
+# table pays exactly one shuffle.
+
+@register(
+    "events_user_state_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o),
+    iv AS (
+      SELECT user_id, run_id, min(event_type) AS event_type,
+             min(ts) AS vf, count(*) AS n_events
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM iv
+    """,
+)
+def events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    return iv.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("version"),
+        "event_type",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format(F.lead("vf").over(wv), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to_s"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 @register(
     "agg_grouping_sets_events",
     oracle="""
@@ -4389,6 +4791,68 @@ def crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("long").alias("priority"),
         F.col("rn").cast("long").alias("rn"),
         F.col("n_hosts_on_ip").cast("long").alias("n_hosts_on_ip"),
+    )
+
+
+# -- fetch-slot load balancing: serpentine round-robin over ranked hosts ------
+# Assigning hosts to a fixed pool of fetcher slots is a bin-packing problem;
+# the deterministic window-expressible approximation of greedy LPT (longest
+# processing time first) is SERPENTINE round-robin over hosts ranked by load
+# descending: slot order reverses every round, so the heaviest host in a
+# round pairs with the lightest of the previous one. Uses the skewed host
+# rule (70% of URLs on h0) so the balance actually has work to do. Shape:
+# the rank is over the HOST aggregate (tiny vs the URL table), so the only
+# input-sized work is the map-side-combinable load count.
+
+_FETCH_SLOTS = 4
+
+
+@register(
+    "crawl_fetch_balance",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'h' || (CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 3
+                           ELSE l_orderkey % 20 END) AS host
+      FROM lineitem),
+    loads AS (SELECT host, count(*) AS load FROM f GROUP BY 1),
+    r AS (
+      SELECT host, load,
+             row_number() OVER (ORDER BY load DESC, host ASC) AS rnk
+      FROM loads),
+    s AS (
+      SELECT *, CASE WHEN ((rnk - 1) // {_FETCH_SLOTS}) % 2 = 0
+                     THEN (rnk - 1) % {_FETCH_SLOTS}
+                     ELSE {_FETCH_SLOTS - 1} - (rnk - 1) % {_FETCH_SLOTS} END AS slot
+      FROM r)
+    SELECT host, CAST(load AS BIGINT) AS load, CAST(rnk AS BIGINT) AS rnk,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(sum(load) OVER (PARTITION BY slot) AS BIGINT) AS slot_load
+    FROM s
+    """,
+)
+def crawl_fetch_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    hostnum = F.when(F.col("l_orderkey") % 10 < 7, F.col("l_orderkey") % 3).otherwise(
+        F.col("l_orderkey") % 20
+    )
+    loads = (
+        li.select(F.concat(F.lit("h"), hostnum.cast("string")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("load"))
+    )
+    w = Window.orderBy(F.col("load").desc(), F.col("host").asc())
+    r = loads.withColumn("rnk", F.row_number().over(w))
+    rnd = (F.col("rnk") - 1).cast("long")
+    slot = F.when(
+        (rnd / _FETCH_SLOTS).cast("long") % 2 == 0, rnd % _FETCH_SLOTS
+    ).otherwise(F.lit(_FETCH_SLOTS - 1) - rnd % _FETCH_SLOTS)
+    s = r.withColumn("slot", slot)
+    return s.select(
+        "host",
+        F.col("load").cast("long").alias("load"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("slot").cast("long").alias("slot"),
+        F.sum("load").over(Window.partitionBy("slot")).cast("long").alias("slot_load"),
     )
 
 
