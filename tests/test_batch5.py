@@ -1,0 +1,152 @@
+"""Semantic properties of the round-3 batch-5 operators — the invariants a
+rows+schema+hash oracle can't state: SemDeDup survivor uniqueness, sniffer
+plant coverage, serpentine balance bounds, temperature-sampling rates,
+SCD2 interval chaining, session-window disjointness."""
+
+import math
+
+import pytest
+
+from rcspark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rcspark.session import get_spark
+
+    return get_spark("test_batch5")
+
+
+def test_semdedup_drops_exactly_one_of_each_planted_pair(spark):
+    rows = QUERIES["emb_semdedup"](spark, SF_DIR).collect()
+    by_id = {r.vec_id: r for r in rows}
+    plants = [i for i in by_id if i >= 100000]
+    assert plants, "corpus must contain planted duplicates"
+    # natural max cosine in the testdata is ~0.51 << tau=0.9, so the drop
+    # set must be exactly one member of each planted pair
+    dropped = {i for i, r in by_id.items() if not r.kept}
+    assert len(dropped) == len(plants)
+    for p in plants:
+        orig = p - 100000
+        assert by_id[p].cell == by_id[orig].cell, "plant must share the cell"
+        assert by_id[p].sim_centroid == by_id[orig].sim_centroid
+        assert by_id[p].kept != by_id[orig].kept, "exactly one survivor"
+
+
+def test_format_sniff_catches_exactly_the_planted_conversions(spark):
+    rows = QUERIES["img_format_sniff"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        key = int(r.image_id[3:])
+        if key % 30 == 0:
+            assert r.sniffed_fmt == "png" and r.mismatch, r
+        else:
+            assert r.sniffed_fmt == r.declared_fmt and not r.mismatch, r
+
+
+def test_fetch_balance_serpentine_bound(spark):
+    rows = QUERIES["crawl_fetch_balance"](spark, SF_DIR).collect()
+    nslots = 4
+    assert all(0 <= r.slot < nslots for r in rows)
+    # host counts per slot differ by at most one (round-robin property)
+    per_slot = {}
+    for r in rows:
+        per_slot.setdefault(r.slot, []).append(r.load)
+    counts = [len(v) for v in per_slot.values()]
+    assert max(counts) - min(counts) <= 1
+    # LPT-style bound: no slot exceeds the ideal share by more than the
+    # largest single host (serpentine pairs heavy rounds with light ones)
+    total = sum(r.load for r in rows)
+    biggest = max(r.load for r in rows)
+    for loads in per_slot.values():
+        assert sum(loads) <= total / nslots + biggest
+
+
+def test_temperature_sample_rates_and_weights(spark):
+    rows = QUERIES["doc_temperature_sample"](spark, SF_DIR).collect()
+    assert rows
+    langs = {}
+    for r in rows:
+        expect_p = min(1000, (8 * 1000 * math.isqrt(r.n_lang)) // r.n_lang)
+        assert r.p_permille == expect_p
+        assert abs(r.weight - round(1000.0 / r.p_permille, 6)) < 1e-9
+        langs.setdefault(r.lang, []).append(r)
+    for lang, rs in langs.items():
+        n_kept, n_lang, p = len(rs), rs[0].n_lang, rs[0].p_permille
+        # digest buckets are uniform: realized rate within 5 sigma
+        sigma = math.sqrt(n_lang * (p / 1000) * (1 - p / 1000))
+        assert abs(n_kept - n_lang * p / 1000) <= 5 * sigma + 1, lang
+
+
+def test_scd2_intervals_chain_per_user(spark):
+    rows = QUERIES["events_user_state_scd2"](spark, SF_DIR).collect()
+    users = {}
+    for r in rows:
+        users.setdefault(r.user_id, []).append(r)
+    assert users
+    for uid, rs in users.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_s == b.valid_from_s, "intervals must chain"
+            assert a.event_type != b.event_type, "adjacent runs must differ"
+        assert rs[-1].valid_to_s is None, "current row is open-ended"
+        assert all(r.valid_to_s is not None for r in rs[:-1])
+
+
+def test_session_windows_disjoint_and_gap_sized(spark):
+    rows = QUERIES["stream_session_window"](spark, SF_DIR).collect()
+    assert rows
+    users = {}
+    for r in rows:
+        assert r.n_events >= 1
+        assert r.s_end_s > r.s_start_s
+        users.setdefault(r.user_id, []).append((r.s_start_s, r.s_end_s))
+    for uid, spans in users.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"user {uid}: overlapping sessions"
+
+
+def test_stream_attrib_within_window(spark):
+    rows = QUERIES["stream_join_attrib"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.delay_s <= 7200
+        assert r.purchase_ts_s >= r.view_ts_s
+
+
+def test_lm_score_bounds_and_bigram_counts(spark):
+    rows = QUERIES["doc_lm_score"](spark, SF_DIR).collect()
+    assert rows
+    docs = QUERIES["doc_token_stats"](spark, SF_DIR).collect()
+    n_tokens = {r.doc_id: r.n_tokens for r in docs}
+    for r in rows:
+        assert 0 <= r.lm_score_ppm <= 1_000_000
+        if r.doc_id in n_tokens:
+            assert r.n_bigrams == n_tokens[r.doc_id] - 1
+
+
+def test_keyword_tfidf_ranked_topk(spark):
+    rows = QUERIES["doc_keyword_tfidf"](spark, SF_DIR).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    assert docs
+    for doc_id, rs in docs.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, b.token) >= (b.score, a.token) or a.score > b.score
+            assert a.score >= b.score
+
+
+def test_resolution_buckets_cover_corpus(spark):
+    rows = QUERIES["img_resolution_bucket"](spark, SF_DIR).collect()
+    assert rows
+    feats = QUERIES["img_features"](spark, SF_DIR).collect()
+    assert sum(r.n_images for r in rows) == len(feats)
+    assert all(r.total_pixels > 0 for r in rows)
