@@ -1219,6 +1219,57 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- window frame: RANGE over event time (trailing 7-day spend) ----------------
+# The value-based frame (RANGE, not ROWS): every event sees the exact-cents
+# sum and count of the SAME USER's events in the trailing 7 days INCLUDING
+# ties — Spark expresses time-RANGE frames as rangeBetween over epoch
+# seconds (the NTZ cast's tz shift cancels: frame membership depends only
+# on timestamp DIFFERENCES), DuckDB natively as RANGE INTERVAL. Peer rows
+# (equal ts) are in-frame on both engines regardless of tie order, which
+# is what makes a RANGE frame hash-checkable where a ROWS frame over a
+# non-unique order key would not be.
+
+@register(
+    "window_range_7d",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS spend_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # microsecond epoch: a seconds cast would truncate and disagree
+        # with DuckDB's microsecond-exact INTERVAL at the 7-day boundary
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )
+
+
 # =============================================================================
 # Training-data pipeline: documents (dedup, text analysis)
 # =============================================================================
@@ -1638,6 +1689,110 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, _PROBES, k=5).select(
         "probe_id", "vec_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# -- MMR diversified re-ranking (maximal marginal relevance, k=3, lambda=.5) ----
+# Retrieval stacks re-rank the raw similarity top-k for diversity:
+# greedily pick argmax of 0.5*rel(d) - 0.5*max_{s in selected} sim(d, s).
+# The greedy chain is SEQUENTIAL BY DESIGN (k steps), but each step is a
+# bounded top-1 reduction over the k-candidate pool — the expensive part
+# (the rel top-10 over the corpus) is the same broadcast-probe scan as
+# emb_cosine_topk, and each selection step is a one-row broadcast cross
+# join, so nothing in the chain scales with corpus size. Fixed k lets the
+# DuckDB oracle restate the greedy chain as k chained CTEs.
+
+_MMR_PROBE = 0
+_MMR_POOL = 10
+
+
+def _mmr_sql() -> str:
+    cosv = lambda a, b: sim.sql_cosine(a, b, _EMB_DIM)  # noqa: E731
+    return f"""
+    WITH probe AS (
+      SELECT embedding AS pv FROM embeddings WHERE vec_id = {_MMR_PROBE}),
+    cand AS (
+      SELECT vec_id, embedding AS v, {cosv("embedding", "pv")} AS rel
+      FROM embeddings, probe WHERE vec_id <> {_MMR_PROBE}
+      ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+    s1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    r1 AS (
+      SELECT c.vec_id, c.v, c.rel,
+             round(0.5 * c.rel - 0.5 * {cosv("c.v", "s1.v")}, 6) AS sc
+      FROM cand c, s1 WHERE c.vec_id <> s1.vec_id),
+    s2 AS (SELECT * FROM r1 ORDER BY sc DESC, vec_id LIMIT 1),
+    r2 AS (
+      SELECT c.vec_id, c.rel,
+             round(0.5 * c.rel
+                   - 0.5 * greatest({cosv("c.v", "s1.v")}, {cosv("c.v", "s2.v")}),
+                   6) AS sc
+      FROM cand c, s1, s2 WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+    s3 AS (SELECT * FROM r2 ORDER BY sc DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS step, vec_id, round(0.5 * rel, 6) AS mmr_score
+    FROM s1
+    UNION ALL SELECT 2, vec_id, sc FROM s2
+    UNION ALL SELECT 3, vec_id, sc FROM s3
+    """
+
+
+@register("emb_mmr_rerank", oracle=_mmr_sql())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == _MMR_PROBE).select(
+        F.col("embedding").alias("pv")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != _MMR_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            sim.cosine(F.col("embedding"), F.col("pv")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+    )
+    s1 = cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(1)
+    s1r = s1.select(F.col("vec_id").alias("s1_id"), F.col("v").alias("s1_v"))
+    r1 = (
+        cand.crossJoin(F.broadcast(s1r))
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .withColumn(
+            "sc",
+            F.round(
+                0.5 * F.col("rel") - 0.5 * sim.cosine(F.col("v"), F.col("s1_v")), 6
+            ),
+        )
+    )
+    s2 = r1.orderBy(F.col("sc").desc(), F.col("vec_id").asc()).limit(1)
+    s2r = s2.select(F.col("vec_id").alias("s2_id"), F.col("v").alias("s2_v"))
+    r2 = (
+        cand.crossJoin(F.broadcast(s1r))
+        .crossJoin(F.broadcast(s2r))
+        .filter(
+            (F.col("vec_id") != F.col("s1_id")) & (F.col("vec_id") != F.col("s2_id"))
+        )
+        .withColumn(
+            "sc",
+            F.round(
+                0.5 * F.col("rel")
+                - 0.5
+                * F.greatest(
+                    sim.cosine(F.col("v"), F.col("s1_v")),
+                    sim.cosine(F.col("v"), F.col("s2_v")),
+                ),
+                6,
+            ),
+        )
+    )
+    s3 = r2.orderBy(F.col("sc").desc(), F.col("vec_id").asc()).limit(1)
+    out1 = s1.select(
+        F.lit(1).cast("long").alias("step"),
+        "vec_id",
+        F.round(0.5 * F.col("rel"), 6).alias("mmr_score"),
+    )
+    out2 = s2.select(F.lit(2).cast("long").alias("step"), "vec_id", F.col("sc").alias("mmr_score"))
+    out3 = s3.select(F.lit(3).cast("long").alias("step"), "vec_id", F.col("sc").alias("mmr_score"))
+    return out1.unionByName(out2).unionByName(out3)
 
 
 _BUCKET_SQL = sim.sql_lsh_bucket("embedding", _EMB_DIM)
@@ -2461,6 +2616,136 @@ def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sitemap_entries(pages)
+
+
+# -- triangle counting on the host link graph ----------------------------------
+# The classic distributed-graph primitive (community/mirror-cluster
+# detection one level above pairwise mirror_detect): enumerate each
+# triangle exactly once via the ordered-edge trick — store every edge as
+# lo < hi, then join e1(a,b) + e2(b,c) + e3(a,c); the ordering constraint
+# a < b < c is implied by the join keys, so no post-hoc dedup and the
+# heavy-degree explosion is halved at the source. At web scale the edge
+# list is re-partitioned by lo (the join key chain reuses one layout) and
+# the degree-ordering variant (rank nodes by degree, orient edges low->
+# high rank) bounds the per-node fan-out; here the plain lo<hi orientation
+# states the semantics.
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey % 30 AS x, (o_orderkey * 7 + o_custkey) % 30 AS y
+      FROM orders),
+    e AS (
+      SELECT DISTINCT LEAST(x, y) AS lo, GREATEST(x, y) AS hi
+      FROM raw WHERE x <> y),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+                JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    nodes AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri)
+    SELECT 'g' || node AS host, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        (F.col("o_orderkey") % 30).alias("x"),
+        ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 30).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    e = raw.select(
+        F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+    ).distinct()
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .select(
+            F.concat(F.lit("g"), F.col("node").cast("string")).alias("host"),
+            "n_triangles",
+        )
+    )
+
+
+# -- MERGE INTO semantics: one full-outer-join pass ------------------------------
+# The warehouse upsert (Iceberg/Delta MERGE): apply a change batch of
+# inserts / updates / deletes to a target snapshot in a single key-
+# partitioned full-outer join — no driver loop, no per-row branching
+# outside codegen CASEs. Target = even order keys; changes = every third
+# key (op D for %5==0 evens, U for other evens, I for odds); updates
+# re-price at +10% in exact integer cents.
+
+@register(
+    "table_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0),
+    changes AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN (CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END)
+                  ELSE 'I' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT coalesce(t.k, c.k) AS k,
+             CASE WHEN c.op IS NULL THEN 'kept'
+                  WHEN c.op = 'U' THEN 'updated'
+                  WHEN c.op = 'I' THEN 'inserted' END AS action,
+             CASE WHEN c.op IS NULL THEN t.cents
+                  WHEN c.op = 'U' THEN (t.cents * 11) // 10
+                  WHEN c.op = 'I' THEN c.cents END AS cents
+      FROM target t FULL OUTER JOIN changes c ON t.k = c.k
+      WHERE c.op IS DISTINCT FROM 'D')
+    SELECT k, action, CAST(cents AS BIGINT) AS cents FROM merged
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("t_cents")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("c_cents"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    merged = (
+        target.join(changes, "k", "full_outer")
+        .filter(~F.col("op").eqNullSafe(F.lit("D")))
+        .select(
+            "k",
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("action"),
+            F.when(F.col("op").isNull(), F.col("t_cents"))
+            .when(F.col("op") == "U", F.expr("(t_cents * 11) div 10"))
+            .otherwise(F.col("c_cents"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return merged
 
 
 # =============================================================================
@@ -4585,6 +4870,82 @@ def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CUBE: the third multi-grain surface beside ROLLUP and GROUPING SETS -------
+
+@register(
+    "agg_cube_events",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(strftime(ts, '%Y-%m'), '<all>') AS month_str,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(event_type) * 2 + grouping(strftime(ts, '%Y-%m')) AS BIGINT)
+             AS gid
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+    """,
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, month): all four grains in one Expand +
+    one shuffle — completes the multi-grain trio (ROLLUP, GROUPING SETS,
+    CUBE) on the Table B aggregation row; gid disambiguates the NULL-vs-
+    '<all>' classes exactly as in agg_grouping_sets_events."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month_str")
+    )
+    out = ev.cube("event_type", "month_str").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.grouping("event_type") * 2 + F.grouping("month_str"))
+        .cast("long")
+        .alias("gid"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("month_str", F.lit("<all>")).alias("month_str"),
+        "n",
+        "gid",
+    )
+
+
+# -- Markov transition matrix over per-user event sequences --------------------
+# The behavioral-model building block: P(next event_type | event_type) as
+# exact ppm. One user-keyed sort produces the (from, to) pairs via lead;
+# the count and the per-from normalizer are two map-side-combinable
+# aggregations over |types|^2 <= tiny output groups.
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n FROM o
+      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n) AS total_from FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(t.total_from AS BIGINT) AS total_from,
+           CAST((1000000 * c.n) // t.total_from AS BIGINT) AS p_ppm
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("total_from"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_from").cast("long").alias("total_from"),
+        F.expr("(1000000 * n) div total_from").cast("long").alias("p_ppm"),
+    )
 
 
 # =============================================================================
