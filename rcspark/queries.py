@@ -2748,6 +2748,143 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+# -- WARC export: archive-record rendering + in-file offsets --------------------
+# The crawl-archive format (Common Crawl / Wayback): each fetched page
+# becomes a WARC/1.0 response record whose Content-Length is the exact
+# payload byte count, records are concatenated into per-shard warc files,
+# and every record's BYTE OFFSET inside its shard is the index the replay
+# stack (CDX) points at. Offsets are a per-shard exact cumsum over record
+# lengths — the same range-partitioned cumsum shape as sequence packing;
+# the oracle recomputes the rendering and the window. Bodies are ASCII so
+# length() == octet_length() in both engines.
+
+_WARC_SHARDS = 4
+
+
+@register(
+    "crawl_warc_export",
+    oracle=f"""
+    WITH page AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url,
+             'body:' || o_orderpriority || ':' || repeat('x', CAST(o_orderkey % 40 AS INT))
+               AS body
+      FROM orders),
+    rec AS (
+      SELECT url,
+             'WARC/1.0' || chr(13) || chr(10)
+               || 'WARC-Type: response' || chr(13) || chr(10)
+               || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+               || 'WARC-Record-ID: urn:digest:' || {sql_digest60("url")} || chr(13) || chr(10)
+               || 'Content-Length: ' || length(body) || chr(13) || chr(10)
+               || chr(13) || chr(10) || body || chr(13) || chr(10) || chr(13) || chr(10)
+               AS record,
+             {sql_digest60("url")} % {_WARC_SHARDS} AS shard
+      FROM page),
+    off AS (
+      SELECT shard, url, length(record) AS record_len,
+             coalesce(sum(length(record)) OVER (
+               PARTITION BY shard ORDER BY url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_
+      FROM rec)
+    SELECT o.shard, o.url, CAST(o.record_len AS BIGINT) AS record_len,
+           CAST(o.offset_ AS BIGINT) AS warc_offset,
+           {sql_digest60("r.record")} AS record_digest
+    FROM off o JOIN rec r USING (shard, url)
+    """,
+)
+def crawl_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    crlf = "\r\n"
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    body = F.concat(
+        F.lit("body:"),
+        F.col("o_orderpriority"),
+        F.lit(":"),
+        F.repeat(F.lit("x"), (F.col("o_orderkey") % 40).cast("int")),
+    )
+    page = orders.select(url.alias("url"), body.alias("body"))
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(crlf),
+        F.lit("WARC-Record-ID: urn:digest:"),
+        digest60(F.col("url")).cast("string"), F.lit(crlf),
+        F.lit("Content-Length: "), F.length("body").cast("string"), F.lit(crlf),
+        F.lit(crlf), F.col("body"), F.lit(crlf + crlf),
+    )
+    rec = page.select(
+        "url",
+        record.alias("record"),
+        F.pmod(digest60(F.col("url")), F.lit(_WARC_SHARDS)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return rec.select(
+        "shard",
+        "url",
+        F.length("record").cast("long").alias("record_len"),
+        F.coalesce(F.sum(F.length("record")).over(w), F.lit(0))
+        .cast("long")
+        .alias("warc_offset"),
+        digest60(F.col("record")).alias("record_digest"),
+    )
+
+
+# -- CDX index: SURT keys for the archive lookup --------------------------------
+# The replay index beside the WARC files: URLs become SURT keys (host
+# labels reversed and comma-joined, then ')/' + path) so one host's pages
+# — and one registrable domain's subdomains — sort adjacently; rows carry
+# the 14-digit timestamp and the record digest, ordered by (surt, ts14)
+# with a global sequence. A 100x index is written by range-partitioning on
+# the SURT key (the window here states the order contract).
+
+@register(
+    "crawl_cdx_index",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'h' || (o_custkey % 50) || '.example' AS host,
+             '/o/' || o_orderkey AS path,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url,
+             strftime(o_orderdate, '%Y%m%d%H%M%S') AS ts14
+      FROM orders),
+    s AS (
+      SELECT list_aggregate(list_reverse(string_split(host, '.')), 'string_agg', ',')
+               || ')' || path AS surt_key,
+             ts14, url, {sql_digest60("url")} AS digest
+      FROM u)
+    SELECT surt_key, ts14, url, digest,
+           CAST(row_number() OVER (ORDER BY surt_key, ts14, url) AS BIGINT) AS seq
+    FROM s
+    """,
+)
+def crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 50).cast("string"), F.lit(".example")
+    )
+    path = F.concat(F.lit("/o/"), F.col("o_orderkey").cast("string"))
+    url = F.concat(F.lit("http://"), host, path)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), path
+    )
+    s = orders.select(
+        surt.alias("surt_key"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss").alias("ts14"),
+        url.alias("url"),
+        digest60(url).alias("digest"),
+    )
+    w = Window.orderBy("surt_key", "ts14", "url")
+    return s.withColumn("seq", F.row_number().over(w).cast("long"))
+
+
 # =============================================================================
 # Round-3 curation extensions: PII scrubbing, chunking-with-overlap, exact
 # heavy-hitter tokens (rcspark.datapipe.text) — the remaining standard
@@ -4461,6 +4598,115 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nonzero").cast("long").alias("nonzero_regs"),
         F.expr(f"({2903 << 50} div zsum)").cast("long").alias("hll_est"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+# -- HLL mergeability: per-week sketches max-combine into the global sketch -----
+# WHY sketches survive 100 TB: registers merge with max, so per-partition
+# (here per-week) sketches combine into the corpus sketch without re-
+# scanning. The op builds both paths — direct registers over all data,
+# and per-week registers merged by max — and emits both estimates with an
+# equality flag that must be TRUE for every group (max is associative);
+# the DuckDB twin re-derives both paths.
+
+@register(
+    "agg_hll_merge_weeks",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(date_diff('day', DATE '1992-01-01', ts) / 7) AS BIGINT) AS week,
+             {sql_digest60("user_id || ':' || strftime(ts, '%Y-%m-%d')")} AS d
+      FROM events),
+    rho AS (
+      SELECT event_type, week, d % {_HLL_M} AS reg,
+             CASE WHEN d // {_HLL_M} = 0 THEN 55
+                  ELSE 54 - length(bin(d // {_HLL_M})) + 1 END AS rho
+      FROM ev),
+    weekreg AS (
+      SELECT event_type, week, reg, max(rho) AS m FROM rho GROUP BY 1, 2, 3),
+    mergedreg AS (
+      SELECT event_type, reg, max(m) AS m FROM weekreg GROUP BY 1, 2),
+    directreg AS (
+      SELECT event_type, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
+    grid AS (
+      SELECT et.event_type, CAST(r AS BIGINT) AS reg
+      FROM (SELECT DISTINCT event_type FROM events) et, range({_HLL_M}) g(r)),
+    zm AS (
+      SELECT grid.event_type,
+             sum(CASE WHEN coalesce(mergedreg.m, 0) <= 50
+                      THEN (CAST(1 AS BIGINT) << (50 - coalesce(mergedreg.m, 0)))
+                      ELSE 0 END) AS zsum
+      FROM grid LEFT JOIN mergedreg USING (event_type, reg) GROUP BY 1),
+    zd AS (
+      SELECT grid.event_type,
+             sum(CASE WHEN coalesce(directreg.m, 0) <= 50
+                      THEN (CAST(1 AS BIGINT) << (50 - coalesce(directreg.m, 0)))
+                      ELSE 0 END) AS zsum
+      FROM grid LEFT JOIN directreg USING (event_type, reg) GROUP BY 1),
+    wk AS (SELECT event_type, count(DISTINCT week) AS n_weeks FROM ev GROUP BY 1)
+    SELECT zm.event_type, CAST(wk.n_weeks AS BIGINT) AS n_weeks,
+           CAST((CAST(2903 AS BIGINT) << 50) // zm.zsum AS BIGINT) AS est_merged,
+           CAST((CAST(2903 AS BIGINT) << 50) // zd.zsum AS BIGINT) AS est_direct,
+           (zm.zsum = zd.zsum) AS merged_equals_direct
+    FROM zm JOIN zd USING (event_type) JOIN wk USING (event_type)
+    """,
+)
+def agg_hll_merge_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    from .datapipe.hashing import digest60 as d60
+
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1992-01-01"))) / 7
+    ).cast("long")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+    )
+    base = ev.select("event_type", week.alias("week"), d60(key).alias("d"))
+    rho = base.select(
+        "event_type",
+        "week",
+        (F.col("d") % _HLL_M).alias("reg"),
+        F.when(F.expr(f"d div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(54) - F.length(F.bin(F.expr(f"d div {_HLL_M}"))) + 1)
+        .alias("rho"),
+    )
+    weekreg = rho.groupBy("event_type", "week", "reg").agg(F.max("rho").alias("m"))
+    mergedreg = weekreg.groupBy("event_type", "reg").agg(F.max("m").alias("m"))
+    directreg = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_HLL_M).select(F.col("id").cast("long").alias("reg")))
+    )
+
+    def zsum(regs: DataFrame, out: str) -> DataFrame:
+        full = grid.join(regs, ["event_type", "reg"], "left").select(
+            "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+        )
+        # 2^(50-m) in pure integers: F.shiftleft needs a Python int count,
+        # so the column shift amount goes through F.expr
+        return full.select(
+            "event_type",
+            F.expr(
+                "CASE WHEN m <= 50 THEN shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT)) ELSE 0 END"
+            ).alias("zterm"),
+        ).groupBy("event_type").agg(F.sum("zterm").alias(out))
+
+    zm = zsum(mergedreg, "zsum_m")
+    zd = zsum(directreg, "zsum_d")
+    wk = base.groupBy("event_type").agg(
+        F.countDistinct("week").cast("long").alias("n_weeks")
+    )
+    return (
+        zm.join(zd, "event_type")
+        .join(wk, "event_type")
+        .select(
+            "event_type",
+            "n_weeks",
+            F.expr("(CAST(2903 AS BIGINT) << 50) div zsum_m").cast("long").alias("est_merged"),
+            F.expr("(CAST(2903 AS BIGINT) << 50) div zsum_d").cast("long").alias("est_direct"),
+            (F.col("zsum_m") == F.col("zsum_d")).alias("merged_equals_direct"),
+        )
     )
 
 

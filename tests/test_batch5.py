@@ -232,3 +232,36 @@ def test_cube_grand_total(spark):
     by_type = sum(r.n for r in rows if r.gid == 1)
     by_month = sum(r.n for r in rows if r.gid == 2)
     assert grand[0].n == by_type == by_month
+
+
+def test_warc_offsets_reconstruct_shard_files(spark):
+    rows = QUERIES["crawl_warc_export"](spark, SF_DIR).collect()
+    assert rows
+    shards = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r)
+    for shard, rs in shards.items():
+        rs.sort(key=lambda r: r.url)
+        pos = 0
+        for r in rs:
+            assert r.warc_offset == pos, f"shard {shard}: offset gap at {r.url}"
+            pos += r.record_len
+
+
+def test_cdx_seq_is_sorted_by_surt(spark):
+    rows = QUERIES["crawl_cdx_index"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r.seq)
+    keys = [(r.surt_key, r.ts14, r.url) for r in rows]
+    assert keys == sorted(keys)
+    assert [r.seq for r in rows] == list(range(1, len(rows) + 1))
+    # SURT groups one host's pages adjacently
+    assert rows[0].surt_key.startswith("example,")
+
+
+def test_hll_merge_equals_direct(spark):
+    rows = QUERIES["agg_hll_merge_weeks"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_equals_direct, r.event_type
+        assert r.est_merged == r.est_direct
+        assert r.n_weeks >= 2, "merge needs multiple partitions to mean anything"
