@@ -2881,8 +2881,11 @@ def crawl_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         digest60(url).alias("digest"),
     )
-    w = Window.orderBy("surt_key", "ts14", "url")
-    return s.withColumn("seq", F.row_number().over(w).cast("long"))
+    # the index order is a GLOBAL sort: use the range-partitioned two-phase
+    # sequencer (crawl_global_order machinery), not a single-partition
+    # row_number window — (surt, ts14, url) is a unique total order
+    out = assign_global_seq(s, ["surt_key", "ts14", "url"], seq_offset=1)
+    return out.select("surt_key", "ts14", "url", "digest", "seq")
 
 
 # =============================================================================
