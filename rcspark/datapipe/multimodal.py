@@ -258,6 +258,71 @@ def sample_frames(videos: DataFrame, every_k: int = 4) -> DataFrame:
     return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("diff_permille", T.LongType(), False),
+        T.StructField("is_cut", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_shot_videos(ids: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """Deterministic shot-structured video table (see
+    rcspark.fixtures.make_shot_frames) — the corpus where scene-cut
+    detection has real structure to find."""
+    from ..fixtures import make_shot_frames
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("video_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid in pdf["video_id"]:
+                frames = make_shot_frames(vid)
+                rows.append((vid, encode_video(frames), frames.shape[0]))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames"])
+
+    return src.mapInPandas(run, out_schema)
+
+
+def scene_cuts(videos: DataFrame, threshold_permille: int = 150) -> DataFrame:
+    """(video_id, bytes) → one row per CONSECUTIVE FRAME PAIR with the
+    exact-integer mean-absolute-difference in permille of full scale and
+    the cut flag — the shot-boundary detector a video curation pipeline
+    runs before per-shot frame sampling.
+
+    diff_permille = 1000 * Σ|a-b| // (h*w*3*255): pure int64, so the
+    independent twin reproduces it bit-for-bit. Arrow-batched mapInPandas;
+    container bytes are consumed inside the task (never shuffled)."""
+    src = videos.select("video_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                frames = decode_video(bytes(data)).astype(np.int64)
+                n, h, w, _ = frames.shape
+                denom = h * w * 3 * 255
+                for i in range(1, n):
+                    mad = int(np.abs(frames[i] - frames[i - 1]).sum())
+                    dpm = (1000 * mad) // denom
+                    rows.append((vid, i, dpm, dpm >= threshold_permille))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_CUT_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, SCENE_CUT_SCHEMA)
+
+
 # -- audio: opaque binary container + feature extraction -----------------------------
 # Container (stand-in for wav/flac): b"RCA1\n<rate> <n>\n" + n int16 LE
 # samples. Real decoders bind in decode_external; numpy carries the

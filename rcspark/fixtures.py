@@ -83,6 +83,31 @@ def make_image(image_id: str) -> tuple[bytes, int, int, str, int]:
     return data, w, h, fmt, phash64(stored)
 
 
+def make_shot_frames(video_id: str, max_shots: int = 5) -> np.ndarray:
+    """Deterministic SHOT-STRUCTURED frame stack for an id → uint8
+    (n, 16, 16, 3).
+
+    Frames inside a shot are the shot's base frame plus small jitter
+    (|delta| <= 8, ~12 permille mean abs diff); a shot boundary jumps to a
+    fresh uniform base (~333 permille) — so a scene-cut detector with any
+    threshold between those bands must recover exactly the planted shot
+    boundaries. Shared data GENERATOR (like make_image): the engine and
+    the expected-values twin both consume it; the diff/threshold math is
+    what each side implements independently."""
+    h64 = xxh64(video_id.encode())
+    n_shots = 2 + h64 % (max_shots - 1)
+    w = h = 16
+    frames = []
+    for s in range(n_shots):
+        rng = np.random.default_rng((h64 ^ (0x9E3779B9 * (s + 1))) & 0xFFFFFFFF)
+        base = rng.integers(0, 256, (h, w, 3), dtype=np.int16)
+        shot_len = 2 + int(rng.integers(0, 4))
+        for _ in range(shot_len):
+            jitter = rng.integers(-8, 9, (h, w, 3), dtype=np.int16)
+            frames.append(np.clip(base + jitter, 0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
 def make_fixture(
     n_hosts: int = 6,
     urls_per_host: int = 40,

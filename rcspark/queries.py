@@ -2185,6 +2185,31 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scene-cut detection over SHOT-STRUCTURED synthetic videos: frames inside
+# a shot differ by ~21 permille, shot boundaries by ~330 — the detector
+# (exact-integer frame MAD, threshold 150) must recover exactly the
+# planted boundaries; the independent twin recomputes the integer MAD per
+# channel with a different reduction path (scripts/gen_media_expected.py).
+
+@register(
+    "video_scene_cuts",
+    oracle=f"""
+    SELECT e.video_id, e.frame_idx, e.diff_permille, e.is_cut
+    FROM '{_MEDIA_EXPECTED}/video_scenecut.parquet' e
+    JOIN (SELECT 'sv' || p_partkey AS video_id FROM part
+          WHERE p_partkey % 20 = 5) i USING (video_id)
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import scene_cuts, synthesize_shot_videos
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 5).select(
+        F.concat(F.lit("sv"), F.col("p_partkey").cast("string")).alias("video_id")
+    )
+    return scene_cuts(synthesize_shot_videos(ids), threshold_permille=150)
+
+
 # =============================================================================
 # Structured Streaming (availableNow batch-over-stream) — SURVEY.md Table B
 # =============================================================================
@@ -2746,6 +2771,107 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# -- A19 through the driver gate: warehouse time travel -------------------------
+# read_appends(through_wave=w) must reconstruct exactly the union of
+# committed waves <= w — the snapshot-isolation contract resumes depend
+# on. The query drives the REAL Warehouse code path (atomic wave dirs +
+# manifest commits into a temp root) and aggregates each historical read;
+# the oracle recomputes the same three reads from the wave rule. This
+# moves the A19 surface from pytest-only into the rows+schema+hash gate.
+
+@register(
+    "warehouse_time_travel",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey % 3 AS wave,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    tw AS (SELECT CAST(t AS BIGINT) AS through_wave FROM (VALUES (0), (1), (2)) v(t))
+    SELECT tw.through_wave, count(*) AS n_rows,
+           CAST(sum(src.cents) AS BIGINT) AS sum_cents
+    FROM tw JOIN src ON src.wave <= tw.through_wave
+    GROUP BY tw.through_wave
+    """,
+)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .tables import Warehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcspark_tt_"))
+    schema = src.select("k", "cents").schema
+    for w in (0, 1, 2):
+        wh.write_wave("tt_frontier", src.filter(F.col("wave") == w).select("k", "cents"), w)
+        wh.commit(w, {})
+    reads = [
+        wh.read_appends("tt_frontier", w, schema)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(F.lit(w).cast("long").alias("through_wave"), "n_rows", "sum_cents")
+        for w in (0, 1, 2)
+    ]
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# -- A1 seed injection: the wave-0 frontier from the configured seed list -------
+# Seeds arrive as messy operator-provided strings (mixed case, default
+# ports, fragments, tracking params, duplicates-after-canonicalization);
+# injection canonicalizes, dedups on the canonical form, stamps depth 0 /
+# wave 0, and shards by digest — the exact front half the engine's
+# seed path runs (rcspark.run). The oracle states the expected canonical
+# set directly.
+
+_SEED_LIST = (
+    "HTTP://Site0.Example.COM:80/",
+    "http://site0.example.com/#fragment",          # dup of seed 1 after canon
+    "http://site1.example.com/start?utm_source=x",
+    "http://site1.example.com/start",              # dup of seed 3 after canon
+    "https://Site2.Example.com:443/a/b",
+    "http://site3.example.com/idx?b=2&a=1",
+)
+
+
+@register(
+    "crawl_seed_inject",
+    oracle=f"""
+    WITH canon AS (
+      SELECT * FROM (VALUES
+        ('http://site0.example.com/'),
+        ('http://site1.example.com/start'),
+        ('https://site2.example.com/a/b'),
+        ('http://site3.example.com/idx?a=1&b=2')) v(url_canon))
+    SELECT url_canon, {sql_digest60("url_canon")} AS digest,
+           {sql_digest60("url_canon")} % 32 AS shard,
+           CAST(0 AS BIGINT) AS depth, CAST(0 AS BIGINT) AS wave
+    FROM canon
+    """,
+)
+def crawl_seed_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = spark.createDataFrame(
+        [(s,) for s in _SEED_LIST], "url_raw string"
+    )
+    canon = seeds.select(canon_col(F.col("url_raw")).alias("url_canon")).distinct()
+    d = digest60(F.col("url_canon"))
+    return canon.select(
+        "url_canon",
+        d.alias("digest"),
+        F.pmod(d, F.lit(32)).alias("shard"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit(0).cast("long").alias("wave"),
+    )
 
 
 # -- WARC export: archive-record rendering + in-file offsets --------------------

