@@ -158,6 +158,17 @@ BENCH_QUERIES = [
     "crawl_ip_politeness",
     "events_retention_cohorts",
     "doc_bpe_tokenize",
+    # round-3 batch 5-7: semantic dedup, archive export, media gates
+    "emb_semdedup",
+    "img_format_sniff",
+    "video_scene_cuts",
+    "doc_lm_score",
+    "doc_keyword_tfidf",
+    "crawl_warc_export",
+    "crawl_cdx_index",
+    "table_merge_upsert",
+    "window_range_7d",
+    "events_user_state_scd2",
 ]
 
 

@@ -2773,6 +2773,148 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+# -- mergeable quantile sketch: fixed-bin histogram ------------------------------
+# The third mergeable sketch beside CMS and HLL: a 64-bin equi-width
+# histogram over integer cents (bin counts max-combine... ADD-combine
+# across partitions), quantile estimate = upper edge of the first bin
+# whose cumulative count reaches ceil(q*n). Error is bounded by the bin
+# width (800 cents) — emitted beside the EXACT rank-arithmetic quantile so
+# the bound is checkable per row. Shape at 100 TB: the build is a groupBy
+# into |groups|*64 cells; estimates walk the 64-row cumsum per group.
+
+_QH_BINS, _QH_WIDTH = 64, 800  # 64 bins x 8 dollars, domain [0, 512)
+_QH_QS = (50, 90, 99)  # percentiles
+
+
+@register(
+    "agg_quantile_hist",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    b AS (
+      SELECT event_type, LEAST({_QH_BINS - 1}, cents // {_QH_WIDTH}) AS bin,
+             count(*) AS c
+      FROM e GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cc
+      FROM b),
+    n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+    q AS (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES (50), (90), (99)) v(p)),
+    est AS (
+      SELECT cum.event_type, q.pct, min(cum.bin) AS qbin
+      FROM cum JOIN n USING (event_type), q
+      WHERE cum.cc >= (q.pct * n.n + 99) // 100
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+      FROM e),
+    exact AS (
+      SELECT r.event_type, q.pct, min(r.cents) AS exact_cents
+      FROM ranked r JOIN n USING (event_type), q
+      WHERE r.rn = (q.pct * n.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT est.event_type, est.pct,
+           CAST((est.qbin + 1) * {_QH_WIDTH} AS BIGINT) AS est_upper_cents,
+           CAST(exact.exact_cents AS BIGINT) AS exact_cents,
+           CAST((est.qbin + 1) * {_QH_WIDTH} - exact.exact_cents AS BIGINT) AS err_cents
+    FROM est JOIN exact USING (event_type, pct)
+    """,
+)
+def agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = ev.select(
+        "event_type",
+        F.least(F.lit(_QH_BINS - 1), F.expr(f"cents div {_QH_WIDTH}")).alias("bin"),
+    ).groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.withColumn("cc", F.sum("c").over(wcum))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    qs = spark.createDataFrame([(int(p),) for p in _QH_QS], "pct long")
+    est = (
+        cum.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cc") >= F.expr("(pct * n + 99) div 100"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    ranked = ev.withColumn("rn", F.row_number().over(wr))
+    exact = (
+        ranked.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.expr("(pct * n + 99) div 100"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return est.join(exact, ["event_type", "pct"]).select(
+        "event_type",
+        "pct",
+        ((F.col("qbin") + 1) * _QH_WIDTH).cast("long").alias("est_upper_cents"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        ((F.col("qbin") + 1) * _QH_WIDTH - F.col("exact_cents"))
+        .cast("long")
+        .alias("err_cents"),
+    )
+
+
+# -- Z-order clustering: space-filling-curve sort key ----------------------------
+# The lakehouse OPTIMIZE ZORDER primitive: interleave the bits of two
+# cluster keys so a range-sort by the z-value gives 2-D locality (queries
+# filtering on EITHER key touch few files). The 8-bit x 8-bit interleave
+# is 16 codegen shift/mask terms — identical in both engines — and the
+# cluster order is assigned with the range-partitioned global sequencer
+# (what the table writer would range-repartition by before writing files).
+
+def _zorder_expr(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "warehouse_zorder",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, x, y,
+             CAST({_zorder_expr("x", "y")} AS BIGINT) AS zval
+      FROM k)
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, zval,
+           CAST(row_number() OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS seq
+    FROM z
+    """,
+)
+def warehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    k = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+    )
+    z = k.withColumn("zval", F.expr(_zorder_expr("x", "y")).cast("long"))
+    out = assign_global_seq(z, ["zval", "o_orderkey"], seq_offset=1)
+    return out.select(
+        "o_orderkey",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        "zval",
+        "seq",
+    )
+
+
 # -- A19 through the driver gate: warehouse time travel -------------------------
 # read_appends(through_wave=w) must reconstruct exactly the union of
 # committed waves <= w — the snapshot-isolation contract resumes depend

@@ -287,3 +287,34 @@ def test_scene_cuts_recover_planted_shot_structure(spark):
         assert len(cuts) >= 1
         assert all(b - a >= 2 for a, b in zip(cuts, cuts[1:]))
         assert len(rs) == frames.shape[0] - 1
+
+
+def test_quantile_hist_error_bounded_by_bin_width(spark):
+    rows = QUERIES["agg_quantile_hist"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the exact quantile lies inside the estimated bin: upper edge is
+        # >= exact and overshoots by less than one bin width
+        assert 0 <= r.err_cents < 800, r
+        assert r.est_upper_cents >= r.exact_cents
+
+
+def test_zorder_locality_beats_rowmajor(spark):
+    rows = QUERIES["warehouse_zorder"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r.seq)
+    # interleave definition spot-check
+    for r in rows[:64]:
+        z = 0
+        for i in range(8):
+            z |= ((r.x >> i) & 1) << (2 * i)
+            z |= ((r.y >> i) & 1) << (2 * i + 1)
+        assert z == r.zval
+    # locality: mean Chebyshev distance between z-adjacent keys must be
+    # far below a row-major sort's (which strides the full y range)
+    import statistics
+
+    d = [
+        max(abs(a.x - b.x), abs(a.y - b.y))
+        for a, b in zip(rows[:2000], rows[1:2001])
+    ]
+    assert statistics.mean(d) < 32, statistics.mean(d)
