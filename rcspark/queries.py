@@ -6110,3 +6110,221 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_oov").cast("long").alias("n_oov"),
         F.expr("1000000 * n_oov div n_tokens").cast("long").alias("oov_ppm"),
     )
+
+
+# =============================================================================
+# Round-3 batch 8 (continued): lakehouse data skipping, URL template mining,
+# distributed bottom-k sampling.
+# =============================================================================
+
+# -- zone-map data skipping: the payoff of Z-order clustering --------------------
+# A lakehouse scan prunes files whose per-file min/max column stats cannot
+# intersect the predicate.  This query materializes that contract: the same
+# rows are "written" in Z-order vs row-major order (1000-row files via the
+# range-partitioned global sequencer), per-file zone maps are aggregated,
+# and a fixed probe set of 2-D boxes + single-axis ranges counts the files
+# each clustering must read.  At 100 TB this IS the read-amplification
+# model: files_hit/files_total is the fraction of the corpus a predicate
+# scans.  [U delta OPTIMIZE ZORDER + file skipping stats]
+
+_ZM_FILE_ROWS = 1000
+_ZM_PROBES = [
+    # (probe_id, x0, x1, y0, y1): four 16x16 boxes down the diagonal, then
+    # one y-only and one x-only range (row-major wins x-only; z-order must
+    # win the boxes and the y-only probe)
+    (0, 32, 47, 32, 47),
+    (1, 96, 111, 96, 111),
+    (2, 160, 175, 160, 175),
+    (3, 224, 239, 224, 239),
+    (4, 0, 255, 64, 79),
+    (5, 64, 79, 0, 255),
+]
+_ZM_PROBES_SQL = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _ZM_PROBES)
+
+
+@register(
+    "warehouse_zonemap_skip",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, x, y, CAST({_zorder_expr("x", "y")} AS BIGINT) AS zval
+      FROM k),
+    f AS (
+      SELECT 'zorder' AS clustering,
+             (row_number() OVER (ORDER BY zval, o_orderkey) - 1) // {_ZM_FILE_ROWS}
+               AS file_id, x, y
+      FROM z
+      UNION ALL
+      SELECT 'rowmajor' AS clustering,
+             (row_number() OVER (ORDER BY x, y, o_orderkey) - 1) // {_ZM_FILE_ROWS}
+               AS file_id, x, y
+      FROM z),
+    zm AS (
+      SELECT clustering, file_id,
+             min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+      FROM f GROUP BY 1, 2),
+    p AS (SELECT * FROM (VALUES {_ZM_PROBES_SQL}) v(probe_id, x0, x1, y0, y1))
+    SELECT clustering, CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(sum(CASE WHEN mnx <= x1 AND mxx >= x0
+                          AND mny <= y1 AND mxy >= y0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_hit,
+           CAST(count(*) AS BIGINT) AS files_total
+    FROM zm, p GROUP BY 1, 2
+    """,
+)
+def warehouse_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max zone maps under Z-order vs row-major file layout,
+    probed by range predicates — files_hit is the number of 1000-row files
+    a scan cannot prune.  Both layouts use `assign_global_seq` (the
+    range-partitioned sequencer = what a writer range-repartitions by), the
+    zone-map aggregation is one map-side-combinable groupBy into
+    |files| rows, and the probe set is a broadcast cross join over that
+    tiny aggregate — nothing here grows faster than |files|."""
+    orders = load(spark, sf_dir, "orders")
+    k = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+    )
+    z = k.withColumn("zval", F.expr(_zorder_expr("x", "y")).cast("long"))
+    def layout(order_cols: list, label: str) -> DataFrame:
+        seq = assign_global_seq(z, order_cols, seq_offset=1)
+        return seq.select(
+            F.lit(label).alias("clustering"),
+            F.expr(f"(seq - 1) div {_ZM_FILE_ROWS}").alias("file_id"),
+            "x",
+            "y",
+        )
+    f = layout(["zval", "o_orderkey"], "zorder").unionByName(
+        layout(["x", "y", "o_orderkey"], "rowmajor")
+    )
+    zm = f.groupBy("clustering", "file_id").agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    probes = spark.createDataFrame(
+        _ZM_PROBES, "probe_id long, x0 long, x1 long, y0 long, y1 long"
+    )
+    hit = (
+        (F.col("mnx") <= F.col("x1"))
+        & (F.col("mxx") >= F.col("x0"))
+        & (F.col("mny") <= F.col("y1"))
+        & (F.col("mxy") >= F.col("y0"))
+    )
+    return (
+        zm.crossJoin(F.broadcast(probes))
+        .groupBy("clustering", "probe_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_hit"),
+            F.count("*").cast("long").alias("files_total"),
+        )
+    )
+
+
+# -- URL path-template mining ----------------------------------------------------
+# Collapse numeric path segments to a shape token and count URLs per
+# (host, template): the frontier-side signal for site structure (which
+# templates dominate a host) and for trap heuristics (a template with an
+# unbounded counter explodes).  Pure string codegen + one (host, template)
+# groupBy — map-side combinable, output is |distinct templates|.
+# Regex dialect note: Spark regexp_replace replaces ALL matches by
+# default; DuckDB needs the explicit 'g' flag.
+
+@register(
+    "url_template_mine",
+    oracle="""
+    WITH u AS (
+      SELECT 'h' || (p_partkey % 5) || '.example' AS host,
+             '/c' || (p_partkey % 7) || '/item' || p_partkey
+               || CASE WHEN p_partkey % 3 = 0
+                       THEN '/page' || (p_partkey % 50) ELSE '' END AS path
+      FROM part),
+    t AS (
+      SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+             count(*) AS n_urls
+      FROM u GROUP BY 1, 2),
+    r AS (
+      SELECT host, template, n_urls,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_urls DESC, template) AS rnk
+      FROM t)
+    SELECT host, template, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def url_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 URL path templates per host by frequency (digits -> 'N'),
+    total-order tie-break on the template string."""
+    part = load(spark, sf_dir, "part")
+    u = part.select(
+        F.concat(
+            F.lit("h"), (F.col("p_partkey") % 5).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("/c"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit("/item"),
+            F.col("p_partkey").cast("string"),
+            F.when(
+                F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("/page"), (F.col("p_partkey") % 50).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    t = (
+        u.select("host", F.regexp_replace("path", "[0-9]+", "N").alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_urls").desc(), F.col("template").asc()
+    )
+    return (
+        t.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "host",
+            "template",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# -- distributed uniform k-sample: bottom-k by hash ------------------------------
+# The mergeable form of reservoir sampling: a uniform k-sample of any
+# distributed/streamed corpus is the k smallest values of a fixed hash of
+# the key — each partition keeps its local bottom-k, merge keeps the
+# bottom-k of the union (associative, commutative), so the sample costs
+# one TakeOrderedAndProject (no global sort, no driver state beyond k
+# rows).  digest60 makes the "random" order identical in both engines.
+
+_BOTTOMK_K = 100
+
+
+@register(
+    "doc_sample_bottomk",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_digest60("'samp:' || CAST(doc_id AS VARCHAR)")} AS d60
+    FROM documents ORDER BY d60, doc_id LIMIT {_BOTTOMK_K}
+    """,
+)
+def doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-{_BOTTOMK_K} document sample as the bottom-k of
+    digest60('samp:' || doc_id) — deterministic, reshard-proof, and
+    mergeable across partitions/streams (unlike classic reservoir
+    sampling, which is order-dependent)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        digest60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))).alias(
+            "d60"
+        ),
+    )
+    return d.orderBy("d60", "doc_id").limit(_BOTTOMK_K)

@@ -318,3 +318,57 @@ def test_zorder_locality_beats_rowmajor(spark):
         for a, b in zip(rows[:2000], rows[1:2001])
     ]
     assert statistics.mean(d) < 32, statistics.mean(d)
+
+
+def test_zonemap_zorder_bounds_worstcase_axis_probe(spark):
+    # registered constants assume >= 10 files; sf0.01 has 15
+    rows = QUERIES["warehouse_zonemap_skip"](spark, "/root/testdata/sf0.01").collect()
+    hit = {(r.clustering, r.probe_id): r.files_hit for r in rows}
+    total = rows[0].files_total
+    assert all(r.files_total == total for r in rows)
+    # y-only probe (4): row-major (x-sorted) must read EVERY file, z-order
+    # a strict subset; worst case across the two axis probes (4, 5) is
+    # bounded for z-order but degenerate for row-major
+    assert hit[("rowmajor", 4)] == total
+    assert hit[("zorder", 4)] < total
+    assert max(hit[("zorder", 4)], hit[("zorder", 5)]) < max(
+        hit[("rowmajor", 4)], hit[("rowmajor", 5)]
+    )
+    # box probes never read more than half the files under either layout
+    for p in (0, 1, 2, 3):
+        assert hit[("zorder", p)] <= total // 2
+
+
+def test_url_template_mine_topk_shape(spark):
+    rows = QUERIES["url_template_mine"](spark, SF_DIR).collect()
+    by_host = {}
+    for r in rows:
+        assert "N" in r.template and not any(c.isdigit() for c in r.template)
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r.n_urls for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_bottomk_sample_is_global_bottomk_and_mergeable(spark):
+    import duckdb
+    import hashlib
+
+    rows = QUERIES["doc_sample_bottomk"](spark, SF_DIR).collect()
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def d60(i):
+        return int(hashlib.md5(f"samp:{i}".encode()).hexdigest()[:15], 16)
+
+    ranked = sorted((d60(i), i) for (i,) in ids)
+    expect = ranked[:100]
+    assert [(r.d60, r.doc_id) for r in sorted(rows, key=lambda r: r.d60)] == expect
+    # mergeability: bottom-k of the union of two shard bottom-ks == global
+    half = len(ranked) // 2
+    shard_a = sorted(ranked[i] for i in range(0, len(ranked), 2))[:100]
+    shard_b = sorted(ranked[i] for i in range(1, len(ranked), 2))[:100]
+    assert sorted(shard_a + shard_b)[:100] == expect
