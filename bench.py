@@ -169,6 +169,11 @@ BENCH_QUERIES = [
     "table_merge_upsert",
     "window_range_7d",
     "events_user_state_scd2",
+    # round-3 batch 8: sketches, lakehouse layout, media gates
+    "agg_quantile_hist",
+    "warehouse_zonemap_skip",
+    "img_patchify",
+    "audio_vad_segments",
 ]
 
 

@@ -535,3 +535,135 @@ def synthesize_images(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return src.mapInPandas(run, out_schema)
+
+
+# -- ViT-style patch extraction ------------------------------------------------
+
+PATCHIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("grid_w", T.IntegerType(), False),
+        T.StructField("grid_h", T.IntegerType(), False),
+        T.StructField("n_patches", T.IntegerType(), False),
+        T.StructField("crop_top", T.IntegerType(), False),
+        T.StructField("crop_left", T.IntegerType(), False),
+        T.StructField("total_luma", T.LongType(), False),
+        T.StructField("patch_digest", T.LongType(), False),
+    ]
+)
+
+
+def patchify_images(images: DataFrame, patch: int = 12) -> DataFrame:
+    """(image_id, bytes) → ViT-preproc patch grid: center-crop to a
+    multiple of `patch`, split into patch×patch cells, per-patch
+    exact-integer luma sums (r+g+b over the cell), digested in row-major
+    order — the patch-token sequence a vision encoder would embed,
+    compressed to one hash-checkable row per image.  All integer
+    arithmetic (no float reductions), one numpy pass per Arrow batch."""
+    from ..xxh import xxh64
+
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                gh, gw = h // patch, w // patch
+                top, left = (h - gh * patch) // 2, (w - gw * patch) // 2
+                crop = pix[top : top + gh * patch, left : left + gw * patch]
+                luma = crop.astype(np.int64).sum(axis=2)
+                ps = luma.reshape(gh, patch, gw, patch).sum(axis=(1, 3))
+                seq = ",".join(str(int(v)) for v in ps.flatten())
+                dig = xxh64(seq.encode())
+                dig = dig - (1 << 64) if dig >= (1 << 63) else dig
+                out.append(
+                    (iid, gw, gh, gh * gw, top, left, int(luma.sum()), dig)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in PATCHIFY_SCHEMA.fields])
+
+    return src.mapInPandas(run, PATCHIFY_SCHEMA)
+
+
+# -- energy-threshold voice-activity detection ----------------------------------
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), False),
+        T.StructField("start_frame", T.IntegerType(), False),
+        T.StructField("end_frame", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("meansq_mean", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_speech(ids: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Deterministic silence/voice clips (rcspark.fixtures.make_speech_samples)
+    encoded as RCA1 — the VAD test corpus with planted voiced spans."""
+    from ..fixtures import make_speech_samples
+
+    out_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("audio_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (aid, encode_audio(make_speech_samples(aid), 8000))
+                for aid in pdf["audio_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    return src.mapInPandas(run, out_schema)
+
+
+def vad_segments(
+    clips: DataFrame, frame_len: int = 160, thresh_meansq: int = 1_000_000
+) -> DataFrame:
+    """(audio_id, bytes) → voiced segments via frame-energy VAD: per-frame
+    exact-integer mean-square (sum(s²) // frame_len) thresholded, then
+    consecutive voiced frames merged into [start_frame, end_frame]
+    segments (vectorized gaps-and-islands over the flag diff).  seg_idx is
+    1-based per clip; meansq_mean is the exact integer mean of the
+    segment's frame energies.  The audio twin of scene-cut detection —
+    what a speech-data pipeline runs to clip silence before ASR."""
+    src = clips.select("audio_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, _rate = decode_audio(bytes(data))
+                nf = len(s) // frame_len
+                fr = s[: nf * frame_len].astype(np.int64).reshape(nf, frame_len)
+                ms = (fr * fr).sum(axis=1) // frame_len
+                voiced = ms >= thresh_meansq
+                edges = np.diff(voiced.astype(np.int8))
+                starts = np.flatnonzero(edges == 1) + 1
+                ends = np.flatnonzero(edges == -1)
+                if voiced[0]:
+                    starts = np.insert(starts, 0, 0)
+                if voiced[-1]:
+                    ends = np.append(ends, nf - 1)
+                for i, (a, b) in enumerate(zip(starts, ends), start=1):
+                    seg = ms[a : b + 1]
+                    out.append(
+                        (
+                            aid,
+                            i,
+                            int(a),
+                            int(b),
+                            int(b - a + 1),
+                            int(seg.sum()) // len(seg),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in VAD_SCHEMA.fields])
+
+    return src.mapInPandas(run, VAD_SCHEMA)

@@ -268,3 +268,38 @@ def make_fixture(
     seeds = pd.DataFrame(seed_rows)
 
     return Fixture(web=web, corpus=corpus, robots=robots, seeds=seeds, allowed_hosts=hosts)
+
+
+def make_speech_samples(audio_id: str, rate: int = 8000, frame: int = 160) -> np.ndarray:
+    """Deterministic silence/voice alternating clip for an id → int16 samples.
+
+    2-4 voiced tone bursts (~0.45 amplitude sine at an id-derived frequency
+    + light noise) separated by near-silence (0.004-amplitude noise), every
+    segment a whole number of `frame`-sample frames so the planted voiced
+    spans align with a frame-grid VAD.  Energy bands are separated by ~4
+    orders of magnitude (voiced frame mean-square ~1e8, silence ~2e4), so
+    any threshold between them must recover exactly the planted segments.
+    Shared data GENERATOR (like make_image / make_shot_frames): the engine
+    and the expected-values twin both consume it; the frame-energy VAD and
+    segment-merge math is what each side implements independently."""
+    h64 = xxh64(audio_id.encode())
+    rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+    n_voiced = 2 + h64 % 3
+    segs: list[tuple[str, int]] = []
+    for _ in range(n_voiced):
+        segs.append(("s", 2 + int(rng.integers(0, 5))))
+        segs.append(("v", 3 + int(rng.integers(0, 8))))
+    segs.append(("s", 2 + int(rng.integers(0, 5))))
+    freq = 150.0 + (h64 % 250)
+    out = []
+    pos = 0
+    for kind, nf in segs:
+        n = nf * frame
+        t = (np.arange(n) + pos) / rate
+        if kind == "v":
+            w = 0.45 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(n)
+        else:
+            w = 0.004 * rng.standard_normal(n)
+        out.append(np.clip(w * 32767, -32768, 32767).astype(np.int16))
+        pos += n
+    return np.concatenate(out)

@@ -6328,3 +6328,57 @@ def doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return d.orderBy("d60", "doc_id").limit(_BOTTOMK_K)
+
+
+# -- ViT patch extraction over the binary image column ---------------------------
+# The vision-encoder preprocessing step: center-crop to a patch multiple,
+# split into 12x12 patches, digest the row-major patch-token sequence.
+# Hash-checked against the independent numpy twin (reduceat block sums vs
+# the engine's reshape reduction — scripts/gen_media_expected.py).
+
+@register(
+    "img_patchify",
+    oracle=f"""
+    SELECT e.image_id, CAST(e.grid_w AS INT) AS grid_w,
+           CAST(e.grid_h AS INT) AS grid_h, CAST(e.n_patches AS INT) AS n_patches,
+           CAST(e.crop_top AS INT) AS crop_top, CAST(e.crop_left AS INT) AS crop_left,
+           e.total_luma, e.patch_digest
+    FROM '{_MEDIA_EXPECTED}/img_patchify.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import patchify_images
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return patchify_images(imgs, patch=12)
+
+
+# -- voice-activity detection over the binary audio column -----------------------
+# Frame-energy VAD over clips with PLANTED silence/voice structure
+# (rcspark.fixtures.make_speech_samples — energy bands 4 orders of
+# magnitude apart), so the detector must recover exactly the planted
+# voiced spans; twin recomputes with a per-sample int accumulator + an
+# explicit segment state machine.
+
+@register(
+    "audio_vad_segments",
+    oracle=f"""
+    SELECT e.audio_id, CAST(e.seg_idx AS INT) AS seg_idx,
+           CAST(e.start_frame AS INT) AS start_frame,
+           CAST(e.end_frame AS INT) AS end_frame,
+           CAST(e.n_frames AS INT) AS n_frames, e.meansq_mean
+    FROM '{_MEDIA_EXPECTED}/audio_vad.parquet' e
+    JOIN (SELECT 'sp' || p_partkey AS audio_id FROM part
+          WHERE p_partkey % 20 = 10) i USING (audio_id)
+    """,
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import synthesize_speech, vad_segments
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 10).select(
+        F.concat(F.lit("sp"), F.col("p_partkey").cast("string")).alias("audio_id")
+    )
+    return vad_segments(synthesize_speech(ids))

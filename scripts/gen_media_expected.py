@@ -206,6 +206,89 @@ def expected_audio_features() -> pd.DataFrame:
     ).astype({"rate": "int32", "n_samples": "int32"})
 
 
+def expected_img_patchify(patch: int = 12) -> pd.DataFrame:
+    """Patchify twin: same shared make_image generator; the crop / patch-sum
+    reduction is re-implemented via np.add.reduceat block sums (the engine
+    reshapes to (gh, p, gw, p)) and total luma via per-channel Python-int
+    accumulation; the canonical-string digest (shared xxh64, like np.fft)
+    is recomputed over the independently derived patch sums."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        h, w, _ = pix.shape
+        gh, gw = h // patch, w // patch
+        top, left = (h - gh * patch) // 2, (w - gw * patch) // 2
+        crop = pix[top : top + gh * patch, left : left + gw * patch]
+        luma = (
+            crop[:, :, 0].astype(np.int64)
+            + crop[:, :, 1].astype(np.int64)
+            + crop[:, :, 2].astype(np.int64)
+        )
+        ys = np.arange(0, gh * patch, patch)
+        xs = np.arange(0, gw * patch, patch)
+        ps = np.add.reduceat(np.add.reduceat(luma, ys, axis=0), xs, axis=1)
+        total = int(crop[:, :, 0].sum()) + int(crop[:, :, 1].sum()) + int(
+            crop[:, :, 2].sum()
+        )
+        seq = ",".join(str(int(v)) for v in ps.flatten())
+        dig = xxh64(seq.encode())
+        dig = dig - (1 << 64) if dig >= (1 << 63) else dig
+        rows.append(
+            (iid, np.int32(gw), np.int32(gh), np.int32(gh * gw),
+             np.int32(top), np.int32(left), np.int64(total), np.int64(dig))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "grid_w", "grid_h", "n_patches", "crop_top",
+                 "crop_left", "total_luma", "patch_digest"],
+    ).astype({"grid_w": "int32", "grid_h": "int32", "n_patches": "int32",
+              "crop_top": "int32", "crop_left": "int32",
+              "total_luma": "int64", "patch_digest": "int64"})
+
+
+def expected_audio_vad(frame_len: int = 160, thresh: int = 1_000_000) -> pd.DataFrame:
+    """VAD twin: shared make_speech_samples generator; frame mean-square via
+    a per-sample Python-int accumulator and the voiced-segment merge via an
+    explicit state machine (the engine vectorizes both)."""
+    from rcspark.fixtures import make_speech_samples  # shared data generator
+
+    rows = []
+    for k in range(10, MAX_PARTKEY, 20):
+        aid = f"sp{k}"
+        s = make_speech_samples(aid)
+        nf = len(s) // frame_len
+        ms = []
+        for f in range(nf):
+            acc = 0
+            for v in s[f * frame_len : (f + 1) * frame_len]:
+                iv = int(v)
+                acc += iv * iv
+            ms.append(acc // frame_len)
+        seg_idx, start, in_seg, acc_ms = 0, 0, False, 0
+        for f in range(nf + 1):
+            voiced = f < nf and ms[f] >= thresh
+            if voiced and not in_seg:
+                in_seg, start, acc_ms = True, f, 0
+            if voiced:
+                acc_ms += ms[f]
+            if not voiced and in_seg:
+                in_seg = False
+                seg_idx += 1
+                n = f - start
+                rows.append(
+                    (aid, np.int32(seg_idx), np.int32(start), np.int32(f - 1),
+                     np.int32(n), np.int64(acc_ms // n))
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["audio_id", "seg_idx", "start_frame", "end_frame",
+                 "n_frames", "meansq_mean"],
+    ).astype({"seg_idx": "int32", "start_frame": "int32", "end_frame": "int32",
+              "n_frames": "int32", "meansq_mean": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -217,6 +300,8 @@ def main() -> None:
         ("video_frames", expected_video_frames),
         ("video_scenecut", expected_scene_cuts),
         ("audio_features", expected_audio_features),
+        ("img_patchify", expected_img_patchify),
+        ("audio_vad", expected_audio_vad),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

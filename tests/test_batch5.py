@@ -372,3 +372,39 @@ def test_bottomk_sample_is_global_bottomk_and_mergeable(spark):
     shard_a = sorted(ranked[i] for i in range(0, len(ranked), 2))[:100]
     shard_b = sorted(ranked[i] for i in range(1, len(ranked), 2))[:100]
     assert sorted(shard_a + shard_b)[:100] == expect
+
+
+def test_patchify_grid_matches_decoded_dims(spark):
+    feats = {r.image_id: r for r in QUERIES["img_features"](spark, SF_DIR).collect()}
+    rows = QUERIES["img_patchify"](spark, SF_DIR).collect()
+    assert len(rows) == len(feats)
+    for r in rows:
+        f = feats[r.image_id]
+        assert r.grid_w == f.w // 12 and r.grid_h == f.h // 12
+        assert r.n_patches == r.grid_w * r.grid_h
+        assert r.crop_top == (f.h - r.grid_h * 12) // 2
+        assert r.crop_left == (f.w - r.grid_w * 12) // 2
+        # cropped total luma is consistent with the full-image channel means
+        # (crop can only remove pixels)
+        assert 0 < r.total_luma <= (f.mean_r + f.mean_g + f.mean_b) * f.w * f.h + 1
+
+
+def test_vad_recovers_planted_voice_structure(spark):
+    rows = QUERIES["audio_vad_segments"](spark, SF_DIR).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.audio_id, []).append(r)
+    assert len(by_clip) >= 10
+    for aid, segs in by_clip.items():
+        segs.sort(key=lambda r: r.seg_idx)
+        # plant: 2-4 voiced bursts of 3-10 frames, gaps >= 2 silence frames
+        assert 2 <= len(segs) <= 4, aid
+        for a, b in zip(segs, segs[1:]):
+            assert b.start_frame - a.end_frame - 1 >= 2, aid
+        for s in segs:
+            assert 3 <= s.n_frames <= 10
+            assert s.end_frame - s.start_frame + 1 == s.n_frames
+            # voiced energy is ~1e8, silence ~2e4: comfortably above the gate
+            assert s.meansq_mean >= 50_000_000
+        # first planted segment starts after >= 2 leading silence frames
+        assert segs[0].start_frame >= 2
