@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "warehouse_zonemap_skip",
     "img_patchify",
     "audio_vad_segments",
+    "img_curation_pipeline",
+    "crawl_host_hits",
 ]
 
 

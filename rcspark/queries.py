@@ -6382,3 +6382,184 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("sp"), F.col("p_partkey").cast("string")).alias("audio_id")
     )
     return vad_segments(synthesize_speech(ids))
+
+
+# -- HITS hubs/authorities over the host link graph -------------------------------
+# The second frontier-prioritization eigenvector signal beside PageRank:
+# hub scores rank link-farm-ish directories, authority scores rank
+# content hosts. Unnormalized exact-int64 (normalization needs sqrt; the
+# ORDER is what the scheduler consumes) with fixed iterations, so the
+# oracle re-derives every half-step CTE-by-CTE — same contract as
+# crawl_host_pagerank but over a different derived graph.
+
+from .relational import sql_hits_ctes as _sql_hits_ctes  # noqa: E402
+
+_HITS_EDGES_SQL = """
+      SELECT DISTINCT 'h' || (l_suppkey % 40) AS src, 'h' || (l_partkey % 40) AS dst
+      FROM lineitem WHERE (l_suppkey % 40) <> (l_partkey % 40)"""
+
+
+@register(
+    "crawl_host_hits",
+    oracle=f"""
+    WITH {_sql_hits_ctes(_HITS_EDGES_SQL, iters=3)}
+    SELECT host, hub, auth FROM hitsF
+    """,
+)
+def crawl_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import hits_hosts
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits_hosts(edges, iters=3)
+
+
+# -- composed image-curation pipeline ---------------------------------------------
+# The payload-axis counterpart of doc_curation_pipeline: one declarative
+# job over the input_hint pair table — pair gates (resolution, aspect,
+# caption bounds, blocklist) → exact-caption dedup electing the
+# best-resolution survivor → perceptual near-dup drop (banded Hamming LSH,
+# exact bit_count verify, dominator rule: the loser of any verified pair
+# is dropped).  Near-dups are PLANTED: every %17 id gets a lossy-re-encode
+# twin under a ' v2' caption (so caption dedup keeps both and stage C must
+# catch the pair by phash).  Scale shape: fused scan-level gates, one
+# map-side-combinable groupBy(caption) with the tie-break in struct order,
+# and the skew-guarded band join — nothing quadratic, nothing driver-side.
+
+@register(
+    "img_curation_pipeline",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id, p_partkey,
+                        {_CAPTION_SQL} AS caption
+                 FROM part WHERE p_partkey % 10 = 0),
+    feat AS (
+      SELECT e.image_id, e.w, e.h, e.phash, i.caption, i.p_partkey
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids i USING (image_id)),
+    twins AS (
+      SELECT 'q' || f.p_partkey AS image_id, r.out_w AS w, r.out_h AS h,
+             r.phash, f.caption || ' v2' AS caption
+      FROM feat f
+      JOIN '{_MEDIA_EXPECTED}/img_reencode.parquet' r ON r.image_id = f.image_id
+      WHERE f.p_partkey % 17 = 0),
+    corpus AS (
+      SELECT image_id, w, h, phash, caption FROM feat
+      UNION ALL SELECT image_id, w, h, phash, caption FROM twins),
+    ga AS (
+      SELECT * FROM corpus
+      WHERE caption <> ''
+        AND LEAST(w, h) >= 32
+        AND GREATEST(w, h) <= 2 * LEAST(w, h)
+        AND len({tx.sql_tokens('caption')}) BETWEEN 3 AND 12
+        AND caption NOT IN {tuple(_CAP_BLOCKLIST)!r}),
+    gb AS (
+      SELECT caption, image_id, w, h, CAST(w AS BIGINT) * h AS pixels, phash,
+             row_number() OVER (
+               PARTITION BY caption
+               ORDER BY CAST(w AS BIGINT) * h DESC, phash ASC, image_id DESC
+             ) AS rn
+      FROM ga),
+    bs AS (SELECT * FROM gb WHERE rn = 1),
+    bands AS (
+      SELECT image_id, pixels, phash, CAST(b AS INT) AS band,
+             (phash >> CAST(8 * b AS INT)) & 255 AS byte
+      FROM bs, range(8) r(b)),
+    sizes AS (SELECT band, byte, count(*) AS _b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN sizes USING (band, byte)
+      WHERE sizes._b <= {_PHASH_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.image_id AS id_a, c.image_id AS id_b,
+             a.phash AS pa, c.phash AS pb, a.pixels AS xa, c.pixels AS xb
+      FROM bounded a JOIN bounded c USING (band, byte)
+      WHERE a.image_id < c.image_id),
+    losers AS (
+      SELECT DISTINCT CASE WHEN xa > xb OR (xa = xb AND id_a < id_b)
+                           THEN id_b ELSE id_a END AS image_id
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 6)
+    SELECT image_id, caption, w, h, pixels, phash
+    FROM bs WHERE image_id NOT IN (SELECT image_id FROM losers)
+    """,
+)
+def img_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import phash_neardup_pairs
+
+    pairs = _caption_pairs(spark, sf_dir)
+    key = F.regexp_extract("image_id", r"^img(\d+)$", 1).cast("long")
+    plantsrc = pairs.filter(key % 17 == 0)
+    twin_feats = image_features(
+        reencode_lossy(plantsrc.select("image_id", "bytes")).select(
+            "image_id", "bytes"
+        )
+    )
+    twins = twin_feats.join(
+        plantsrc.select("image_id", "caption"), "image_id"
+    ).select(
+        F.concat(
+            F.lit("q"), F.regexp_extract("image_id", r"^img(\d+)$", 1)
+        ).alias("image_id"),
+        "w",
+        "h",
+        "phash",
+        F.concat(F.col("caption"), F.lit(" v2")).alias("caption"),
+    )
+    corpus = pairs.select("image_id", "w", "h", "phash", "caption").unionByName(
+        twins
+    )
+    ntok = F.size(tx.tokens(F.col("caption")))
+    ga = corpus.filter(
+        (F.col("caption") != "")
+        & (F.least("w", "h") >= 32)
+        & (F.greatest("w", "h") <= 2 * F.least("w", "h"))
+        & ntok.between(3, 12)
+        & ~F.col("caption").isin(*_CAP_BLOCKLIST)
+    )
+    pixels = F.col("w").cast("long") * F.col("h")
+    bs = (
+        ga.select(
+            "caption",
+            F.struct(
+                pixels.alias("pixels"),
+                F.bitwise_not(F.col("phash")).alias("nph"),
+                F.col("image_id").alias("image_id"),
+                F.col("w").alias("w"),
+                F.col("h").alias("h"),
+                F.col("phash").alias("phash"),
+            ).alias("s"),
+        )
+        .groupBy("caption")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "caption",
+            F.col("s.image_id").alias("image_id"),
+            F.col("s.w").alias("w"),
+            F.col("s.h").alias("h"),
+            F.col("s.pixels").alias("pixels"),
+            F.col("s.phash").alias("phash"),
+        )
+    )
+    cand = phash_neardup_pairs(
+        bs.select(F.col("image_id").alias("item_id"), "phash"), max_hamming=6
+    )
+    px = bs.select(F.col("image_id").alias("item_id"), F.col("pixels"))
+    e = cand.join(
+        px.withColumnRenamed("item_id", "id_a").withColumnRenamed("pixels", "xa"),
+        "id_a",
+    ).join(
+        px.withColumnRenamed("item_id", "id_b").withColumnRenamed("pixels", "xb"),
+        "id_b",
+    )
+    losers = e.select(
+        F.when(
+            (F.col("xa") > F.col("xb"))
+            | ((F.col("xa") == F.col("xb")) & (F.col("id_a") < F.col("id_b"))),
+            F.col("id_b"),
+        )
+        .otherwise(F.col("id_a"))
+        .alias("image_id")
+    ).distinct()
+    return bs.join(losers, "image_id", "left_anti").select(
+        "image_id", "caption", "w", "h", "pixels", "phash"
+    )

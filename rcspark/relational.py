@@ -345,3 +345,82 @@ def anchor_pairs(pages: DataFrame, body_col: str = "body") -> DataFrame:
             F.col("_e").getField("1").alias("anchor"),
         )
     )
+
+
+def hits_hosts(
+    edges: DataFrame, iters: int = 3, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(host, hub, auth) after `iters` HITS iterations over DISTINCT edges,
+    unnormalized in exact int64:
+
+      auth'(v) = Σ_{(u,v)∈E} hub(u)        hub'(u) = Σ_{(u,v)∈E} auth'(v)
+
+    starting from hub = 1.  Normalization is deliberately dropped (it needs
+    sqrt; cross-engine libm equality is not a contract — same reasoning as
+    the rational-idf BM25): with fixed small `iters` the magnitudes stay
+    well inside int64 and the ORDER — all a frontier prioritizer consumes —
+    matches normalized HITS exactly.  Scale shape = PageRank's: each
+    half-step is one edges⋈scores hash join + groupBy, AQE broadcasts the
+    score side while the host dim is small.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("host")).union(
+        e.select(F.col("dst").alias("host"))
+    ).distinct()
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            e.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .withColumnRenamed("dst", "host")
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .withColumnRenamed("src", "host")
+        )
+    out = (
+        nodes.join(hub, "host", "left")
+        .join(auth, "host", "left")
+        .select(
+            "host",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+    return out
+
+
+def sql_hits_ctes(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB CTE chain re-deriving hits_hosts exactly; final CTE
+    `hitsF`(host, hub, auth)."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+      SELECT e.dst AS host, sum(h.hub) AS auth
+      FROM edges e JOIN {prev_h} h ON h.host = e.src GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""h{t} AS (
+      SELECT e.src AS host, sum(a.auth) AS hub
+      FROM edges e JOIN a{t} a ON a.host = e.dst GROUP BY 1)"""
+        )
+        prev_h, prev_a = f"h{t}", f"a{t}"
+    ctes.append(
+        f"""hitsF AS (
+      SELECT n.host, CAST(COALESCE(h.hub, 0) AS BIGINT) AS hub,
+             CAST(COALESCE(a.auth, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN {prev_h} h USING (host)
+      LEFT JOIN {prev_a} a USING (host))"""
+    )
+    return ",\n    ".join(ctes)

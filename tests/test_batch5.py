@@ -408,3 +408,50 @@ def test_vad_recovers_planted_voice_structure(spark):
             assert s.meansq_mean >= 50_000_000
         # first planted segment starts after >= 2 leading silence frames
         assert segs[0].start_frame >= 2
+
+
+def test_img_curation_pipeline_gates_and_plant(spark):
+    rows = QUERIES["img_curation_pipeline"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    caps = [r.caption for r in rows]
+    assert len(caps) == len(set(caps))  # caption dedup: one survivor per caption
+    for r in rows:
+        assert r.pixels == r.w * r.h
+        assert min(r.w, r.h) >= 32
+        assert max(r.w, r.h) <= 2 * min(r.w, r.h)
+        assert r.caption not in ("photo", "image", "img", "picture", "")
+    # planted re-encode twins: if both members of a planted pair survived,
+    # they must NOT be verified near-dups (else the dominator rule failed)
+    by_id = {r.image_id: r for r in rows}
+    for r in rows:
+        if r.image_id.startswith("q"):
+            orig = by_id.get("img" + r.image_id[1:])
+            if orig is not None:
+                assert bin(r.phash ^ orig.phash).count("1") > 6, r.image_id
+
+
+def test_hits_matches_matrix_power_twin(spark):
+    import numpy as np
+
+    rows = QUERIES["crawl_host_hits"](spark, SF_DIR).collect()
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT 'h' || (l_suppkey % 40) AS src,
+                   'h' || (l_partkey % 40) AS dst
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE (l_suppkey % 40) <> (l_partkey % 40)"""
+    ).fetchall()
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    ix = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in edges:
+        A[ix[s], ix[d]] = 1
+    hub = np.ones(len(nodes), dtype=np.int64)
+    for _ in range(3):
+        auth = A.T @ hub
+        hub = A @ auth
+    got = {r.host: (r.hub, r.auth) for r in rows}
+    assert len(got) == len(nodes)
+    for n in nodes:
+        assert got[n] == (int(hub[ix[n]]), int(auth[ix[n]])), n
