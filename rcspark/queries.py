@@ -6563,3 +6563,81 @@ def img_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bs.join(losers, "image_id", "left_anti").select(
         "image_id", "caption", "w", "h", "pixels", "phash"
     )
+
+
+# -- A18 per-partition lineage rows in the driver gate ----------------------------
+# The north-rule lineage contract: each wave emits one row per frontier
+# shard with its digest URL-range and fetch/retry/robots-denied/failed
+# tallies (the engine writes exactly this shape per wave — rcspark.run
+# part_lineage + the `lineage` warehouse table; here the shard key is the
+# deterministic digest shard so the oracle can restate the whole row).
+# One groupBy over scan-level expressions: |shards| output rows, map-side
+# combinable, the same plan at 10^10 URLs.
+
+@register(
+    "crawl_wave_lineage",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id,
+             CASE event_type
+               WHEN 'click' THEN 200 WHEN 'view' THEN 301 WHEN 'error' THEN 503
+               WHEN 'signup' THEN 404 ELSE 200 END AS status,
+             CAST(event_id % 4 AS INT) AS retry_count,
+             (user_id % 10 = 7) AS denied,
+             {sql_digest60("'http://h' || (user_id % 20) || '.example/e/' || event_id")} AS digest
+      FROM events),
+    cls AS (
+      SELECT *,
+             CASE
+               WHEN denied THEN 'robots_denied'
+               WHEN status IS NULL THEN 'failed'
+               WHEN status IN (500,502,503,504,522,524,408,429) AND retry_count < {C.RETRY_TIMES} THEN 'retry'
+               WHEN status IN (500,502,503,504,522,524,408,429) THEN 'failed'
+               WHEN status IN (301,302,303,307,308) THEN 'redirect'
+               WHEN status = 200 THEN 'fetched'
+               ELSE 'failed' END AS result
+      FROM f)
+    SELECT digest % 8 AS shard,
+           min(digest) AS min_digest, max(digest) AS max_digest,
+           CAST(count(*) FILTER (NOT denied) AS BIGINT) AS scheduled,
+           CAST(count(*) FILTER (result = 'fetched') AS BIGINT) AS fetched,
+           CAST(count(*) FILTER (result = 'retry') AS BIGINT) AS retried,
+           CAST(count(*) FILTER (result = 'redirect') AS BIGINT) AS redirected,
+           CAST(count(*) FILTER (result = 'robots_denied') AS BIGINT) AS robots_denied,
+           CAST(count(*) FILTER (result = 'failed') AS BIGINT) AS failed
+    FROM cls GROUP BY 1
+    """,
+)
+def crawl_wave_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".example/e/"),
+        F.col("event_id").cast("string"),
+    )
+    f = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 301)
+        .when(F.col("event_type") == "error", 503)
+        .when(F.col("event_type") == "signup", 404)
+        .otherwise(200)
+        .alias("status"),
+        (F.col("event_id") % 4).cast("int").alias("retry_count"),
+        (F.col("user_id") % 10 == 7).alias("denied"),
+        digest60(url).alias("digest"),
+    )
+    cls = classify_outcome(f).withColumn(
+        "result", F.when(F.col("denied"), "robots_denied").otherwise(F.col("result"))
+    )
+    return cls.groupBy((F.col("digest") % 8).alias("shard")).agg(
+        F.min("digest").alias("min_digest"),
+        F.max("digest").alias("max_digest"),
+        F.sum((~F.col("denied")).cast("long")).alias("scheduled"),
+        F.sum((F.col("result") == "fetched").cast("long")).alias("fetched"),
+        F.sum((F.col("result") == "retry").cast("long")).alias("retried"),
+        F.sum((F.col("result") == "redirect").cast("long")).alias("redirected"),
+        F.sum((F.col("result") == "robots_denied").cast("long")).alias("robots_denied"),
+        F.sum((F.col("result") == "failed").cast("long")).alias("failed"),
+    )

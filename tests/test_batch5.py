@@ -455,3 +455,22 @@ def test_hits_matches_matrix_power_twin(spark):
     assert len(got) == len(nodes)
     for n in nodes:
         assert got[n] == (int(hub[ix[n]]), int(auth[ix[n]])), n
+
+
+def test_wave_lineage_tallies_partition_the_frontier(spark):
+    rows = QUERIES["crawl_wave_lineage"](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 8
+    import duckdb
+
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    total = 0
+    for r in rows:
+        assert 0 <= r.shard < 8
+        assert r.min_digest <= r.max_digest
+        assert r.min_digest % 8 == r.shard and r.max_digest % 8 == r.shard
+        # every scheduled URL lands in exactly one outcome class
+        assert r.scheduled == r.fetched + r.retried + r.redirected + r.failed
+        total += r.scheduled + r.robots_denied
+    assert total == n_events
