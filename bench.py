@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "audio_vad_segments",
     "img_curation_pipeline",
     "crawl_host_hits",
+    "crawl_wave_lineage",
+    "stream_quantile_hist",
 ]
 
 

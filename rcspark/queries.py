@@ -6641,3 +6641,152 @@ def crawl_wave_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("result") == "robots_denied").cast("long")).alias("robots_denied"),
         F.sum((F.col("result") == "failed").cast("long")).alias("failed"),
     )
+
+
+# -- the histogram sketch as a STREAMING aggregation -----------------------------
+# Mergeability is what makes a sketch distributable AND streamable: the
+# same 64-bin add-combinable histogram from agg_quantile_hist built
+# incrementally by Structured Streaming (bin counts in COMPLETE mode —
+# each micro-batch's partial adds into the running sketch), quantile
+# bin-walk finished over the |groups|x64-cell sink. The oracle re-derives
+# the estimates from batch SQL over the same rows.
+
+@register(
+    "stream_quantile_hist",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    b AS (
+      SELECT event_type, LEAST({_QH_BINS - 1}, cents // {_QH_WIDTH}) AS bin,
+             count(*) AS c
+      FROM e GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cc
+      FROM b),
+    n AS (SELECT event_type, sum(c) AS n FROM b GROUP BY 1),
+    q AS (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES (50), (90), (99)) v(p)),
+    est AS (
+      SELECT cum.event_type, q.pct, min(cum.bin) AS qbin
+      FROM cum JOIN n USING (event_type), q
+      WHERE cum.cc >= (q.pct * n.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT est.event_type, est.pct,
+           CAST((est.qbin + 1) * {_QH_WIDTH} AS BIGINT) AS est_upper_cents,
+           CAST(n.n AS BIGINT) AS n
+    FROM est JOIN n USING (event_type)
+    """,
+)
+def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    bins_stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(file_stream_dir(sf_dir, "events"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            F.least(F.lit(_QH_BINS - 1), F.expr(f"cents div {_QH_WIDTH}")).alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    sink = f"stream_qhist_{uuid.uuid4().hex[:8]}"
+    q = (
+        bins_stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sketch sink is reused on both sides of a self-join (cumsum vs
+    # totals); MemoryPlan reuses attribute ids, so sever the lineage —
+    # the frame is |groups|·64 cells, the checkpoint is free
+    bins = spark.table(sink).localCheckpoint(eager=True)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.withColumn("cc", F.sum("c").over(wcum))
+    n = bins.groupBy("event_type").agg(F.sum("c").alias("n"))
+    qs = spark.createDataFrame([(int(p),) for p in _QH_QS], "pct long")
+    est = (
+        cum.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cc") >= F.expr("(pct * n + 99) div 100"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return est.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "pct",
+        ((F.col("qbin") + 1) * _QH_WIDTH).cast("long").alias("est_upper_cents"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# -- A19 compaction + gc through the driver gate ---------------------------------
+# warehouse_time_travel pins snapshot reads; this pins the REWRITE path:
+# waves 0-1 are compacted into one consolidated dir, the per-wave dirs are
+# gc()'d (so the consolidated copy is the ONLY copy), wave 2 appends on
+# top — and reads at watermark and head must still reconstruct exactly
+# the committed union. The oracle restates the wave rule directly.
+
+@register(
+    "warehouse_compact_read",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey % 3 AS wave,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    tw AS (SELECT CAST(t AS BIGINT) AS through_wave FROM (VALUES (1), (2)) v(t))
+    SELECT tw.through_wave, count(*) AS n_rows,
+           CAST(sum(src.cents) AS BIGINT) AS sum_cents
+    FROM tw JOIN src ON src.wave <= tw.through_wave
+    GROUP BY tw.through_wave
+    """,
+)
+def warehouse_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .tables import Warehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcspark_cr_"))
+    schema = src.select("k", "cents").schema
+    for w in (0, 1):
+        wh.write_wave("cr_frontier", src.filter(F.col("wave") == w).select("k", "cents"), w)
+        wh.commit(w, {})
+    wh.compact("cr_frontier", schema)   # consolidates waves <= 1
+    wh.gc("cr_frontier")                # deletes the per-wave dirs
+    wh.write_wave("cr_frontier", src.filter(F.col("wave") == 2).select("k", "cents"), 2)
+    # {**meta}: the wave-2 commit must carry the compaction watermark
+    # forward (the manifest gotcha the engine's run loop pins)
+    _, meta = wh.last_committed()
+    wh.commit(2, {**meta})
+    reads = [
+        wh.read_appends("cr_frontier", w, schema)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(F.lit(w).cast("long").alias("through_wave"), "n_rows", "sum_cents")
+        for w in (1, 2)
+    ]
+    return reads[0].unionByName(reads[1])

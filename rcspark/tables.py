@@ -343,6 +343,25 @@ class Warehouse:
                         "watermark are only valid before gc()"
                     )
             cw = -1
+        # a missing wave dir is fine (not every wave writes every table) —
+        # unless gc() deleted it: then only the compact dir holds its rows,
+        # and reaching this loop for that wave means the manifest lost the
+        # compaction watermark (e.g. a commit that didn't carry meta
+        # forward). Silently skipping would return partial data.
+        needed = [
+            w
+            for w in range(cw + 1, through_wave + 1)
+            if not os.path.exists(self._wave_dir(table, w))
+        ]
+        if needed:
+            gone = self.gc_tombstones(table) & set(needed)
+            if gone:
+                raise FileNotFoundError(
+                    f"read_appends({table!r}, through_wave={through_wave}) "
+                    f"needs gc()'d wave dirs {sorted(gone)} but the manifest "
+                    f"compaction watermark is {cw} — was the watermark "
+                    "dropped by a commit that didn't carry meta forward?"
+                )
         dirs += [
             self._wave_dir(table, w)
             for w in range(cw + 1, through_wave + 1)
