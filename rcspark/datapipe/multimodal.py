@@ -667,3 +667,81 @@ def vad_segments(
             yield pd.DataFrame(out, columns=[f.name for f in VAD_SCHEMA.fields])
 
     return src.mapInPandas(run, VAD_SCHEMA)
+
+
+# -- Laplacian sharpness / blur-quality gate -------------------------------------
+
+SHARPNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("lap_energy", T.LongType(), False),
+        T.StructField("n_interior", T.LongType(), False),
+        T.StructField("lap_meansq", T.LongType(), False),
+    ]
+)
+
+
+def box_blur_images(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, bytes) → 2×2 box-blurred PPM re-encode (floor-mean blocks,
+    pixel-doubling upsample back to the source dims).  The deterministic
+    degraded twin for sharpness-gate tests: integer block means only, no
+    float filtering, so the expected-values twin reproduces it exactly."""
+    src = images.select(F.col(id_col).alias("image_id"), "bytes")
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                blocks = (
+                    pix.reshape(h // 2, 2, w // 2, 2, 3)
+                    .astype(np.int64)
+                    .sum(axis=(1, 3))
+                    // 4
+                ).astype(np.uint8)
+                up = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1)
+                out.append((iid, encode_ppm(up)))
+            yield pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    return src.mapInPandas(run, schema)
+
+
+def sharpness_features(images: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(id, bytes) → exact-integer Laplacian sharpness: luma = r+g+b
+    (int64, no division), 4-neighbor Laplacian over interior pixels,
+    lap_energy = Σ lap², lap_meansq = energy // n_interior.  The standard
+    variance-of-Laplacian blur gate, kept in exact integers so the
+    independent numpy twin (scripts/gen_media_expected.py) bit-matches.
+    One vectorized numpy pass per Arrow batch; blob column dropped at the
+    UDF boundary."""
+    src = images.select(F.col(id_col).alias("item_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["item_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                c = pix.astype(np.int64).sum(axis=2)
+                lap = (
+                    4 * c[1:-1, 1:-1]
+                    - c[:-2, 1:-1]
+                    - c[2:, 1:-1]
+                    - c[1:-1, :-2]
+                    - c[1:-1, 2:]
+                )
+                energy = int((lap * lap).sum())
+                n = lap.size
+                out.append((iid, w, h, energy, n, energy // n))
+            yield pd.DataFrame(out, columns=[f.name for f in SHARPNESS_SCHEMA.fields])
+
+    return src.mapInPandas(run, SHARPNESS_SCHEMA)

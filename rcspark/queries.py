@@ -6790,3 +6790,396 @@ def warehouse_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         for w in (1, 2)
     ]
     return reads[0].unionByName(reads[1])
+
+
+# =============================================================================
+# Batch 9 — training-mixture allocation, PMI collocations, int8 embedding
+# quantization, conditional-GET revalidation.
+# =============================================================================
+
+# -- training-data mixture weights (α=0.5 temperature over domain sizes) ------
+# The testdata `source` column is uniform (25 docs each), so the stratum key
+# is a deterministically SKEWED derived domain (sizes 2k+1 for k=0..9 via
+# floor(sqrt(doc_id % 100))) — the operator itself is generic over any key.
+# α-temperature weights w = n^0.5 are isqrt in exact integers (floor(sqrt) of
+# an int64 < 2^52 is exact in IEEE — see sim.derive_ncells); the per-mille
+# allocation and doc budgets are integer divisions, so both engines agree
+# bit-for-bit. Scale shape: one groupBy on the domain key (map-side combine),
+# then a one-row broadcast total — no windows, no driver loops.
+
+@register(
+    "doc_mixture_weights",
+    oracle="""
+    WITH d AS (
+      SELECT 'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+               AS domain,
+             n_chars
+      FROM documents),
+    g AS (
+      SELECT domain, count(*) AS n_docs, sum(n_chars) AS n_chars_sum FROM d GROUP BY 1),
+    w AS (
+      SELECT domain, n_docs, CAST(n_chars_sum AS BIGINT) AS n_chars_sum,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS alpha_w
+      FROM g),
+    t AS (SELECT sum(alpha_w) AS tot_w, sum(n_docs) AS tot_docs FROM w)
+    SELECT domain, n_docs, n_chars_sum, alpha_w,
+           CAST((1000 * alpha_w) // tot_w AS BIGINT) AS sample_permille,
+           CAST(((1000 * alpha_w) // tot_w) * tot_docs // 1000 AS BIGINT) AS budget_docs
+    FROM w CROSS JOIN t
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture allocation for training runs: α=0.5 temperature
+    sampling weights per domain (w = isqrt(n_docs)), normalized to a
+    per-mille sampling rate and a doc budget — the knob that turns raw
+    crawl strata into a balanced training mix (upweights small domains,
+    tempers the head). Exact-integer on both sides."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt((F.col("doc_id") % 100).cast("double")))
+            .cast("long")
+            .cast("string"),
+        ).alias("domain"),
+        "n_chars",
+    )
+    g = d.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )
+    w = g.withColumn(
+        "alpha_w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    t = w.agg(
+        F.sum("alpha_w").alias("tot_w"), F.sum("n_docs").alias("tot_docs")
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .withColumn("sample_permille", F.expr("1000 * alpha_w div tot_w"))
+        .select(
+            "domain",
+            "n_docs",
+            "n_chars_sum",
+            "alpha_w",
+            "sample_permille",
+            F.expr("sample_permille * tot_docs div 1000").alias("budget_docs"),
+        )
+    )
+
+
+# -- PMI collocations ---------------------------------------------------------
+# Pointwise-mutual-information surrogate in exact int64: score_ppm =
+# 1e6·c(xy)·N / (c(x)·c(y)) — monotone in PMI (log is banned: cross-engine
+# libm equality is not a contract, same rationale as the BM25 rational idf).
+# Scale shape: bigrams come from an arrays_zip of two slices of the SAME
+# materialized token array (zero joins doc-side, stays in codegen), unigram
+# and bigram counts are map-side-combined groupBys, N is a one-row broadcast,
+# and the final top-k has a total-order tie-break.
+
+_PMI_MIN_COUNT = 3
+_PMI_TOPK = 100
+
+@register(
+    "doc_pmi_collocations",
+    oracle=f"""
+    WITH tt AS (SELECT {tx.sql_tokens('text')} AS tk FROM documents),
+    b AS (
+      SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                         ELSE list_slice(tk, 1, len(tk) - 1) END) AS w1,
+             unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                         ELSE list_slice(tk, 2, len(tk)) END) AS w2
+      FROM tt),
+    cxy AS (SELECT w1, w2, count(*) AS c_xy FROM b GROUP BY 1, 2),
+    u AS (SELECT unnest(tk) AS w FROM tt),
+    cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+    nn AS (SELECT sum(c) AS n FROM cu),
+    scored AS (
+      SELECT w1, w2, c_xy,
+             (1000000 * c_xy * nn.n) // (a.c * b2.c) AS score_ppm
+      FROM cxy
+      JOIN cu a ON a.w = cxy.w1
+      JOIN cu b2 ON b2.w = cxy.w2
+      CROSS JOIN nn
+      WHERE c_xy >= {_PMI_MIN_COUNT}),
+    r AS (
+      SELECT w1, w2, c_xy, CAST(score_ppm AS BIGINT) AS score_ppm,
+             row_number() OVER (ORDER BY score_ppm DESC, w1 ASC, w2 ASC) AS rnk
+      FROM scored)
+    SELECT w1, w2, c_xy, score_ppm, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_PMI_TOPK}
+    """,
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations (the classic phrase-mining pass over a
+    training corpus): bigram lift over independent unigram rates, scored
+    in exact integer ppm with a min-count support filter."""
+    docs = load(spark, sf_dir, "documents")
+    tkd = docs.select(tx.tokens(F.col("text")).alias("tk"))
+    n1 = F.greatest(F.size("tk") - 1, F.lit(0))
+    pairs = tkd.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, n1),
+                F.slice("tk", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    cxy = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c_xy"))
+    cu = (
+        tkd.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nn = cu.agg(F.sum("c").alias("n"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("score_ppm", F.expr("1000000 * c_xy * n div (c1 * c2)"))
+    )
+    win = Window.orderBy(
+        F.col("score_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+        .select("w1", "w2", "c_xy", "score_ppm", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# -- int8 embedding quantization -----------------------------------------------
+# Symmetric per-vector int8 quantization (the storage/ANN-compression pass):
+# micro-unit ints (same _quant_col as every similarity op), per-vector scale
+# = max|q|, code_i = round_half_away(127·q_i / scale) ∈ [-127, 127], plus the
+# exact rational reconstruction error Σ|127·q_i − code_i·scale| — all int64,
+# so both engines agree exactly. Scale shape: fully per-row (projection +
+# higher-order functions, zero shuffles); the scale column is materialized
+# before the transform so HOF lambdas capture a column ref, not a
+# re-evaluated expression (CLAUDE.md gotcha).
+
+@register(
+    "emb_int8_quant",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {sim.QUANT}) AS BIGINT) AS qi
+      FROM embeddings, range(1, {_EMB_DIM + 1}) r(i)),
+    s AS (SELECT vec_id, max(abs(qi)) AS scale, count(*) AS n_dims FROM q GROUP BY 1),
+    c AS (
+      SELECT q.vec_id, s.scale, s.n_dims, qi,
+             CASE WHEN s.scale = 0 THEN 0
+                  WHEN qi >= 0 THEN (254 * qi + s.scale) // (2 * s.scale)
+                  ELSE -((254 * (-qi) + s.scale) // (2 * s.scale)) END AS code
+      FROM q JOIN s USING (vec_id))
+    SELECT vec_id, CAST(scale AS BIGINT) AS scale, CAST(n_dims AS BIGINT) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(abs(127 * qi - code * scale)) AS BIGINT) AS err_sum
+    FROM c GROUP BY vec_id, scale, n_dims
+    """,
+)
+def emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with exact reconstruction
+    error — 4× storage compression before ANN. code_sum/err_sum are the
+    hash-checkable per-vector reductions (the codes array itself would be
+    schema-opaque to the driver's value hash)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", sim._quant_col(F.col("embedding")).alias("qv")
+    ).withColumn("scale", F.array_max(F.transform("qv", F.abs)))
+    # exact integer half-away division needs `div`, which is expr-only:
+    codes = F.expr(
+        "transform(qv, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) "
+        "WHEN x >= 0 THEN (254 * x + scale) div (2 * scale) "
+        "ELSE -((254 * (-x) + scale) div (2 * scale)) END)"
+    )
+    out = q.withColumn("codes", codes)
+    return out.select(
+        "vec_id",
+        F.col("scale").cast("long").alias("scale"),
+        F.size("qv").cast("long").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.aggregate(
+            F.zip_with("qv", "codes", lambda a, c: F.abs(127 * a - c * F.col("scale"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("err_sum"),
+    )
+
+
+# -- A13 extension: conditional GET / validator revalidation -------------------
+# Extends crawl_http_cache's freshness gate with the validator round-trip:
+# a STALE entry revalidates with If-None-Match — 304 (etag unchanged, reuse
+# body, refresh TTL) vs 200 (content changed, refetch). Content change is
+# modeled per-URL: each URL has a change period (2 + key % 9 waves), a
+# per-URL epoch phase (without it a stale entry would ALWAYS be in an older
+# epoch — 304 could never occur), and its etag is digest60(url || ':' ||
+# content_epoch), so etag equality is a real per-URL computation in both
+# engines, not wave arithmetic alone.
+# Scale shape: one left join frontier×cache (shuffle on the key), the rest
+# is codegen projections.
+
+@register(
+    "crawl_conditional_get",
+    oracle=f"""
+    WITH cand AS (
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url_canon,
+             2 + o_orderkey % 9 AS change_period,
+             o_custkey % (2 + o_orderkey % 9) AS epoch_phase,
+             1000 + o_orderkey % 5000 AS body_bytes
+      FROM orders),
+    cache AS (
+      SELECT DISTINCT l_orderkey AS k, l_orderkey % 12 AS fetched_wave
+      FROM lineitem WHERE l_quantity > 30),
+    j AS (
+      SELECT c.*, cache.fetched_wave,
+             CASE WHEN fetched_wave IS NULL THEN NULL
+                  ELSE {sql_digest60(f"url_canon || ':' || ((fetched_wave + epoch_phase) // change_period)")}
+             END AS etag_cached,
+             {sql_digest60(f"url_canon || ':' || (({_HTTPCACHE_WAVE} + epoch_phase) // change_period)")}
+               AS etag_current
+      FROM cand c LEFT JOIN cache ON cache.k = c.o_orderkey)
+    SELECT o_orderkey, url_canon, fetched_wave, etag_cached, etag_current,
+           CASE WHEN fetched_wave IS NULL THEN 'miss'
+                WHEN fetched_wave >= {_HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION} THEN 'fresh'
+                WHEN etag_cached = etag_current THEN 'revalidate_304'
+                ELSE 'revalidate_200' END AS status,
+           CASE WHEN fetched_wave IS NOT NULL
+                 AND fetched_wave < {_HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION}
+                 AND etag_cached = etag_current
+                THEN body_bytes ELSE 0 END AS bytes_saved
+    FROM j
+    """,
+)
+def crawl_conditional_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validator-based revalidation (If-None-Match) on top of the TTL
+    cache gate: stale entries split into 304-reuse (etag unchanged since
+    the cached content epoch — bandwidth saved) vs 200-refetch. Cited
+    semantics: RFC 9111 validation model as implemented by public crawler
+    HTTP caches."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cand = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_canon"),
+        (2 + F.col("o_orderkey") % 9).alias("change_period"),
+        (F.col("o_custkey") % (2 + F.col("o_orderkey") % 9)).alias("epoch_phase"),
+        (1000 + F.col("o_orderkey") % 5000).alias("body_bytes"),
+    )
+    cache = (
+        li.filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            F.col("l_orderkey").alias("k"),
+            (F.col("l_orderkey") % 12).alias("fetched_wave"),
+        )
+    )
+    fresh_floor = _HTTPCACHE_WAVE - _HTTPCACHE_EXPIRATION
+    j = (
+        cand.join(cache, cand["o_orderkey"] == cache["k"], "left")
+        .withColumn(
+            "etag_cached",
+            F.when(
+                F.col("fetched_wave").isNotNull(),
+                digest60(
+                    F.concat(
+                        F.col("url_canon"),
+                        F.lit(":"),
+                        F.expr(
+                            "(fetched_wave + epoch_phase) div change_period"
+                        ).cast("string"),
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "etag_current",
+            digest60(
+                F.concat(
+                    F.col("url_canon"),
+                    F.lit(":"),
+                    F.expr(
+                        f"({_HTTPCACHE_WAVE} + epoch_phase) div change_period"
+                    ).cast("string"),
+                )
+            ),
+        )
+    )
+    status = (
+        F.when(F.col("fetched_wave").isNull(), F.lit("miss"))
+        .when(F.col("fetched_wave") >= fresh_floor, F.lit("fresh"))
+        .when(F.col("etag_cached") == F.col("etag_current"), F.lit("revalidate_304"))
+        .otherwise(F.lit("revalidate_200"))
+    )
+    return j.select(
+        "o_orderkey",
+        "url_canon",
+        "fetched_wave",
+        "etag_cached",
+        "etag_current",
+        status.alias("status"),
+        F.when(
+            F.col("fetched_wave").isNotNull()
+            & (F.col("fetched_wave") < fresh_floor)
+            & (F.col("etag_cached") == F.col("etag_current")),
+            F.col("body_bytes"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_saved"),
+    )
+
+
+# -- image sharpness / blur-quality gate ----------------------------------------
+# Variance-of-Laplacian blur detection in exact integers, over originals ∪
+# genuinely planted 2×2 box-blurred twins (blur drops lap_meansq ~14×:
+# originals ≥ ~250k, blurred ≤ ~36k on the testdata distribution — the
+# 100_000 threshold sits in a 7× gap).  Codec math is not SQL-expressible,
+# so the oracle joins the independent-numpy-twin expected parquet
+# (scripts/gen_media_expected.py expected_img_sharpness: reduceat+kron blur,
+# np.diff(n=2) Laplacian, per-row Python-int energy accumulation — every
+# transform a different code path than the engine's).
+
+_SHARP_THRESH = 100_000
+
+@register(
+    "img_sharpness",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0)
+    SELECT e.item_id, e.w, e.h, e.lap_energy, e.n_interior, e.lap_meansq,
+           e.lap_meansq >= {_SHARP_THRESH} AS is_sharp
+    FROM '{_MEDIA_EXPECTED}/img_sharpness.parquet' e
+    JOIN ids ON e.item_id IN ('o:' || ids.image_id, 'b:' || ids.image_id)
+    """,
+)
+def img_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur-quality gate for image-curation pipelines: exact-integer
+    Laplacian mean-square per item over originals and their box-blurred
+    variants, thresholded into is_sharp — the filter that drops soft/
+    upscaled images before training."""
+    from .datapipe.multimodal import box_blur_images, sharpness_features
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    orig = imgs.select(
+        F.concat(F.lit("o:"), F.col("image_id")).alias("item_id"), "bytes"
+    )
+    blurred = box_blur_images(imgs).select(
+        F.concat(F.lit("b:"), F.col("image_id")).alias("item_id"), "bytes"
+    )
+    feats = sharpness_features(orig.unionByName(blurred))
+    return feats.withColumn("is_sharp", F.col("lap_meansq") >= _SHARP_THRESH)

@@ -289,6 +289,54 @@ def expected_audio_vad(frame_len: int = 160, thresh: int = 1_000_000) -> pd.Data
               "n_frames": "int32", "meansq_mean": "int64"})
 
 
+def expected_img_sharpness() -> pd.DataFrame:
+    """Sharpness twin over originals ('o:') and their 2×2 box-blurred
+    variants ('b:').  Re-implemented paths: blur via reduceat block sums +
+    np.kron upsample (engine reshapes + np.repeat); Laplacian via
+    np.diff(n=2) second differences (engine uses explicit 4-neighbor slice
+    arithmetic: 4c−u−d−l−r ≡ −(d²y + d²x)); energy via per-row Python-int
+    accumulation (engine does one vectorized int64 reduction)."""
+    def twin_blur(pix: np.ndarray) -> np.ndarray:
+        h, w, _ = pix.shape
+        out = np.empty((h // 2, w // 2, 3), dtype=np.uint8)
+        for ch in range(3):
+            rows = np.add.reduceat(pix[:, :, ch].astype(np.int64),
+                                   np.arange(0, h, 2), axis=0)
+            blocks = np.add.reduceat(rows, np.arange(0, w, 2), axis=1)
+            out[:, :, ch] = (blocks // 4).astype(np.uint8)
+        return np.kron(out, np.ones((2, 2, 1), dtype=np.uint8))
+
+    def twin_lap_rows(pix: np.ndarray) -> tuple[int, int]:
+        c = pix.astype(np.int64).sum(axis=2)
+        d2y = np.diff(c, n=2, axis=0)[:, 1:-1]
+        d2x = np.diff(c, n=2, axis=1)[1:-1, :]
+        lap = -(d2y + d2x)
+        energy = 0
+        for row in lap:
+            for v in row:
+                iv = int(v)
+                energy += iv * iv
+        return energy, lap.size
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        h, w, _ = pix.shape
+        for prefix, p in (("o:", pix), ("b:", twin_blur(pix))):
+            energy, n = twin_lap_rows(p)
+            rows.append(
+                (prefix + iid, np.int32(w), np.int32(h),
+                 np.int64(energy), np.int64(n), np.int64(energy // n))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["item_id", "w", "h", "lap_energy", "n_interior", "lap_meansq"],
+    ).astype({"w": "int32", "h": "int32", "lap_energy": "int64",
+              "n_interior": "int64", "lap_meansq": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -302,6 +350,7 @@ def main() -> None:
         ("audio_features", expected_audio_features),
         ("img_patchify", expected_img_patchify),
         ("audio_vad", expected_audio_vad),
+        ("img_sharpness", expected_img_sharpness),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")
