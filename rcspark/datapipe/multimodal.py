@@ -745,3 +745,151 @@ def sharpness_features(images: DataFrame, id_col: str = "item_id") -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in SHARPNESS_SCHEMA.fields])
 
     return src.mapInPandas(run, SHARPNESS_SCHEMA)
+
+
+# -- loudness / hard-clipping gate -------------------------------------------------
+
+CLIPPING_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_clipped", T.LongType(), False),
+        T.StructField("clip_ppm", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+    ]
+)
+
+
+def hard_gain_clips(clips: DataFrame, gain: int = 4, id_col: str = "audio_id") -> DataFrame:
+    """(id, bytes) → the same clip re-encoded after an exact integer gain
+    (s·gain clipped to ±32767) — the deterministic hard-clipped twin for
+    clipping-gate tests (a 4× gain drives a 0.6-amplitude sine into
+    clipping ~73% of its samples; the originals clip essentially none)."""
+    src = clips.select(F.col(id_col).alias("audio_id"), "bytes")
+    schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate = decode_audio(bytes(data))
+                g = np.clip(s.astype(np.int32) * gain, -32767, 32767).astype(np.int16)
+                rows.append((aid, encode_audio(g, rate)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    return src.mapInPandas(run, schema)
+
+
+def clipping_features(clips: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(id, bytes) → exact-integer clipping statistics: clipped-sample
+    count (|s| ≥ 32767), clip rate in ppm (integer division), absolute
+    peak — the loudness-damage gate an audio-curation pipeline runs before
+    training. All int64; one vectorized pass per Arrow batch."""
+    src = clips.select(F.col(id_col).alias("item_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["item_id"], pdf["bytes"]):
+                s, rate = decode_audio(bytes(data))
+                a = np.abs(s.astype(np.int64))
+                n = len(s)
+                n_clipped = int((a >= 32767).sum())
+                rows.append(
+                    (iid, rate, n, n_clipped, (1_000_000 * n_clipped) // n,
+                     int(a.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIPPING_SCHEMA.fields])
+
+    return src.mapInPandas(run, CLIPPING_SCHEMA)
+
+
+# -- letterbox / pillarbox bar detection --------------------------------------------
+
+CONTENT_BOX_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("crop_top", T.IntegerType(), False),
+        T.StructField("crop_left", T.IntegerType(), False),
+        T.StructField("crop_w", T.IntegerType(), False),
+        T.StructField("crop_h", T.IntegerType(), False),
+        T.StructField("bar_permille", T.LongType(), False),
+    ]
+)
+
+
+def letterbox_images(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, bytes) → the image embedded in black bars (letterbox or
+    pillarbox, id-derived orientation and thickness 4..12) — the planted
+    degraded twin for border-crop tests.  Spec (shared with the expected-
+    values twin, like make_image): h64 = xxh64(id); vertical bars iff
+    h64 % 2 == 0; thickness t = 4 + (h64 >> 4) % 9."""
+    from ..xxh import xxh64
+
+    src = images.select(F.col(id_col).alias("image_id"), "bytes")
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                h64 = xxh64(iid.encode())
+                t = 4 + (h64 >> 4) % 9
+                if h64 % 2 == 0:
+                    canvas = np.zeros((h + 2 * t, w, 3), dtype=np.uint8)
+                    canvas[t : t + h] = pix
+                else:
+                    canvas = np.zeros((h, w + 2 * t, 3), dtype=np.uint8)
+                    canvas[:, t : t + w] = pix
+                rows.append((iid, encode_ppm(canvas)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return src.mapInPandas(run, schema)
+
+
+def content_box(images: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(id, bytes) → detected content bounding box: a bar row/column is one
+    whose every byte is 0 (pure black); crop = [first..last] non-bar row ×
+    non-bar column, bar_permille = fraction of pixels outside the crop.
+    The LAION-style border-removal pass before training.  Vectorized
+    any-nonzero reductions per Arrow batch; exact integers throughout.
+    (Uniform-noise testdata can't fake a bar: an all-zero 16-px row has
+    probability 256^-48.)"""
+    src = images.select(F.col(id_col).alias("item_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["item_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                nz_rows = np.flatnonzero(pix.any(axis=(1, 2)))
+                nz_cols = np.flatnonzero(pix.any(axis=(0, 2)))
+                if len(nz_rows) == 0:
+                    top, left, cw, ch = 0, 0, 0, 0
+                else:
+                    top, bot = int(nz_rows[0]), int(nz_rows[-1])
+                    left, right = int(nz_cols[0]), int(nz_cols[-1])
+                    ch, cw = bot - top + 1, right - left + 1
+                bar = (1000 * (h * w - ch * cw)) // (h * w)
+                rows.append((iid, w, h, top, left, cw, ch, bar))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CONTENT_BOX_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, CONTENT_BOX_SCHEMA)

@@ -7183,3 +7183,226 @@ def img_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = sharpness_features(orig.unionByName(blurred))
     return feats.withColumn("is_sharp", F.col("lap_meansq") >= _SHARP_THRESH)
+
+
+# =============================================================================
+# Batch 10 — data-quality audit, matryoshka truncation, audio clipping gate,
+# letterbox detection.
+# =============================================================================
+
+# -- declarative data-quality audit (Deequ/dbt-test style) ----------------------
+# One full-scan aggregation computes every metric (row count, null counts,
+# exact distincts, uniqueness violations, value-domain violations, integer-
+# cents range violations, DATE-arithmetic freshness span), then unpivots to
+# (check, value) rows.  Scale notes: a single pass over the table with
+# map-side partial aggs; the two exact count(DISTINCT)s rewrite to expand +
+# two-phase aggs (at 100 TB swap for approx_count_distinct — the check
+# VALUES change, the shape doesn't); DATE arithmetic, never epoch-of-NTZ.
+
+@register(
+    "table_quality_audit",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+             count(DISTINCT o_orderstatus) AS distinct_status,
+             count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+             sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) <= 0
+                      THEN 1 ELSE 0 END) AS nonpositive_price,
+             sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             date_diff('day', min(CAST(o_orderdate AS DATE)),
+                       max(CAST(o_orderdate AS DATE))) AS span_days
+      FROM orders)
+    SELECT 'row_count' AS check_name, CAST(n AS BIGINT) AS value FROM a
+    UNION ALL SELECT 'nulls:o_custkey', CAST(null_custkey AS BIGINT) FROM a
+    UNION ALL SELECT 'distinct:o_orderstatus', CAST(distinct_status AS BIGINT) FROM a
+    UNION ALL SELECT 'unique_violations:o_orderkey', CAST(dup_orderkey AS BIGINT) FROM a
+    UNION ALL SELECT 'range_violations:o_totalprice', CAST(nonpositive_price AS BIGINT) FROM a
+    UNION ALL SELECT 'domain_violations:o_orderstatus', CAST(bad_status AS BIGINT) FROM a
+    UNION ALL SELECT 'freshness_span_days:o_orderdate', CAST(span_days AS BIGINT) FROM a
+    """,
+)
+def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test pass a warehouse
+    runs before publishing a table): completeness, uniqueness, value-domain,
+    range, and freshness checks as (check_name, value) rows from ONE scan."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.sum(
+            (F.round(F.col("o_totalprice") * 100).cast("long") <= 0).cast("long")
+        ).alias("nonpositive_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+        ).alias("span_days"),
+    )
+    return a.selectExpr(
+        "stack(7, "
+        "'row_count', n, "
+        "'nulls:o_custkey', null_custkey, "
+        "'distinct:o_orderstatus', distinct_status, "
+        "'unique_violations:o_orderkey', dup_orderkey, "
+        "'range_violations:o_totalprice', nonpositive_price, "
+        "'domain_violations:o_orderstatus', bad_status, "
+        "'freshness_span_days:o_orderdate', CAST(span_days AS BIGINT)"
+        ") AS (check_name, value)"
+    )
+
+
+# -- matryoshka truncation quality ----------------------------------------------
+# Matryoshka-representation retrieval: rank by the 16-dim PREFIX of the
+# 64-dim embedding (4× cheaper distance) and measure which truncated top-5
+# hits survive in the full-dimension top-5 (recall flag per row).  Same
+# fold-order/round(…,6) cosine contract as every similarity op; the
+# truncated vector is a slice of the same array, so the scan reads the
+# embedding column once.  Scale shape: both rankings are broadcast-probe
+# scans (zero corpus shuffle) + per-probe TakeOrdered; the membership flag
+# is a broadcast left join of two 25-row frames.
+
+_MRL_DIM = 16
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE vec_id IN ({_PROBES_SQL})),
+    st AS (
+      SELECT p.probe_id, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _MRL_DIM)} AS cos_trunc
+      FROM probes p, embeddings e WHERE e.vec_id <> p.probe_id),
+    rt AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_trunc DESC, vec_id ASC) AS rnk_trunc
+      FROM st),
+    sf AS (
+      SELECT p.probe_id, e.vec_id,
+             {sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} AS cos_full
+      FROM probes p, embeddings e WHERE e.vec_id <> p.probe_id),
+    rf AS (
+      SELECT probe_id, vec_id, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_full DESC, vec_id ASC) AS rnk_full
+      FROM sf)
+    SELECT rt.probe_id, rt.vec_id, rt.cos_trunc,
+           CAST(rt.rnk_trunc AS BIGINT) AS rnk_trunc,
+           coalesce(rf.rnk_full <= 5, false) AS in_full_top5
+    FROM rt LEFT JOIN rf ON rf.probe_id = rt.probe_id
+                        AND rf.vec_id = rt.vec_id AND rf.rnk_full <= 5
+    WHERE rt.rnk_trunc <= 5
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (matryoshka) retrieval quality: top-5 by the
+    16-dim embedding prefix, flagged by whether each hit is also in the
+    full 64-dim top-5 — the measurement that licenses running ANN at a
+    fraction of the dimension budget."""
+    emb = load(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("etrunc")
+    )
+    t5 = sim.cosine_topk(trunc, _PROBES, k=5, vec_col="etrunc").select(
+        "probe_id",
+        "vec_id",
+        F.col("cos_sim").alias("cos_trunc"),
+        F.col("rnk").cast("long").alias("rnk_trunc"),
+    )
+    f5 = sim.cosine_topk(emb, _PROBES, k=5).select(
+        "probe_id", "vec_id", F.lit(True).alias("_hit")
+    )
+    return (
+        t5.join(F.broadcast(f5), ["probe_id", "vec_id"], "left")
+        .withColumn("in_full_top5", F.coalesce(F.col("_hit"), F.lit(False)))
+        .select("probe_id", "vec_id", "cos_trunc", "rnk_trunc", "in_full_top5")
+    )
+
+
+# -- audio hard-clipping gate -----------------------------------------------------
+# Loudness-damage detection in exact integers over originals ∪ planted ×4
+# hard-clipped twins (originals: 0 ppm clipped; gained: ~72% — the 10k-ppm
+# threshold sits in a 5-decade gap).  Codec math is not SQL-expressible, so
+# the oracle joins the independent-twin expected parquet (the twin never
+# materializes the gained signal — a sample clips iff |s| ≥ ceil(32767/gain)
+# — and accumulates counts with per-sample Python ints).
+
+_CLIP_THRESH_PPM = 10_000
+
+@register(
+    "audio_clipping_gate",
+    oracle=f"""
+    WITH ids AS (SELECT 'aud' || p_partkey AS audio_id FROM part
+                 WHERE p_partkey % 20 = 0)
+    SELECT e.item_id, e.rate, e.n_samples, e.n_clipped, e.clip_ppm, e.peak_abs,
+           e.clip_ppm >= {_CLIP_THRESH_PPM} AS is_clipped
+    FROM '{_MEDIA_EXPECTED}/audio_clipping.parquet' e
+    JOIN ids ON e.item_id IN ('o:' || ids.audio_id, 'g:' || ids.audio_id)
+    """,
+)
+def audio_clipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-clipping audio-quality gate: exact-integer clipped-sample rate
+    (ppm) and absolute peak per item over originals and gain-damaged
+    variants, thresholded into is_clipped — the filter that drops
+    loudness-war/clipped clips before training."""
+    from .datapipe.multimodal import (
+        clipping_features,
+        hard_gain_clips,
+        synthesize_audio,
+    )
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.concat(F.lit("aud"), F.col("p_partkey").cast("string")).alias("audio_id")
+    )
+    clips = synthesize_audio(ids)
+    orig = clips.select(
+        F.concat(F.lit("o:"), F.col("audio_id")).alias("item_id"), "bytes"
+    )
+    gained = hard_gain_clips(clips).select(
+        F.concat(F.lit("g:"), F.col("audio_id")).alias("item_id"), "bytes"
+    )
+    feats = clipping_features(orig.unionByName(gained))
+    return feats.withColumn("is_clipped", F.col("clip_ppm") >= _CLIP_THRESH_PPM)
+
+
+# -- letterbox / pillarbox content-box detection ----------------------------------
+# Border-removal crop (the LAION preproc step): detect the content bounding
+# box as the [first..last] non-all-black rows × columns, over originals ∪
+# planted letterboxed twins (id-derived bar orientation + thickness 4..12).
+# Uniform-noise content cannot fake a bar (an all-zero 16-px row has
+# probability 256^-48), so detection must recover exactly the planted
+# geometry.  Oracle joins the independent twin (np.pad construction,
+# per-row/column Python scans — scripts/gen_media_expected.py).
+
+@register(
+    "img_letterbox_crop",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0)
+    SELECT e.item_id, e.w, e.h, e.crop_top, e.crop_left, e.crop_w, e.crop_h,
+           e.bar_permille, e.bar_permille > 0 AS has_bars
+    FROM '{_MEDIA_EXPECTED}/img_contentbox.parquet' e
+    JOIN ids ON e.item_id IN ('o:' || ids.image_id, 'l:' || ids.image_id)
+    """,
+)
+def img_letterbox_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox/pillarbox bar detection + content crop box per item —
+    the border-removal gate an image-curation pipeline applies before
+    resize/patchify (bars poison both aspect-ratio stats and patch
+    tokens)."""
+    from .datapipe.multimodal import content_box, letterbox_images
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    orig = imgs.select(
+        F.concat(F.lit("o:"), F.col("image_id")).alias("item_id"), "bytes"
+    )
+    boxed = letterbox_images(imgs).select(
+        F.concat(F.lit("l:"), F.col("image_id")).alias("item_id"), "bytes"
+    )
+    feats = content_box(orig.unionByName(boxed))
+    return feats.withColumn("has_bars", F.col("bar_permille") > 0)

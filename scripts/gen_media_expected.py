@@ -337,6 +337,90 @@ def expected_img_sharpness() -> pd.DataFrame:
               "n_interior": "int64", "lap_meansq": "int64"})
 
 
+def expected_audio_clipping(gain: int = 4) -> pd.DataFrame:
+    """Clipping-gate twin over originals ('o:') and ×gain hard-clipped
+    variants ('g:').  Clip content per the synthesize_audio spec (0.5 s @
+    8 kHz sine + noise — same regeneration as expected_audio_features);
+    the re-implemented transforms: the gained signal is NEVER materialized
+    — a sample clips iff |s| ≥ ceil(32767/gain) — and the clipped count /
+    peak run through per-sample Python-int accumulation (the engine
+    vectorizes a materialized gained signal)."""
+    rows = []
+    clip_floor = -(-32767 // gain)  # ceil: |s| >= this clips after ×gain
+    for k in range(0, MAX_PARTKEY, 20):
+        aid = f"aud{k}"
+        h64 = xxh64(aid.encode())
+        rate, n = 8000, 4000
+        freq = 100.0 + (h64 % 1900)
+        t = np.arange(n) / rate
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        for prefix, thresh, peak_fn in (
+            ("o:", 32767, lambda v: abs(int(v))),
+            ("g:", clip_floor, lambda v: min(abs(int(v)) * gain, 32767)),
+        ):
+            n_clipped, peak = 0, 0
+            for v in s:
+                av = abs(int(v))
+                if av >= thresh:
+                    n_clipped += 1
+                p = peak_fn(v)
+                if p > peak:
+                    peak = p
+            rows.append(
+                (prefix + aid, np.int32(rate), np.int32(n),
+                 np.int64(n_clipped), np.int64((1_000_000 * n_clipped) // n),
+                 np.int64(peak))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["item_id", "rate", "n_samples", "n_clipped", "clip_ppm",
+                 "peak_abs"],
+    ).astype({"rate": "int32", "n_samples": "int32", "n_clipped": "int64",
+              "clip_ppm": "int64", "peak_abs": "int64"})
+
+
+def expected_img_contentbox() -> pd.DataFrame:
+    """Content-box twin over originals ('o:') and letterboxed variants
+    ('l:').  The letterbox construction spec is shared (h64 parity →
+    orientation, t = 4 + (h64>>4) % 9), built here with np.pad instead of
+    the engine's canvas-assignment; the DETECTION is re-implemented as a
+    per-row/column Python scan for any nonzero byte (engine: vectorized
+    any() reductions + flatnonzero)."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        h64 = xxh64(iid.encode())
+        t = 4 + (h64 >> 4) % 9
+        pad = ((t, t), (0, 0), (0, 0)) if h64 % 2 == 0 else ((0, 0), (t, t), (0, 0))
+        boxed = np.pad(pix, pad)
+        for prefix, p in (("o:", pix), ("l:", boxed)):
+            h, w, _ = p.shape
+            row_nz = [i for i in range(h) if any(int(v) != 0 for v in p[i].ravel())]
+            col_nz = [j for j in range(w) if any(int(v) != 0 for v in p[:, j].ravel())]
+            if not row_nz:
+                top, left, cw, ch = 0, 0, 0, 0
+            else:
+                top, left = row_nz[0], col_nz[0]
+                ch = row_nz[-1] - top + 1
+                cw = col_nz[-1] - left + 1
+            bar = (1000 * (h * w - ch * cw)) // (h * w)
+            rows.append(
+                (prefix + iid, np.int32(w), np.int32(h), np.int32(top),
+                 np.int32(left), np.int32(cw), np.int32(ch), np.int64(bar))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["item_id", "w", "h", "crop_top", "crop_left", "crop_w",
+                 "crop_h", "bar_permille"],
+    ).astype({"w": "int32", "h": "int32", "crop_top": "int32",
+              "crop_left": "int32", "crop_w": "int32", "crop_h": "int32",
+              "bar_permille": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -351,6 +435,8 @@ def main() -> None:
         ("img_patchify", expected_img_patchify),
         ("audio_vad", expected_audio_vad),
         ("img_sharpness", expected_img_sharpness),
+        ("audio_clipping", expected_audio_clipping),
+        ("img_contentbox", expected_img_contentbox),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

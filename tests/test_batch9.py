@@ -79,3 +79,64 @@ def test_sharpness_separates_planted_blur(spark):
     # the threshold by 2x, every blur sits at least 2x under it
     assert min(r.lap_meansq for r in orig) > 2 * _SHARP_THRESH
     assert max(r.lap_meansq for r in blur) < _SHARP_THRESH // 2
+
+
+# -- batch 10 -----------------------------------------------------------------
+
+
+def test_quality_audit_invariants(spark):
+    rows = {r.check_name: r.value for r in
+            QUERIES["table_quality_audit"](spark, SF_DIR).collect()}
+    assert rows["row_count"] > 0
+    # testdata is clean: every violation check must read zero
+    for k in ("nulls:o_custkey", "unique_violations:o_orderkey",
+              "range_violations:o_totalprice", "domain_violations:o_orderstatus"):
+        assert rows[k] == 0, k
+    assert rows["distinct:o_orderstatus"] == 3
+    assert rows["freshness_span_days:o_orderdate"] > 0
+
+
+def test_matryoshka_recall_floor(spark):
+    rows = QUERIES["emb_matryoshka_truncate"](spark, SF_DIR).collect()
+    assert len(rows) == 25  # 5 probes x top-5
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, hits in by_probe.items():
+        assert sorted(r.rnk_trunc for r in hits) == [1, 2, 3, 4, 5]
+    # the 16-dim prefix must retrieve SOMETHING the full ranking agrees
+    # with — a zero overall recall would mean the prefix carries no signal
+    assert sum(r.in_full_top5 for r in rows) > 0
+
+
+def test_clipping_gate_separates_planted_gain(spark):
+    rows = QUERIES["audio_clipping_gate"](spark, SF_DIR).collect()
+    orig = [r for r in rows if r.item_id.startswith("o:")]
+    gained = [r for r in rows if r.item_id.startswith("g:")]
+    assert orig and len(orig) == len(gained)
+    assert all(r.clip_ppm == 0 and not r.is_clipped for r in orig)
+    assert all(r.is_clipped and r.peak_abs == 32767 for r in gained)
+    assert min(r.clip_ppm for r in gained) > 500_000
+
+
+def test_letterbox_recovers_planted_geometry(spark):
+    from rcspark.xxh import xxh64
+
+    rows = QUERIES["img_letterbox_crop"](spark, SF_DIR).collect()
+    orig = {r.item_id[2:]: r for r in rows if r.item_id.startswith("o:")}
+    boxed = {r.item_id[2:]: r for r in rows if r.item_id.startswith("l:")}
+    assert orig and set(orig) == set(boxed)
+    for iid, r in orig.items():
+        assert not r.has_bars and (r.crop_w, r.crop_h) == (r.w, r.h)
+        b = boxed[iid]
+        h64 = xxh64(iid.encode())
+        t = 4 + (h64 >> 4) % 9
+        if h64 % 2 == 0:  # letterbox: vertical bars
+            assert (b.crop_top, b.crop_left) == (t, 0)
+            assert (b.crop_w, b.crop_h) == (r.w, r.h)
+            assert b.h == r.h + 2 * t
+        else:  # pillarbox
+            assert (b.crop_top, b.crop_left) == (0, t)
+            assert (b.crop_w, b.crop_h) == (r.w, r.h)
+            assert b.w == r.w + 2 * t
+        assert b.has_bars
