@@ -7406,3 +7406,234 @@ def img_letterbox_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = content_box(orig.unionByName(boxed))
     return feats.withColumn("has_bars", F.col("bar_permille") > 0)
+
+
+# =============================================================================
+# Batch 11 — A/B lift, incremental aggregate maintenance, watermark
+# late-data accounting.
+# =============================================================================
+
+# -- A/B experiment lift in exact integers --------------------------------------
+
+@register(
+    "events_ab_lift",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+             count(DISTINCT user_id) AS exposures,
+             count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+               AS conversions
+      FROM events GROUP BY 1),
+    c AS (SELECT exposures AS ec, conversions AS cc FROM g WHERE variant = 'control')
+    SELECT variant, CAST(exposures AS BIGINT) AS exposures,
+           CAST(conversions AS BIGINT) AS conversions,
+           CAST((1000000 * conversions) // exposures AS BIGINT) AS conv_ppm,
+           CAST((1000000 * conversions * c.ec) // (exposures * c.cc) - 1000000
+                AS BIGINT) AS lift_ppm
+    FROM g, c
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout in exact integer ppm: per-variant exposure
+    and conversion counts (distinct users), conversion rate, and relative
+    lift vs the control arm — the analytics pass behind every rollout
+    decision. One grouped agg + a one-row broadcast of the control arm."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant")
+    ).agg(
+        F.countDistinct("user_id").alias("exposures"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("conversions"),
+    )
+    c = g.filter(F.col("variant") == "control").select(
+        F.col("exposures").alias("ec"), F.col("conversions").alias("cc")
+    )
+    return (
+        g.crossJoin(F.broadcast(c))
+        .withColumn("conv_ppm", F.expr("1000000 * conversions div exposures"))
+        .withColumn(
+            "lift_ppm",
+            F.expr("1000000 * conversions * ec div (exposures * cc) - 1000000"),
+        )
+        .select("variant", "exposures", "conversions", "conv_ppm", "lift_ppm")
+    )
+
+
+# -- incremental aggregate maintenance (IVM) --------------------------------------
+# The warehouse pattern that makes 100 TB aggregates affordable: never
+# recompute a rollup from scratch — apply each wave's DELTA (a per-key
+# partial agg) to the maintained state with a keyed full-outer merge.
+# state_{w+1} = merge(state_w, delta_w); localCheckpoint severs the plan
+# lineage each wave (the recacheByPath/plan-growth gotcha), exactly like
+# the crawl engine's seen-set. The oracle is the from-scratch recompute —
+# equality IS the IVM correctness statement.
+
+@register(
+    "warehouse_incr_agg",
+    oracle="""
+    SELECT o_custkey % 100 AS k, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def warehouse_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-key rollup across 3 append waves,
+    returned after the last merge — pinned equal to the full recompute
+    (the oracle). Each wave ships only |keys| delta rows through the merge
+    join; the maintained table never rescans history."""
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        (F.col("o_custkey") % 100).alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+    )
+    state = None
+    for w in (0, 1, 2):
+        delta = (
+            src.filter(F.col("wave") == w)
+            .groupBy("k")
+            .agg(F.count("*").alias("d_n"), F.sum("cents").alias("d_sum"))
+        )
+        if state is None:
+            state = delta.select(
+                "k", F.col("d_n").alias("n_rows"), F.col("d_sum").alias("sum_cents")
+            )
+        else:
+            state = (
+                state.join(delta, "k", "full_outer")
+                .select(
+                    "k",
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.coalesce(F.col("d_n"), F.lit(0))
+                    ).alias("n_rows"),
+                    (
+                        F.coalesce(F.col("sum_cents"), F.lit(0))
+                        + F.coalesce(F.col("d_sum"), F.lit(0))
+                    ).alias("sum_cents"),
+                )
+            )
+        state = state.localCheckpoint(eager=True)
+    return state.select(
+        "k", "n_rows", F.col("sum_cents").cast("long").alias("sum_cents")
+    )
+
+
+# -- watermark late-data accounting ------------------------------------------------
+# The late-data contract made visible: the event stream arrives as FOUR
+# ordered micro-batches (maxFilesPerTrigger=1, mtime-ordered files) —
+# (1) on-time rows (below the global max ts, user_id % 5 != 0, minus the
+#     spacer), whose max advances the watermark to max(on-time) − 2h;
+# (2) a SPACER batch (the on-time user_id % 7 == 0 slice, all strictly
+#     below max(on-time) so the watermark doesn't move) — needed because
+#     eviction runs AFTER merging a batch's input: late rows arriving in
+#     the same batch where their window is first evicted still count
+#     (measured: numRowsDroppedByWatermark=0 without the spacer), so the
+#     drop only bites one batch after eviction completed;
+# (3) the LATE batch (the user_id % 5 == 0 segment): a late row is
+#     DROPPED iff its window end ≤ max(on-time) − 2h (the window was
+#     evicted in the spacer batch), and counts otherwise;
+# (4) the max-ts nudge rows, which advance the final watermark and flush
+#     every remaining closed window (APPEND emits iff end ≤ final wm).
+# The oracle restates the whole protocol in SQL — batch split, watermark,
+# drop rule, emission rule — so the gate pins Spark's actual multi-batch
+# watermark semantics, not just a drained aggregate.
+# (NTZ→timestamp cast note: as in stream_windowed_counts, any session
+# offset that is a whole hour cancels out of the 1 h alignment, the 2 h
+# watermark inequality, and the rendered wall-clock strings.)
+
+@register(
+    "stream_late_data",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    ot AS (SELECT ts, user_id FROM events, mx WHERE ts < m AND user_id % 5 <> 0),
+    mo AS (SELECT max(ts) AS mt FROM ot),
+    b1 AS (SELECT ts FROM ot, mo WHERE user_id % 7 <> 0 OR ts = mt),
+    sp AS (SELECT ts FROM ot, mo WHERE user_id % 7 = 0 AND ts < mt),
+    lt AS (SELECT ts FROM events, mx WHERE ts < m AND user_id % 5 = 0),
+    nudge AS (SELECT ts FROM events, mx WHERE ts = m),
+    wm1 AS (SELECT mt - INTERVAL 2 HOUR AS w FROM mo),
+    surv AS (
+      SELECT lt.ts FROM lt, wm1
+      WHERE make_timestamp((CAST(floor(epoch(lt.ts) / 3600) AS BIGINT) * 3600
+                            + 3600) * 1000000) > wm1.w),
+    allr AS (
+      SELECT ts FROM b1 UNION ALL SELECT ts FROM sp
+      UNION ALL SELECT ts FROM surv UNION ALL SELECT ts FROM nudge),
+    g AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                            * 1000000) AS w_start,
+             count(*) AS n
+      FROM allr GROUP BY 1)
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s, n
+    FROM g, mx
+    WHERE w_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts under a 2-hour watermark where a
+    planted late segment arrives TWO batches after the watermark advanced
+    (one spacer batch lets eviction complete first) — rows in evicted
+    windows are dropped, rows within the allowed lateness still count,
+    and a final nudge batch flushes the closed windows. Pins Spark's
+    cross-batch watermark advance/drop/emit rules against a SQL
+    restatement of the protocol."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = load(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="rcspark_late_")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    ontime = (F.col("ts") < F.lit(mx)) & (F.col("user_id") % 5 != 0)
+    mt = ev.filter(ontime).agg(F.max("ts").alias("mt")).first()["mt"]
+    splits = [
+        (
+            "b1_ontime",
+            ontime & ((F.col("user_id") % 7 != 0) | (F.col("ts") == F.lit(mt))),
+        ),
+        (
+            "b2_spacer",
+            ontime & (F.col("user_id") % 7 == 0) & (F.col("ts") < F.lit(mt)),
+        ),
+        ("b3_late", (F.col("ts") < F.lit(mx)) & (F.col("user_id") % 5 == 0)),
+        ("b4_nudge", F.col("ts") == F.lit(mx)),
+    ]
+    for i, (name, pred) in enumerate(splits):
+        part_dir = os.path.join(stream_dir, f"_{name}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stream_dir, f"{name}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000 + 100 * i, 1_000_000 + 100 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start_s"),
+            "n",
+        )
+    )
+    sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -140,3 +140,60 @@ def test_letterbox_recovers_planted_geometry(spark):
             assert (b.crop_w, b.crop_h) == (r.w, r.h)
             assert b.w == r.w + 2 * t
         assert b.has_bars
+
+
+# -- batch 11 -----------------------------------------------------------------
+
+
+def test_ab_lift_consistency(spark):
+    rows = {r.variant: r for r in QUERIES["events_ab_lift"](spark, SF_DIR).collect()}
+    assert set(rows) == {"control", "treatment"}
+    c, t = rows["control"], rows["treatment"]
+    assert c.lift_ppm == 0  # control vs itself
+    assert all(0 < r.conversions <= r.exposures for r in rows.values())
+    # lift sign must agree with the rate comparison in exact rationals
+    lhs = t.conversions * c.exposures
+    rhs = t.exposures * c.conversions
+    if lhs > rhs:
+        assert t.lift_ppm >= 0
+    elif lhs < rhs:
+        assert t.lift_ppm < 0
+
+
+def test_incr_agg_equals_recompute(spark):
+    from rcspark.queries import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r.k: (r.n_rows, r.sum_cents)
+        for r in QUERIES["warehouse_incr_agg"](spark, SF_DIR).collect()
+    }
+    orders = load(spark, SF_DIR, "orders")
+    want = {
+        r.k: (r.n, r.s)
+        for r in orders.groupBy((F.col("o_custkey") % 100).alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_late_data_actually_drops(spark):
+    from rcspark.queries import load
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["stream_late_data"](spark, SF_DIR).collect()
+    emitted = sum(r.n for r in rows)
+    ev = load(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    naive_in_emitted = ev.filter(
+        F.window("ts", "1 hour").end.cast("timestamp_ntz")
+        <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    ).count()
+    # the late segment must have visibly lost rows to the watermark
+    assert emitted < naive_in_emitted
+    dropped = naive_in_emitted - emitted
+    assert dropped > 0
