@@ -893,3 +893,41 @@ def content_box(images: DataFrame, id_col: str = "item_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, CONTENT_BOX_SCHEMA)
+
+
+# -- integer half-rate resampling ----------------------------------------------------
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("rate_out", T.IntegerType(), False),
+        T.StructField("n_out", T.IntegerType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+    ]
+)
+
+
+def resample_half(clips: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """(id, bytes) → 2:1 decimation with a 2-tap box anti-alias filter
+    (out[i] = floor((s[2i] + s[2i+1]) / 2), exact integers) summarized as
+    hash-checkable reductions (count, Σ|x|, Σx²) — the sample-rate
+    normalization pass an audio-training pipeline runs before feature
+    extraction. Floor division matches Python's // on negatives, so the
+    per-sample twin reproduces every value exactly."""
+    src = clips.select(F.col(id_col).alias("audio_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate = decode_audio(bytes(data))
+                s64 = s.astype(np.int64)
+                out = (s64[0::2] + s64[1::2]) // 2
+                rows.append(
+                    (aid, rate // 2, len(out), int(np.abs(out).sum()),
+                     int((out * out).sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields])
+
+    return src.mapInPandas(run, RESAMPLE_SCHEMA)

@@ -7637,3 +7637,264 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# =============================================================================
+# Batch 12 — GeoIP range enrichment, time-series gap fill, code detection,
+# audio resampling.
+# =============================================================================
+
+# -- GeoIP CIDR-range enrichment -----------------------------------------------
+# The crawl-log enrichment join: each IP matches the greatest range start
+# ≤ ip within its /8 block (ranges are block-aligned, so no range spans a
+# partition). Runs the REAL rcspark.relational.asof_join — one exchange on
+# the block key, 256-way parallel, no O(ips·ranges) explosion and no
+# broadcast requirement (a full GeoIP table is ~10M ranges). The oracle
+# re-derives the range table and matches via correlated max-start.
+
+@register(
+    "crawl_geoip_enrich",
+    oracle="""
+    WITH ranges AS (
+      SELECT c_custkey % 256 AS block,
+             (c_custkey * 2654435761) % 16777216 AS off,
+             min(c_custkey) AS mck
+      FROM customer GROUP BY 1, 2),
+    r2 AS (
+      SELECT block, block * 16777216 + off AS start,
+             'C' || (mck % 25) AS country
+      FROM ranges),
+    ips AS (
+      SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS ip
+      FROM orders),
+    m AS (
+      SELECT i.o_orderkey, i.ip, i.ip // 16777216 AS block,
+             (SELECT max(r.start) FROM r2 r
+              WHERE r.block = i.ip // 16777216 AND r.start <= i.ip) AS start
+      FROM ips i)
+    SELECT m.o_orderkey, m.ip, CAST(m.block AS BIGINT) AS block, m.start,
+           r2.country
+    FROM m LEFT JOIN r2 ON r2.block = m.block AND r2.start = m.start
+    """,
+)
+def crawl_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP enrichment as a block-partitioned as-of join: derive a
+    deterministic non-overlapping range table (block-aligned starts), then
+    match every request IP to the covering range's country. NULL country
+    = ip below its block's first range (unallocated space)."""
+    from .relational import asof_join
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ranges = (
+        cust.groupBy(
+            (F.col("c_custkey") % 256).alias("block"),
+            ((F.col("c_custkey") * 2654435761) % 16777216).alias("off"),
+        )
+        .agg(F.min("c_custkey").alias("mck"))
+        .select(
+            "block",
+            (F.col("block") * 16777216 + F.col("off")).alias("start"),
+            F.concat(F.lit("C"), (F.col("mck") % 25).cast("string")).alias("country"),
+        )
+    )
+    ips = orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * 2654435761) % 4294967296).alias("ip"),
+    ).withColumn("block", F.expr("ip div 16777216"))
+    out = asof_join(
+        ips,
+        ranges,
+        key="block",
+        probe_ts="ip",
+        quote_ts="start",
+        value_cols=["start", "country"],
+        tie_col="start",
+    )
+    return out.select(
+        "o_orderkey", "ip", F.col("block").cast("long").alias("block"),
+        "start", "country",
+    )
+
+
+# -- time-series gap fill + LOCF --------------------------------------------------
+# Densify per-type hourly counts over the global hour spine: missing hours
+# get n=0 and a last-observation-carried-forward column (the standard
+# monitoring/feature-store shape). Scale notes: the spine is |hours| rows
+# built from one min/max agg (broadcast), the join is (type × hour)-keyed,
+# and LOCF is one window per type ordered by hour — |types| partitions of
+# |hours| rows, never row-count-sized state.
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h0,
+             CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h1
+      FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hour
+      FROM types t CROSS JOIN bounds b),
+    counts AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    filled AS (
+      SELECT s.event_type, s.hour, coalesce(c.n, 0) AS n,
+             CASE WHEN c.n IS NOT NULL THEN true ELSE false END AS observed
+      FROM spine s LEFT JOIN counts c USING (event_type, hour))
+    SELECT event_type,
+           strftime(make_timestamp(hour * 3600 * 1000000), '%Y-%m-%d %H:%M:%S')
+             AS hour_s,
+           CAST(n AS BIGINT) AS n, observed,
+           CAST(coalesce(last_value(CASE WHEN observed THEN n END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS n_locf
+    FROM filled
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly event counts per type over the global hour spine,
+    with zeros for missing hours and a last-observation-carried-forward
+    column — the densification every downstream window/forecast op
+    assumes. (Hours are epoch-aligned integers; the NTZ epoch is the same
+    wall-clock derivation in both engines.)"""
+    ev = load(spark, sf_dir, "events")
+    hours = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)).cast(
+        "long"
+    )
+    bounds = ev.agg(
+        F.min(hours).alias("h0"), F.max(hours).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    counts = ev.groupBy(
+        "event_type", hours.alias("hour")
+    ).agg(F.count("*").alias("cn"))
+    filled = spine.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("cn"), F.lit(0)).alias("n"),
+        F.col("cn").isNotNull().alias("observed"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("hour") * 3600).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour_s"),
+        "n",
+        "observed",
+        F.coalesce(
+            F.last(F.when(F.col("observed"), F.col("n")), ignorenulls=True).over(w),
+            F.lit(0),
+        ).alias("n_locf"),
+    )
+
+
+# -- code-vs-prose detection --------------------------------------------------------
+# Training-data curation's code filter: symbol density (chars from the
+# code-punctuation class per 1000 chars) over a corpus with PLANTED code
+# docs (doc_id % 10 == 0 gets a code snippet appended, repeats scaled to
+# the doc's length so density can't be diluted). Pure codegen string ops —
+# the symbol count is length minus length-after-class-strip, no explode.
+# The char class avoids [ ] to dodge Java-vs-RE2 escape divergence.
+
+_CODE_SNIPPET = " if (x==1) { return f(a); }"
+_CODE_THRESH_PKC = 5  # symbols per 1000 chars
+
+@register(
+    "doc_code_detect",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || repeat('{_CODE_SNIPPET}', 1 + CAST(n_chars // 300 AS INT))
+                  ELSE text END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, length(t) AS n_chars_aug,
+             length(t) - length(regexp_replace(t, '[{{}}();=<>]', '', 'g'))
+               AS n_symbols
+      FROM aug)
+    SELECT doc_id, CAST(n_chars_aug AS BIGINT) AS n_chars_aug,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST((1000 * n_symbols) // n_chars_aug AS BIGINT) AS symbols_per_kchar,
+           (1000 * n_symbols) // n_chars_aug >= {_CODE_THRESH_PKC} AS is_code
+    FROM m
+    """,
+)
+def doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-density code detection (the code-vs-prose routing gate a
+    training mixture applies before tokenizer/quality choices), over a
+    corpus with planted code-suffixed docs."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    f"repeat('{_CODE_SNIPPET}', CAST(1 + n_chars div 300 AS INT))"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    m = aug.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars_aug"),
+        (
+            F.length("t")
+            - F.length(F.regexp_replace("t", "[{}();=<>]", ""))
+        )
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    return m.select(
+        "doc_id",
+        "n_chars_aug",
+        "n_symbols",
+        F.expr("1000 * n_symbols div n_chars_aug").alias("symbols_per_kchar"),
+        (F.expr("1000 * n_symbols div n_chars_aug") >= _CODE_THRESH_PKC).alias(
+            "is_code"
+        ),
+    )
+
+
+# -- audio 2:1 resampling -----------------------------------------------------------
+# Sample-rate normalization in exact integers: 2-tap box decimation
+# summarized as (n, Σ|x|, Σx²) per clip — hash-checked against the
+# per-pair-Python-int independent twin (scripts/gen_media_expected.py).
+
+@register(
+    "audio_resample",
+    oracle=f"""
+    SELECT e.audio_id, e.rate_out, e.n_out, e.sum_abs, e.sum_sq
+    FROM '{_MEDIA_EXPECTED}/audio_resample.parquet' e
+    JOIN (SELECT 'aud' || p_partkey AS audio_id FROM part
+          WHERE p_partkey % 20 = 0) i USING (audio_id)
+    """,
+)
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 kHz → 4 kHz integer box-filter decimation with exact-integer
+    energy reductions — the rate-normalization stage before any audio
+    feature extraction or training batch assembly."""
+    from .datapipe.multimodal import resample_half, synthesize_audio
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.concat(F.lit("aud"), F.col("p_partkey").cast("string")).alias("audio_id")
+    )
+    return resample_half(synthesize_audio(ids))

@@ -421,6 +421,37 @@ def expected_img_contentbox() -> pd.DataFrame:
               "bar_permille": "int64"})
 
 
+def expected_audio_resample(gain_unused: int = 0) -> pd.DataFrame:
+    """Resample twin: clip regeneration per the synthesize_audio spec; the
+    2:1 box decimation and the Σ|x| / Σx² reductions re-implemented with a
+    per-pair Python-int loop (engine: vectorized strided int64 numpy).
+    Python // floors like numpy //, so negatives agree exactly."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 20):
+        aid = f"aud{k}"
+        h64 = xxh64(aid.encode())
+        rate, n = 8000, 4000
+        freq = 100.0 + (h64 % 1900)
+        t = np.arange(n) / rate
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        sum_abs, sum_sq, n_out = 0, 0, 0
+        for i in range(0, n, 2):
+            v = (int(s[i]) + int(s[i + 1])) // 2
+            sum_abs += abs(v)
+            sum_sq += v * v
+            n_out += 1
+        rows.append(
+            (aid, np.int32(rate // 2), np.int32(n_out),
+             np.int64(sum_abs), np.int64(sum_sq))
+        )
+    return pd.DataFrame(
+        rows, columns=["audio_id", "rate_out", "n_out", "sum_abs", "sum_sq"]
+    ).astype({"rate_out": "int32", "n_out": "int32",
+              "sum_abs": "int64", "sum_sq": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -437,6 +468,7 @@ def main() -> None:
         ("img_sharpness", expected_img_sharpness),
         ("audio_clipping", expected_audio_clipping),
         ("img_contentbox", expected_img_contentbox),
+        ("audio_resample", expected_audio_resample),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

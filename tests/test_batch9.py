@@ -197,3 +197,58 @@ def test_late_data_actually_drops(spark):
     assert emitted < naive_in_emitted
     dropped = naive_in_emitted - emitted
     assert dropped > 0
+
+
+# -- batch 12 -----------------------------------------------------------------
+
+
+def test_geoip_covering_range(spark):
+    rows = QUERIES["crawl_geoip_enrich"](spark, SF_DIR).collect()
+    assert rows
+    matched = [r for r in rows if r.country is not None]
+    assert matched, "some IPs must land inside a range"
+    for r in rows:
+        assert 0 <= r.ip < 2**32 and r.block == r.ip // 16777216
+        if r.start is not None:
+            # the matched range start is in the same block and <= ip
+            assert r.start // 16777216 == r.block and r.start <= r.ip
+        else:
+            assert r.country is None
+
+
+def test_gap_fill_dense_and_locf(spark):
+    rows = QUERIES["events_gap_fill"](spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_hours = {len(v) for v in by_type.values()}
+    assert len(n_hours) == 1, "every type spans the same global spine"
+    gaps = [r for r in rows if not r.observed]
+    assert gaps, "the spine must contain filled gaps"
+    assert all(r.n == 0 for r in gaps)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.hour_s)
+        carried = 0
+        for r in rs:
+            if r.observed:
+                carried = r.n
+            assert r.n_locf == carried
+
+
+def test_code_detect_separates_planted(spark):
+    rows = QUERIES["doc_code_detect"](spark, SF_DIR).collect()
+    planted = [r for r in rows if r.doc_id % 10 == 0]
+    prose = [r for r in rows if r.doc_id % 10 != 0]
+    assert planted and prose
+    assert all(r.is_code for r in planted)
+    assert not any(r.is_code for r in prose)
+
+
+def test_resample_energy_bounds(spark):
+    rows = QUERIES["audio_resample"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.rate_out == 4000 and r.n_out == 2000
+        # box filter can't create energy: mean |out| <= 32767 and
+        # Cauchy-Schwarz keeps sum_sq <= 32767 * sum_abs
+        assert 0 < r.sum_abs <= 32767 * r.n_out
+        assert r.sum_sq <= 32767 * r.sum_abs
