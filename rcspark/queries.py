@@ -7898,3 +7898,232 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("aud"), F.col("p_partkey").cast("string")).alias("audio_id")
     )
     return resample_half(synthesize_audio(ids))
+
+
+# =============================================================================
+# Batch 13 — asset filter, metadata integrity, scheduler fairness, dataset
+# card.
+# =============================================================================
+
+# -- static-asset frontier filter -----------------------------------------------
+
+_ASSET_EXTS = ("css", "js", "png", "jpg", "gif", "woff2")
+_EXT_CYCLE = ("html", "css", "js", "png", "jpg", "pdf", "xml", "")
+
+@register(
+    "crawl_asset_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT p_partkey,
+             ['html','css','js','png','jpg','pdf','xml',''][(p_partkey % 8) + 1]
+               AS ext
+      FROM part),
+    b AS (
+      SELECT p_partkey, ext,
+             'http://h' || (p_partkey % 40) || '.example/p/' || p_partkey
+               || CASE WHEN ext = '' THEN '' ELSE '.' || ext END AS url
+      FROM u)
+    SELECT p_partkey, url, ext,
+           ext IN ({", ".join(f"'{e}'" for e in _ASSET_EXTS)}) AS is_asset,
+           NOT ext IN ({", ".join(f"'{e}'" for e in _ASSET_EXTS)}) AS keep
+    FROM b
+    """,
+)
+def crawl_asset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-asset frontier hygiene: drop css/js/image/font URLs before
+    they enter the scheduler (a text crawl fetches documents, not
+    assets) — extension parsed from the path, decided by a broadcast
+    InSet, pure codegen."""
+    part = load(spark, sf_dir, "part")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXT_CYCLE]), (F.col("p_partkey") % 8 + 1).cast("int")
+    )
+    b = part.select(
+        "p_partkey",
+        ext.alias("ext"),
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("p_partkey") % 40).cast("string"),
+            F.lit(".example/p/"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("ext") == "", F.lit("")).otherwise(
+                F.concat(F.lit("."), F.col("ext"))
+            ),
+        ),
+    )
+    is_asset = F.col("ext").isin(*_ASSET_EXTS)
+    return b.select(
+        "p_partkey", "url", "ext", is_asset.alias("is_asset"),
+        (~is_asset).alias("keep"),
+    )
+
+
+# -- image metadata integrity gate -------------------------------------------------
+# The input_hint table ships CLAIMED metadata (w, h, fmt, phash) beside the
+# bytes; a curation pipeline must verify claims against the decoded pixels
+# before trusting them for resolution buckets / dedup. Corruptions are
+# PLANTED deterministically (k % 7 == 0 lies about width, k % 14 == 0 also
+# flips a phash bit); the decode side is the independent-twin expected
+# parquet, the claims side is re-derived arithmetic in both engines.
+
+@register(
+    "img_metadata_check",
+    oracle=f"""
+    WITH ids AS (SELECT p_partkey AS k, 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0),
+    c AS (
+      SELECT e.image_id, e.w AS w_true, e.phash AS phash_true,
+             e.w + CASE WHEN ids.k % 7 = 0 THEN 2 ELSE 0 END AS w_claim,
+             xor(e.phash, CASE WHEN ids.k % 14 = 0 THEN 1 ELSE 0 END) AS phash_claim
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id))
+    SELECT image_id, w_claim, w_true, phash_claim, phash_true,
+           w_claim = w_true AS dim_match, phash_claim = phash_true AS phash_match,
+           CASE WHEN w_claim <> w_true THEN 'dim_mismatch'
+                WHEN phash_claim <> phash_true THEN 'phash_mismatch'
+                ELSE 'ok' END AS status
+    FROM c
+    """,
+)
+def img_metadata_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata integrity gate: decode every image and verify the claimed
+    (w, phash) columns against the pixels — catches upstream metadata rot
+    before it poisons resolution buckets and near-dup blocking. Planted
+    lies must be flagged exactly."""
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("k"),
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id"),
+    )
+    imgs = synthesize_images(ids.select("image_id"))
+    claims = imgs.join(ids, "image_id").select(
+        "image_id",
+        (
+            F.col("w") + F.when(F.col("k") % 7 == 0, F.lit(2)).otherwise(F.lit(0))
+        ).alias("w_claim"),
+        F.when(F.col("k") % 14 == 0, F.expr("phash ^ 1"))
+        .otherwise(F.col("phash"))
+        .alias("phash_claim"),
+    )
+    feats = image_features(imgs.select("image_id", "bytes")).select(
+        "image_id", F.col("w").alias("w_true"), F.col("phash").alias("phash_true")
+    )
+    j = claims.join(feats, "image_id")
+    return j.select(
+        "image_id", "w_claim", "w_true", "phash_claim", "phash_true",
+        (F.col("w_claim") == F.col("w_true")).alias("dim_match"),
+        (F.col("phash_claim") == F.col("phash_true")).alias("phash_match"),
+        F.when(F.col("w_claim") != F.col("w_true"), F.lit("dim_mismatch"))
+        .when(F.col("phash_claim") != F.col("phash_true"), F.lit("phash_mismatch"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
+# -- scheduler fairness (exact-integer Gini) -----------------------------------------
+
+@register(
+    "crawl_host_fairness",
+    oracle="""
+    WITH x AS (
+      SELECT 'h' || (o_custkey % 50) AS host, count(*) AS cnt
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt ASC, host ASC) AS i FROM x),
+    s AS (
+      SELECT count(*) AS n, sum(cnt) AS tot, sum(i * cnt) AS wsum FROM r)
+    SELECT CAST(n AS BIGINT) AS n_hosts, CAST(tot AS BIGINT) AS total,
+           CAST((1000000 * (2 * wsum - (n + 1) * tot)) // (n * tot) AS BIGINT)
+             AS gini_ppm,
+           CAST((SELECT (1000000 * max(cnt)) FROM x) // tot AS BIGINT)
+             AS top_share_ppm
+    FROM s
+    """,
+)
+def crawl_host_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier fairness audit: exact-integer Gini coefficient (ppm) and
+    top-host share of the per-host scheduled-load distribution — the
+    skew metric that decides whether the politeness scheduler needs
+    re-balancing before a crawl wave launches."""
+    orders = load(spark, sf_dir, "orders")
+    x = orders.groupBy(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host")
+    ).agg(F.count("*").alias("cnt"))
+    r = x.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.col("cnt").asc(), F.col("host").asc()))
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("i") * F.col("cnt")).alias("wsum"),
+        F.max("cnt").alias("mx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_hosts"),
+        F.col("tot").cast("long").alias("total"),
+        F.expr("1000000 * (2 * wsum - (n + 1) * tot) div (n * tot)").alias("gini_ppm"),
+        F.expr("1000000 * mx div tot").alias("top_share_ppm"),
+    )
+
+
+# -- dataset card summary --------------------------------------------------------------
+
+@register(
+    "doc_dataset_card",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, n_chars,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS i
+      FROM dl),
+    s AS (SELECT count(*) AS n FROM dl)
+    SELECT (SELECT count(*) FROM dl) AS n_docs,
+           (SELECT CAST(sum(n_tokens) AS BIGINT) FROM dl) AS n_tokens,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM dl) AS n_chars,
+           (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+           (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+           (SELECT CAST(n_chars AS BIGINT) FROM r, s
+             WHERE i = (s.n + 1) // 2) AS p50_chars,
+           (SELECT CAST(n_chars AS BIGINT) FROM r, s
+             WHERE i = (9 * s.n + 9) // 10) AS p90_chars
+    """,
+)
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, token/char totals, lang/source
+    cardinalities, exact discrete length percentiles (rank arithmetic,
+    total-order tie-break) — the header block of every dataset release."""
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", "n_chars", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
+    )
+    r = dl.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())),
+    )
+    s = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    card = docs.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    base = s.crossJoin(F.broadcast(card))
+    p50 = r.join(
+        F.broadcast(s.select(F.expr("(n_docs + 1) div 2").alias("i"))), "i"
+    ).select(F.col("n_chars").cast("long").alias("p50_chars"))
+    p90 = r.join(
+        F.broadcast(s.select(F.expr("(9 * n_docs + 9) div 10").alias("i"))), "i"
+    ).select(F.col("n_chars").cast("long").alias("p90_chars"))
+    return (
+        base.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+            "p50_chars", "p90_chars",
+        )
+    )

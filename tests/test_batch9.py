@@ -252,3 +252,43 @@ def test_resample_energy_bounds(spark):
         # Cauchy-Schwarz keeps sum_sq <= 32767 * sum_abs
         assert 0 < r.sum_abs <= 32767 * r.n_out
         assert r.sum_sq <= 32767 * r.sum_abs
+
+
+# -- batch 13 -----------------------------------------------------------------
+
+
+def test_asset_filter_partition(spark):
+    rows = QUERIES["crawl_asset_filter"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (not r.is_asset)
+        if r.ext:
+            assert r.url.endswith("." + r.ext)
+    assert any(r.is_asset for r in rows) and any(r.keep for r in rows)
+
+
+def test_metadata_check_flags_planted_lies(spark):
+    rows = QUERIES["img_metadata_check"](spark, SF_DIR).collect()
+    for r in rows:
+        k = int(r.image_id[3:])
+        if k % 7 == 0:
+            assert r.status == "dim_mismatch" and not r.dim_match
+        elif k % 14 == 0:
+            assert r.status == "phash_mismatch" and not r.phash_match
+        else:
+            assert r.status == "ok" and r.dim_match and r.phash_match
+
+
+def test_fairness_bounds(spark):
+    (r,) = QUERIES["crawl_host_fairness"](spark, SF_DIR).collect()
+    assert 0 <= r.gini_ppm < 1_000_000
+    assert r.total // r.n_hosts <= r.top_share_ppm * r.total // 1_000_000 + r.n_hosts
+    # uniform-ish custkey distribution: Gini must be small but the stat
+    # must be exact-integer reproducible (pinned by the oracle hash)
+
+
+def test_dataset_card_consistency(spark):
+    (r,) = QUERIES["doc_dataset_card"](spark, SF_DIR).collect()
+    assert r.n_docs > 0 and r.n_tokens > 0
+    assert r.p50_chars <= r.p90_chars <= r.n_chars
+    assert r.n_langs >= 1 and r.n_sources >= 1
