@@ -931,3 +931,43 @@ def resample_half(clips: DataFrame, id_col: str = "audio_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields])
 
     return src.mapInPandas(run, RESAMPLE_SCHEMA)
+
+
+# -- dominant-color extraction --------------------------------------------------------
+
+DOMCOLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("dom_bin", T.IntegerType(), False),
+        T.StructField("dom_count", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("share_ppm", T.LongType(), False),
+    ]
+)
+
+
+def dominant_color(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, bytes) → dominant 64-bin color (2 bits per channel, bin =
+    (r>>6)<<4 | (g>>6)<<2 | (b>>6)), most-populated bin with lowest-bin
+    tie-break, share in exact ppm — the palette/near-dup blocking signal a
+    media-curation pipeline extracts per image. One vectorized bincount
+    per image."""
+    src = images.select(F.col(id_col).alias("image_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                q = (pix >> 6).astype(np.int64)
+                bins = (q[:, :, 0] << 4) | (q[:, :, 1] << 2) | q[:, :, 2]
+                counts = np.bincount(bins.ravel(), minlength=64)
+                dom = int(counts.argmax())  # argmax returns the FIRST max
+                n = int(bins.size)
+                rows.append(
+                    (iid, dom, int(counts[dom]), n,
+                     (1_000_000 * int(counts[dom])) // n)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DOMCOLOR_SCHEMA.fields])
+
+    return src.mapInPandas(run, DOMCOLOR_SCHEMA)

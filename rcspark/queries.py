@@ -8127,3 +8127,239 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_chars", "p90_chars",
         )
     )
+
+
+# =============================================================================
+# Batch 14 — winnowing fingerprints, URL harvesting, ANN recall readout,
+# dominant color.
+# =============================================================================
+
+# -- winnowing (MOSS) fingerprint selection ------------------------------------------
+# The plagiarism-detection / near-dup selection layer ON TOP of rolling
+# k-gram hashes: in every window of W consecutive shingle hashes, select
+# the minimum (leftmost on ties); the distinct selected (pos, hash) set is
+# the document's winnowed sketch — guaranteed to share a fingerprint with
+# any document overlapping by ≥ W+K−1 tokens. Selection = one min-struct
+# window per doc (partitioned by doc, ROWS frame) + distinct; only full
+# windows select (docs shorter than W+K−1 tokens yield no rows).
+
+_WINNOW_W = 4
+
+@register(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             {sql_digest60("array_to_string(list_slice(toks, i, i + " + str(tx.SHINGLE_K - 1) + "), ' ')")} AS h
+      FROM t0, unnest(CASE WHEN len(toks) < {tx.SHINGLE_K} THEN []::BIGINT[]
+                           ELSE range(1, len(toks) - {tx.SHINGLE_K} + 2) END) u(i)),
+    m AS (SELECT doc_id, count(*) AS np FROM sh GROUP BY 1),
+    wmin AS (
+      SELECT doc_id, pos AS wstart,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mh
+      FROM sh),
+    fullw AS (
+      SELECT w.* FROM wmin w JOIN m USING (doc_id)
+      WHERE w.wstart <= m.np - {_WINNOW_W} + 1),
+    sel AS (
+      SELECT f.doc_id, f.wstart, f.mh, min(s.pos) AS sel_pos
+      FROM fullw f JOIN sh s ON s.doc_id = f.doc_id AND s.h = f.mh
+       AND s.pos BETWEEN f.wstart AND f.wstart + {_WINNOW_W - 1}
+      GROUP BY 1, 2, 3)
+    SELECT DISTINCT doc_id, sel_pos, mh AS fp FROM sel
+    """,
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint sketch per document (MOSS selection over
+    shingle hashes): the bounded-size sketch that makes local-overlap
+    detection shuffle-light — only selected fingerprints ever join."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(tx.shingles(tx.tokens(F.col("text")))).alias("pos0", "s"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+        digest60(F.col("s")).alias("h"),
+    )
+    m = sh.groupBy("doc_id").agg(F.count("*").alias("np"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wmin = sh.withColumn("sel", F.min(F.struct("h", "pos")).over(w))
+    fullw = wmin.join(m, "doc_id").filter(
+        F.col("pos") <= F.col("np") - _WINNOW_W + 1
+    )
+    return fullw.select(
+        "doc_id",
+        F.col("sel.pos").alias("sel_pos"),
+        F.col("sel.h").alias("fp"),
+    ).distinct()
+
+
+# -- URL harvesting from document bodies ----------------------------------------------
+# Closes the loop documents → frontier: extract http URLs from text (the
+# corpus carries PLANTED outlinks on doc_id % 4 == 0), canonicalize with
+# the engine's real canon_col (tracking params stripped, case folded),
+# digest and shard — discovery rows ready for the crawl's A4 dedup. The
+# oracle constructs the expected canonical strings directly (same
+# cross-check as crawl_canonicalize).
+
+@register(
+    "doc_harvest_urls",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+               THEN ' see HTTP://Site' || (doc_id % 9) || '.Example.COM/d/'
+                    || doc_id || '?utm_source=feed&v=' || (doc_id % 3)
+                    || ' and http://site' || ((doc_id + 1) % 9)
+                    || '.example.com/d/' || (doc_id * 7)
+               ELSE '' END AS t
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '[Hh][Tt][Tt][Pp]://[A-Za-z0-9./?=&_-]+'))
+               AS raw
+      FROM aug),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN raw LIKE '%utm_source%'
+                  THEN 'http://site' || (doc_id % 9) || '.example.com/d/'
+                       || doc_id || '?v=' || (doc_id % 3)
+                  ELSE 'http://site' || ((doc_id + 1) % 9) || '.example.com/d/'
+                       || (doc_id * 7) END AS url_canon
+      FROM ex)
+    SELECT doc_id, url_canon, {sql_digest60("url_canon")} AS digest,
+           {sql_digest60("url_canon")} % 32 AS shard
+    FROM canon
+    """,
+)
+def doc_harvest_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink harvesting from document text into crawl-discovery rows:
+    regex extraction, REAL canon_col canonicalization (the oracle states
+    the expected canonical forms directly), digest + shard assignment."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see HTTP://Site"),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".Example.COM/d/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=feed&v="),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(" and http://site"),
+                    ((F.col("doc_id") + 1) % 9).cast("string"),
+                    F.lit(".example.com/d/"),
+                    (F.col("doc_id") * 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    ex = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("t"), F.lit("[Hh][Tt][Tt][Pp]://[A-Za-z0-9./?=&_-]+"), 0
+            )
+        ).alias("raw"),
+    )
+    canon = ex.select("doc_id", canon_col(F.col("raw")).alias("url_canon"))
+    dg = digest60(F.col("url_canon"))
+    return canon.select(
+        "doc_id", "url_canon", dg.alias("digest"), (dg % 32).alias("shard")
+    )
+
+
+# -- ANN recall readout ---------------------------------------------------------------
+# Recall@k of the LSH ANN against the brute-force ranking, as a QUERY (the
+# pytest recall floors made first-class): composes the two registered ops
+# — the Spark side calls them, the oracle embeds their oracle texts as
+# subqueries — so this stays correct whenever either component evolves.
+
+_RECALL_KS = (1, 3, 5)
+
+def _ann_recall_sql() -> str:
+    ann = ORACLE["emb_ann_lsh"]
+    brute = ORACLE["emb_cosine_topk"]
+    ks = ", ".join(f"({k})" for k in _RECALL_KS)
+    return f"""
+    WITH ann AS ({ann}),
+    brute AS ({brute}),
+    ks(k) AS (VALUES {ks}),
+    a AS (SELECT DISTINCT probe_id, vec_id, min(rnk) AS rnk
+          FROM ann GROUP BY probe_id, vec_id),
+    hits AS (
+      SELECT b.probe_id, ks.k,
+             count(*) FILTER (a.vec_id IS NOT NULL) AS n_hits
+      FROM brute b CROSS JOIN ks
+      LEFT JOIN a ON a.probe_id = b.probe_id AND a.vec_id = b.vec_id
+                 AND a.rnk <= ks.k
+      WHERE b.rnk <= ks.k
+      GROUP BY 1, 2)
+    SELECT probe_id, CAST(k AS BIGINT) AS k, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((1000000 * n_hits) // k AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+@register("emb_ann_recall", oracle=_ann_recall_sql())
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@k (k ∈ 1,3,5) of the banded-LSH ANN vs the exact
+    cosine ranking, in exact integer ppm — the quality readout that
+    decides the planes/bands budget before a corpus-scale ANN run."""
+    ann = (
+        QUERIES["emb_ann_lsh"](spark, sf_dir)
+        .groupBy(
+            F.col("probe_id").alias("ap"), F.col("vec_id").alias("av")
+        )
+        .agg(F.min("rnk").alias("ar"))
+    )
+    brute = QUERIES["emb_cosine_topk"](spark, sf_dir)
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
+    hits = (
+        brute.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .join(
+            ann,
+            (F.col("probe_id") == F.col("ap"))
+            & (F.col("vec_id") == F.col("av"))
+            & (F.col("ar") <= F.col("k")),
+            "left",
+        )
+        .groupBy("probe_id", "k")
+        .agg(F.count(F.col("av")).alias("n_hits"))
+    )
+    return hits.select(
+        "probe_id", "k", "n_hits",
+        F.expr("1000000 * n_hits div k").alias("recall_ppm"),
+    )
+
+
+# -- dominant color -----------------------------------------------------------------
+# 64-bin (2 bits/channel) dominant color per image with lowest-bin
+# tie-break and exact-ppm share — the palette signal for color-based
+# blocking/near-dup. Oracle joins the independent per-pixel-dict twin.
+
+@register(
+    "img_dominant_color",
+    oracle=f"""
+    SELECT e.image_id, e.dom_bin, e.dom_count, e.n_pixels, e.share_ppm
+    FROM '{_MEDIA_EXPECTED}/img_domcolor.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_dominant_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant quantized color per image (argmax of the 64-bin histogram,
+    first-max tie-break = lowest bin) with its exact-ppm share."""
+    from .datapipe.multimodal import dominant_color
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return dominant_color(imgs)

@@ -452,6 +452,33 @@ def expected_audio_resample(gain_unused: int = 0) -> pd.DataFrame:
               "sum_abs": "int64", "sum_sq": "int64"})
 
 
+def expected_img_domcolor() -> pd.DataFrame:
+    """Dominant-color twin: same shared make_image generator; the 64-bin
+    quantized histogram is re-implemented as a per-pixel Python dict count
+    with an explicit (-count, bin) tie-break (engine: vectorized
+    np.bincount + argmax-first-max)."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        counts: dict[int, int] = {}
+        for row in pix.reshape(-1, 3):
+            b = (int(row[0]) >> 6) * 16 + (int(row[1]) >> 6) * 4 + (int(row[2]) >> 6)
+            counts[b] = counts.get(b, 0) + 1
+        dom = min(sorted(counts), key=lambda b: (-counts[b], b))
+        n = pix.shape[0] * pix.shape[1]
+        rows.append(
+            (iid, np.int32(dom), np.int64(counts[dom]), np.int64(n),
+             np.int64((1_000_000 * counts[dom]) // n))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "dom_bin", "dom_count", "n_pixels", "share_ppm"],
+    ).astype({"dom_bin": "int32", "dom_count": "int64", "n_pixels": "int64",
+              "share_ppm": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -469,6 +496,7 @@ def main() -> None:
         ("audio_clipping", expected_audio_clipping),
         ("img_contentbox", expected_img_contentbox),
         ("audio_resample", expected_audio_resample),
+        ("img_domcolor", expected_img_domcolor),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

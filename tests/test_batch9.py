@@ -292,3 +292,72 @@ def test_dataset_card_consistency(spark):
     assert r.n_docs > 0 and r.n_tokens > 0
     assert r.p50_chars <= r.p90_chars <= r.n_chars
     assert r.n_langs >= 1 and r.n_sources >= 1
+
+
+# -- batch 14 -----------------------------------------------------------------
+
+
+def test_winnow_guarantee(spark):
+    from rcspark.datapipe.text import SHINGLE_K
+    from rcspark.queries import _WINNOW_W, load
+    from pyspark.sql import functions as F
+    from rcspark.datapipe import text as tx
+
+    rows = QUERIES["doc_winnow_fingerprint"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.sel_pos)
+    # winnowing guarantee: in every full window of W consecutive shingle
+    # positions there is at least one selected position
+    docs = load(spark, SF_DIR, "documents")
+    np_by_doc = {
+        r.doc_id: r.np
+        for r in docs.select(
+            "doc_id", F.size(tx.shingles(tx.tokens(F.col("text")))).alias("np")
+        ).collect()
+    }
+    for doc_id, sels in list(by_doc.items())[:50]:
+        sset = set(sels)
+        npos = np_by_doc[doc_id]
+        for w0 in range(1, npos - _WINNOW_W + 2):
+            assert any(p in sset for p in range(w0, w0 + _WINNOW_W)), (
+                doc_id, w0)
+
+
+def test_harvest_only_planted_docs(spark):
+    rows = QUERIES["doc_harvest_urls"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 4 == 0
+        assert r.url_canon.startswith("http://site")
+        assert "utm" not in r.url_canon and "HTTP" not in r.url_canon
+        assert 0 <= r.shard < 32
+    # two planted links per planted doc
+    from collections import Counter
+    c = Counter(r.doc_id for r in rows)
+    assert set(c.values()) == {2}
+
+
+def test_ann_recall_monotone(spark):
+    rows = QUERIES["emb_ann_recall"](spark, SF_DIR).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, {})[r.k] = r
+    for probe, ks in by_probe.items():
+        assert set(ks) == {1, 3, 5}
+        # hits can't exceed k and recall is a valid ppm
+        for k, r in ks.items():
+            assert 0 <= r.n_hits <= k
+            assert r.recall_ppm == 1_000_000 * r.n_hits // k
+        # hit count is monotone in k (top-k sets are nested)
+        assert ks[1].n_hits <= ks[3].n_hits <= ks[5].n_hits
+
+
+def test_dominant_color_share_bounds(spark):
+    rows = QUERIES["img_dominant_color"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r.dom_bin < 64
+        # dominant bin of 64 bins: share must be >= 1/64 of pixels
+        assert r.dom_count * 64 >= r.n_pixels
+        assert r.share_ppm == 1_000_000 * r.dom_count // r.n_pixels
