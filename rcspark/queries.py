@@ -8363,3 +8363,171 @@ def img_dominant_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = synthesize_images(_image_ids(spark, sf_dir))
     return dominant_color(imgs)
+
+
+# =============================================================================
+# Batch 15 — term blocklist gate, OHLC resample, multi-vector max-sim.
+# =============================================================================
+
+# -- document term-blocklist gate -----------------------------------------------------
+
+_BANNED_TERMS = ("zzzcasino", "zzzpill", "zzzwarez")
+
+@register(
+    "doc_term_blocklist",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 11 = 0
+                          THEN ' ' || ['zzzcasino','zzzpill','zzzwarez'][(CAST(doc_id // 11 AS INT) % 3) + 1]
+                          ELSE '' END AS t
+      FROM documents),
+    tok AS (SELECT doc_id, {tx.sql_tokens('t')} AS toks FROM aug)
+    SELECT doc_id,
+           list_sort(list_filter(toks,
+             x -> x IN ({", ".join(f"'{w}'" for w in _BANNED_TERMS)}))) AS matched,
+           len(list_filter(toks,
+             x -> x IN ({", ".join(f"'{w}'" for w in _BANNED_TERMS)}))) > 0 AS blocked
+    FROM tok
+    """,
+)
+def doc_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/spam term-blocklist gate over documents (banned terms
+    PLANTED on doc_id % 11 == 0): matched terms surfaced sorted, blocked
+    flag for the curation drop. InSet filter inside a higher-order lambda
+    — pure codegen, no explode, no join."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" "),
+                    F.element_at(
+                        F.array(*[F.lit(w) for w in _BANNED_TERMS]),
+                        (F.expr("doc_id div 11") % 3 + 1).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    tok = aug.select("doc_id", tx.tokens(F.col("t")).alias("toks"))
+    matched = F.array_sort(
+        F.filter(F.col("toks"), lambda x: x.isin(*_BANNED_TERMS))
+    )
+    return tok.select(
+        "doc_id", matched.alias("matched"), (F.size(matched) > 0).alias("blocked")
+    )
+
+
+# -- OHLC hourly resample ---------------------------------------------------------------
+# Time-series bar aggregation in integer cents: per (event_type, hour)
+# open/high/low/close where open/close are the values at the min/max
+# (ts, event_id) — a total order, so first/last are well-defined under any
+# parallelism. One groupBy with min/max-struct aggregates (map-side
+# combinable); no windows, no sort.
+
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS ord
+      FROM events)
+    SELECT event_type,
+           strftime(make_timestamp(hour * 3600 * 1000000), '%Y-%m-%d %H:%M:%S')
+             AS hour_s,
+           count(*) AS n,
+           CAST(arg_min(cents, ord) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, ord) AS BIGINT) AS close_c
+    FROM e GROUP BY 1, 2
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of the event value stream in exact integer cents
+    (open/close picked by the (ts, event_id) total order) — the resample
+    primitive behind rate/latency dashboards."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        .cast("long")
+        .alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    g = e.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("ts", "event_id", "cents")).alias("_o"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max(F.struct("ts", "event_id", "cents")).alias("_c"),
+    )
+    return g.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("hour") * 3600).cast("timestamp_ntz"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour_s"),
+        "n",
+        F.col("_o.cents").alias("open_c"),
+        "high_c",
+        "low_c",
+        F.col("_c.cents").alias("close_c"),
+    )
+
+
+# -- multi-vector (late-interaction) max-sim scoring --------------------------------------
+# ColBERT-style retrieval over vector GROUPS: each `label` is a multi-
+# vector document; the probe group's score against a target group is
+# Σ_q max_d cos(q, d), accumulated in exact integer micro-units (each
+# cosine is rounded to 6 dp first, so the sum is an int64 — no float fold
+# order to pin). Scale shape: probes broadcast, one scan of the corpus,
+# two map-side-combinable groupBys (max per (probe, label), sum per
+# label).
+
+@register(
+    "emb_maxsim_groups",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE label = 0 AND vec_id % 7 = 0),
+    scored AS (
+      SELECT p.probe_id, e.label,
+             CAST(round({sim.sql_cosine('p.pv', 'e.embedding', _EMB_DIM)} * 1000000)
+                  AS BIGINT) AS cm
+      FROM probes p, embeddings e),
+    mx AS (SELECT probe_id, label, max(cm) AS m FROM scored GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n_probes,
+           CAST(sum(m) AS BIGINT) AS maxsim_micro
+    FROM mx GROUP BY label
+    """,
+)
+def emb_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction max-sim scores of a probe vector group against
+    every label group — the multi-vector retrieval primitive (per-token
+    embeddings, max over document tokens, sum over query tokens)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter((F.col("label") == 0) & (F.col("vec_id") % 7 == 0)).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        )
+    )
+    scored = emb.crossJoin(probes).select(
+        "probe_id",
+        "label",
+        F.round(sim.cosine(F.col("pv"), F.col("embedding")) * 1000000)
+        .cast("long")
+        .alias("cm"),
+    )
+    mx = scored.groupBy("probe_id", "label").agg(F.max("cm").alias("m"))
+    return mx.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_probes"), F.sum("m").cast("long").alias("maxsim_micro")
+    )

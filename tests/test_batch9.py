@@ -361,3 +361,38 @@ def test_dominant_color_share_bounds(spark):
         # dominant bin of 64 bins: share must be >= 1/64 of pixels
         assert r.dom_count * 64 >= r.n_pixels
         assert r.share_ppm == 1_000_000 * r.dom_count // r.n_pixels
+
+
+# -- batch 15 -----------------------------------------------------------------
+
+
+def test_blocklist_flags_planted_docs(spark):
+    rows = QUERIES["doc_term_blocklist"](spark, SF_DIR).collect()
+    for r in rows:
+        if r.doc_id % 11 == 0:
+            assert r.blocked and len(r.matched) >= 1
+        else:
+            assert not r.blocked and r.matched == []
+
+
+def test_ohlc_bar_invariants(spark):
+    rows = QUERIES["events_ohlc_hourly"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low_c <= r.open_c <= r.high_c
+        assert r.low_c <= r.close_c <= r.high_c
+        assert r.n >= 1
+        if r.n == 1:
+            assert r.open_c == r.close_c == r.high_c == r.low_c
+
+
+def test_maxsim_self_group_wins(spark):
+    rows = {r.label: r for r in QUERIES["emb_maxsim_groups"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(10))
+    n_probes = {r.n_probes for r in rows.values()}
+    assert len(n_probes) == 1
+    np_ = n_probes.pop()
+    # probes come from label 0: the self group contains every probe, so
+    # each max is exactly 1.0 (1e6 micro) and the self score is maximal
+    assert rows[0].maxsim_micro == np_ * 1_000_000
+    assert all(rows[0].maxsim_micro >= r.maxsim_micro for r in rows.values())
