@@ -971,3 +971,52 @@ def dominant_color(images: DataFrame, id_col: str = "image_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DOMCOLOR_SCHEMA.fields])
 
     return src.mapInPandas(run, DOMCOLOR_SCHEMA)
+
+
+# -- exact-integer luma histogram equalization ------------------------------------------
+
+EQUALIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("lo_in", T.IntegerType(), False),
+        T.StructField("hi_in", T.IntegerType(), False),
+        T.StructField("hi_out", T.IntegerType(), False),
+        T.StructField("eq_sum", T.LongType(), False),
+    ]
+)
+
+
+def equalize_luma(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, bytes) → exact-integer histogram equalization of the luma
+    channel (g = r+g+b ∈ 0..765): h(v) = ((cdf(v) − cdf_min) · 765) //
+    (N − cdf_min), the classic contrast-stretch in pure integer floor
+    arithmetic, summarized as (N, input min/max, output max, Σ equalized)
+    so the independent twin can hash-match. One bincount + cumsum + take
+    per image."""
+    src = images.select(F.col(id_col).alias("image_id"), "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                g = pix.astype(np.int64).sum(axis=2).ravel()
+                hist = np.bincount(g, minlength=766)
+                cdf = hist.cumsum()
+                nz = np.flatnonzero(hist)
+                cdf_min = int(cdf[nz[0]])
+                n = int(g.size)
+                denom = n - cdf_min
+                if denom == 0:
+                    eq = np.zeros_like(g)
+                else:
+                    lut = ((cdf - cdf_min) * 765) // denom
+                    eq = lut[g]
+                rows.append(
+                    (iid, n, int(nz[0]), int(nz[-1]), int(eq.max()),
+                     int(eq.sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in EQUALIZE_SCHEMA.fields])
+
+    return src.mapInPandas(run, EQUALIZE_SCHEMA)

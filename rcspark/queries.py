@@ -8531,3 +8531,152 @@ def emb_maxsim_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.count("*").alias("n_probes"), F.sum("m").cast("long").alias("maxsim_micro")
     )
+
+
+# =============================================================================
+# Batch 16 — snapshot diff, histogram equalization, interpolated percentile.
+# =============================================================================
+
+# -- warehouse snapshot diff (CDC changelog derivation) --------------------------------
+
+@register(
+    "warehouse_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT coalesce(a.k, b.k) AS k, a.cents AS old_cents, b.cents AS new_cents,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+    """,
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC derivation: one keyed full-outer join
+    emits added/removed/changed rows (unchanged rows never leave the
+    join) — the changelog a downstream incremental consumer applies.
+    Complements MERGE/SCD2/IVM: this op DERIVES the delta they apply."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("ka"), cents.alias("old_cents")
+    )
+    b = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        (cents + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)).alias(
+            "new_cents"
+        ),
+    )
+    j = a.join(b, a["ka"] == b["kb"], "full_outer")
+    return (
+        j.filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("k"),
+            "old_cents",
+            "new_cents",
+            F.when(F.col("ka").isNull(), F.lit("added"))
+            .when(F.col("kb").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+        )
+    )
+
+
+# -- interpolated (continuous) percentile in exact integers ------------------------------
+# percentile_cont restated in integer cent-hundredths: pos = (n−1)·p/100,
+# value = cents[⌊pos⌋]·(100−frac) + cents[⌊pos⌋+1]·frac — both engines do
+# identical integer arithmetic on ranked rows (total-order tie-break), so
+# the interpolation is hash-exact without touching float division.
+
+_PCTS = (50, 90, 99)
+
+@register(
+    "agg_percentile_cont",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY round(o_totalprice * 100), o_orderkey)
+               AS i
+      FROM orders),
+    n AS (SELECT count(*) AS n FROM c),
+    ps(p) AS (VALUES {", ".join(f"({p})" for p in _PCTS)}),
+    pos AS (
+      SELECT p, ((n.n - 1) * p) // 100 + 1 AS lo_i, ((n.n - 1) * p) % 100 AS frac
+      FROM ps, n)
+    SELECT pos.p AS p, (SELECT n FROM n) AS n,
+           CAST(lo.cents * (100 - pos.frac)
+                + coalesce(hi.cents, lo.cents) * pos.frac AS BIGINT) AS value_c100
+    FROM pos
+    JOIN c lo ON lo.i = pos.lo_i
+    LEFT JOIN c hi ON hi.i = pos.lo_i + 1
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles (p50/p90/p99) of order value in exact
+    integer cent-hundredths — percentile_cont without float division, so
+    the result is bit-identical across engines and reshards."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = orders.select(cents.alias("cents"), "o_orderkey").withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("cents"), F.col("o_orderkey"))),
+    )
+    n = c.agg(F.count("*").alias("n"))
+    ps = spark.createDataFrame([(p,) for p in _PCTS], "p long")
+    pos = ps.crossJoin(F.broadcast(n)).select(
+        "p",
+        "n",
+        (F.expr("(n - 1) * p div 100") + 1).alias("lo_i"),
+        F.expr("(n - 1) * p % 100").alias("frac"),
+    )
+    lo = c.select(F.col("i").alias("lo_i"), F.col("cents").alias("lo_c"))
+    hi = c.select((F.col("i") - 1).alias("lo_i"), F.col("cents").alias("hi_c"))
+    return (
+        pos.join(lo, "lo_i")
+        .join(hi, "lo_i", "left")
+        .select(
+            "p",
+            "n",
+            (
+                F.col("lo_c") * (100 - F.col("frac"))
+                + F.coalesce(F.col("hi_c"), F.col("lo_c")) * F.col("frac")
+            )
+            .cast("long")
+            .alias("value_c100"),
+        )
+    )
+
+
+# -- luma histogram equalization ---------------------------------------------------
+# A REAL per-image transform (not just a feature): exact-integer contrast
+# stretch, hash-checked via (N, in-range, out-max, Σ equalized) against the
+# dict-count/running-total twin.
+
+@register(
+    "img_histogram_equalize",
+    oracle=f"""
+    SELECT e.image_id, e.n_pixels, e.lo_in, e.hi_in, e.hi_out, e.eq_sum
+    FROM '{_MEDIA_EXPECTED}/img_equalize.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer luma histogram equalization per image — the
+    preprocessing normalization a vision pipeline applies before feature
+    extraction, in floor arithmetic both engines reproduce bit-for-bit."""
+    from .datapipe.multimodal import equalize_luma
+
+    imgs = synthesize_images(_image_ids(spark, sf_dir))
+    return equalize_luma(imgs)

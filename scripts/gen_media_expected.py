@@ -479,6 +479,40 @@ def expected_img_domcolor() -> pd.DataFrame:
               "share_ppm": "int64"})
 
 
+def expected_img_equalize() -> pd.DataFrame:
+    """Equalization twin: same shared make_image generator; the histogram,
+    CDF, and LUT application are re-implemented with Python-int dict
+    counting and an explicit running-total loop (engine: bincount +
+    cumsum + vectorized take)."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        g = [int(r) + int(gg) + int(b) for r, gg, b in pix.reshape(-1, 3)]
+        hist: dict[int, int] = {}
+        for v in g:
+            hist[v] = hist.get(v, 0) + 1
+        levels = sorted(hist)
+        n = len(g)
+        cdf_min = hist[levels[0]]
+        denom = n - cdf_min
+        lut, run = {}, 0
+        for v in levels:
+            run += hist[v]
+            lut[v] = ((run - cdf_min) * 765) // denom if denom else 0
+        eq = [lut[v] for v in g]
+        rows.append(
+            (iid, np.int64(n), np.int32(levels[0]), np.int32(levels[-1]),
+             np.int32(max(eq)), np.int64(sum(eq)))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "n_pixels", "lo_in", "hi_in", "hi_out", "eq_sum"],
+    ).astype({"n_pixels": "int64", "lo_in": "int32", "hi_in": "int32",
+              "hi_out": "int32", "eq_sum": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -497,6 +531,7 @@ def main() -> None:
         ("img_contentbox", expected_img_contentbox),
         ("audio_resample", expected_audio_resample),
         ("img_domcolor", expected_img_domcolor),
+        ("img_equalize", expected_img_equalize),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -396,3 +396,35 @@ def test_maxsim_self_group_wins(spark):
     # each max is exactly 1.0 (1e6 micro) and the self score is maximal
     assert rows[0].maxsim_micro == np_ * 1_000_000
     assert all(rows[0].maxsim_micro >= r.maxsim_micro for r in rows.values())
+
+
+# -- batch 16 -----------------------------------------------------------------
+
+
+def test_snapshot_diff_classes(spark):
+    rows = QUERIES["warehouse_snapshot_diff"](spark, SF_DIR).collect()
+    assert {r.change_type for r in rows} == {"added", "removed", "changed"}
+    for r in rows:
+        if r.change_type == "added":
+            assert r.old_cents is None and r.k % 5 == 0 and r.k % 7 != 0
+        elif r.change_type == "removed":
+            assert r.new_cents is None and r.k % 7 == 0 and r.k % 5 != 0
+        else:
+            assert r.new_cents - r.old_cents == 100 and r.k % 3 == 0
+
+
+def test_percentile_cont_ordering(spark):
+    rows = {r.p: r for r in QUERIES["agg_percentile_cont"](spark, SF_DIR).collect()}
+    assert set(rows) == {50, 90, 99}
+    assert rows[50].value_c100 <= rows[90].value_c100 <= rows[99].value_c100
+    for r in rows.values():
+        assert r.value_c100 >= 0 and r.n > 0
+
+
+def test_equalize_stretches_range(spark):
+    rows = QUERIES["img_histogram_equalize"](spark, SF_DIR).collect()
+    for r in rows:
+        # equalization maps the occupied range onto [0, 765]
+        assert r.hi_out == 765
+        assert 0 <= r.lo_in <= r.hi_in <= 765
+        assert 0 < r.eq_sum <= 765 * r.n_pixels
