@@ -8680,3 +8680,161 @@ def img_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = synthesize_images(_image_ids(spark, sf_dir))
     return equalize_luma(imgs)
+
+
+# =============================================================================
+# Batch 17 — IQR outliers, training shard assignment, referential check.
+# =============================================================================
+
+# -- IQR outlier detection ---------------------------------------------------------
+
+@register(
+    "events_outlier_iqr",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    q AS (
+      SELECT event_type,
+             max(CASE WHEN i = (n + 3) // 4 THEN cents END) AS q1,
+             max(CASE WHEN i = (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY 1)
+    SELECT c.event_id, c.event_type, c.cents, q.q1, q.q3,
+           c.cents < q.q1 - 3 * (q.q3 - q.q1)
+             OR c.cents > q.q3 + 3 * (q.q3 - q.q1) AS is_outlier
+    FROM c JOIN q USING (event_type)
+    WHERE c.cents < q.q1 - 3 * (q.q3 - q.q1)
+       OR c.cents > q.q3 + 3 * (q.q3 - q.q1)
+    """,
+)
+def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event type in integer cents (discrete
+    quartiles by rank arithmetic, k=3 fences) — the robust-statistics
+    sibling of events_anomaly_mad. Emits only the flagged rows."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = c.withColumn("i", F.row_number().over(wrank)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("i") == F.expr("(n + 3) div 4"), F.col("cents"))).alias("q1"),
+        F.max(
+            F.when(F.col("i") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        ).alias("q3"),
+    )
+    j = c.join(F.broadcast(q), "event_type")
+    fence = 3 * (F.col("q3") - F.col("q1"))
+    flag = (F.col("cents") < F.col("q1") - fence) | (
+        F.col("cents") > F.col("q3") + fence
+    )
+    return j.filter(flag).select(
+        "event_id", "event_type", "cents", "q1", "q3", flag.alias("is_outlier")
+    )
+
+
+# -- deterministic training shard assignment ------------------------------------------
+# Epoch-reshuffled shard assignment: shard = digest60(doc_id ':' epoch) %
+# NSHARDS, position within shard = rank by the same salted digest — a new
+# epoch salt permutes both, so consecutive epochs see different shard
+# compositions AND orders, while any two runs of the same epoch agree
+# exactly (the reshard-proof training dataloader contract).
+
+_NSHARDS = 8
+_EPOCHS = (0, 1)
+
+@register(
+    "doc_shard_assign",
+    oracle=f"""
+    WITH e(epoch) AS (VALUES {", ".join(f"({e})" for e in _EPOCHS)}),
+    s AS (
+      SELECT d.doc_id, e.epoch,
+             {sql_digest60("CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")} AS h
+      FROM documents d CROSS JOIN e)
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(h % {_NSHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, h % {_NSHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training dataloader shard/order assignment for 2 epochs: salted
+    digests give every epoch an independent deterministic permutation —
+    shard-local ranks, no global sort, reshard-proof."""
+    docs = load(spark, sf_dir, "documents")
+    e = spark.createDataFrame([(x,) for x in _EPOCHS], "epoch long")
+    s = docs.crossJoin(F.broadcast(e)).select(
+        "doc_id",
+        "epoch",
+        digest60(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch", F.col("h") % _NSHARDS).orderBy("h", "doc_id")
+    return s.select(
+        "doc_id",
+        "epoch",
+        (F.col("h") % _NSHARDS).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# -- referential-integrity check --------------------------------------------------------
+
+@register(
+    "table_fk_check",
+    oracle="""
+    WITH child AS (
+      SELECT o_orderkey,
+             o_custkey + CASE WHEN o_orderkey % 13 = 0
+                              THEN 1000000000 ELSE 0 END AS fk
+      FROM orders),
+    j AS (
+      SELECT child.o_orderkey, child.fk, c.c_custkey
+      FROM child LEFT JOIN customer c ON c.c_custkey = child.fk)
+    SELECT count(*) AS n_child,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           CAST((1000000 * sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS orphan_ppm
+    FROM j
+    """,
+)
+def table_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (orders.custkey → customer) with
+    PLANTED orphans: one broadcast-able left anti-ish join + counts — the
+    cross-table half of table_quality_audit."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    child = orders.select(
+        "o_orderkey",
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 13 == 0, 1000000000).otherwise(0)
+        ).alias("fk"),
+    )
+    j = child.join(
+        cust.select(F.col("c_custkey").alias("fk"), F.lit(True).alias("_hit")),
+        "fk",
+        "left",
+    )
+    return j.agg(
+        F.count("*").alias("n_child"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("n_orphans"),
+    ).select(
+        "n_child",
+        "n_orphans",
+        F.expr("1000000 * n_orphans div n_child").alias("orphan_ppm"),
+    )

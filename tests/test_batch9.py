@@ -428,3 +428,47 @@ def test_equalize_stretches_range(spark):
         assert r.hi_out == 765
         assert 0 <= r.lo_in <= r.hi_in <= 765
         assert 0 < r.eq_sum <= 765 * r.n_pixels
+
+
+# -- batch 17 -----------------------------------------------------------------
+
+
+def test_iqr_outliers_beyond_fences(spark):
+    rows = QUERIES["events_outlier_iqr"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.is_outlier
+        fence = 3 * (r.q3 - r.q1)
+        assert r.cents < r.q1 - fence or r.cents > r.q3 + fence
+
+
+def test_shard_assign_epochs_permute(spark):
+    rows = QUERIES["doc_shard_assign"](spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos)
+    assert set(by_epoch) == {0, 1}
+    assert set(by_epoch[0]) == set(by_epoch[1])  # same docs each epoch
+    # epoch salt must actually permute: assignments differ for most docs
+    moved = sum(
+        1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d]
+    )
+    assert moved > len(by_epoch[0]) // 2
+    # positions within (epoch, shard) are 1..size with no gaps
+    from collections import defaultdict
+    per_shard = defaultdict(list)
+    for d, (s, p) in by_epoch[0].items():
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_fk_check_counts_planted_orphans(spark):
+    (r,) = QUERIES["table_fk_check"](spark, SF_DIR).collect()
+    assert r.n_orphans > 0
+    assert r.orphan_ppm == 1_000_000 * r.n_orphans // r.n_child
+    # orphans are exactly the planted % 13 rows
+    from rcspark.queries import load
+    from pyspark.sql import functions as F
+    orders = load(spark, SF_DIR, "orders")
+    planted = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert r.n_orphans == planted
