@@ -8838,3 +8838,186 @@ def table_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphans",
         F.expr("1000000 * n_orphans div n_child").alias("orphan_ppm"),
     )
+
+
+# =============================================================================
+# Batch 18 — yield-driven reprioritization, binary-sign ANN, DAU/WAU.
+# =============================================================================
+
+# -- adaptive frontier reprioritization by observed yield --------------------------------
+# Focused-crawl feedback: hosts whose fetches YIELD items get next-wave
+# priority boosts; dead hosts decay. yield_permille is exact-integer
+# (items per fetch), boost = permille // 100 capped at 5, all one
+# host-keyed agg + projection.
+
+@register(
+    "crawl_yield_reprioritize",
+    oracle="""
+    WITH f AS (
+      SELECT 'h' || (o_custkey % 50) AS host,
+             count(*) AS n_fetched,
+             sum(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS n_items
+      FROM orders GROUP BY 1)
+    SELECT host, n_fetched, CAST(n_items AS BIGINT) AS n_items,
+           CAST((1000 * n_items) // n_fetched AS BIGINT) AS yield_permille,
+           CAST(least((1000 * n_items) // n_fetched // 100, 5) AS BIGINT)
+             AS priority_boost
+    FROM f
+    """,
+)
+def crawl_yield_reprioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host yield feedback for the next crawl wave: items-per-fetch
+    in exact permille, mapped to a capped priority boost — the focused-
+    crawl loop that steers budget toward productive hosts."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.groupBy(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host")
+    ).agg(
+        F.count("*").alias("n_fetched"),
+        F.sum((F.col("o_orderkey") % 3 != 0).cast("long")).alias("n_items"),
+    )
+    return f.select(
+        "host",
+        "n_fetched",
+        "n_items",
+        F.expr("1000 * n_items div n_fetched").alias("yield_permille"),
+        F.least(F.expr("1000 * n_items div n_fetched div 100"), F.lit(5))
+        .cast("long")
+        .alias("priority_boost"),
+    )
+
+
+# -- binary sign-sketch hamming retrieval ---------------------------------------------
+# The 64×-compression end of the quantization family (int8 → PQ → binary):
+# each 64-dim vector becomes ONE int64 of sign bits; retrieval ranks by
+# hamming distance (bit_count of xor) with a total-order tie-break. The
+# sketch is a codegen fold over the array; search is a broadcast-probe
+# scan — at corpus scale the 8-byte sketch column is the only thing read.
+
+def _sign_bit_weight(i: int) -> int:
+    """Two's-complement int64 weight for bit i (bit 63 is the sign bit)."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+def _sign_sketch_sql(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN CAST({_sign_bit_weight(i)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_EMB_DIM)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+@register(
+    "emb_binary_sign_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, {_sign_sketch_sql("embedding")} AS sk FROM embeddings),
+    probes AS (
+      SELECT vec_id AS probe_id, sk AS psk FROM s WHERE vec_id IN ({_PROBES_SQL})),
+    scored AS (
+      SELECT p.probe_id, s.vec_id,
+             CAST(bit_count(xor(p.psk, s.sk)) AS BIGINT) AS hamming
+      FROM probes p, s WHERE s.vec_id <> p.probe_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY hamming ASC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT probe_id, vec_id, hamming, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def emb_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding retrieval: 64-dim float vector → one
+    int64 sketch, top-5 by hamming distance per probe — the cheapest
+    candidate-generation tier before exact re-ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    # F.shiftleft needs a Python-int bit count, so the 64 sign terms are
+    # rendered as one literal codegen sum (same trick as warehouse_zorder)
+    sketch = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN embedding[{i}] > 0 THEN {_sign_bit_weight(i)}L ELSE 0L END)"
+            for i in range(_EMB_DIM)
+        )
+        + " AS BIGINT)"
+    )
+    s = emb.select("vec_id", sketch.alias("sk"))
+    probes = F.broadcast(
+        s.filter(F.col("vec_id").isin(_PROBES)).select(
+            F.col("vec_id").alias("probe_id"), F.col("sk").alias("psk")
+        )
+    )
+    scored = s.crossJoin(probes).filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        "vec_id",
+        F.bit_count(F.expr("psk ^ sk")).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "vec_id", "hamming", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# -- DAU / WAU / stickiness -----------------------------------------------------------
+# Product-analytics staple with an exact distinct-over-sliding-window:
+# WAU(d) = distinct users active in [d−6, d], computed by exploding each
+# active (user, day) into its 7 covered days — a bounded 7× expansion that
+# keeps the count exact and map-side-combinable (no 7-day window state).
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM a),
+    dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+    cov AS (
+      SELECT DISTINCT a.user_id, a.day + CAST(o AS BIGINT) AS day
+      FROM a, range(0, 7) r(o)),
+    wau AS (
+      SELECT cov.day, count(*) AS wau FROM cov JOIN days USING (day) GROUP BY 1)
+    SELECT strftime(make_timestamp(days.day * 86400 * 1000000), '%Y-%m-%d')
+             AS day_s,
+           CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           CAST((1000000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM days JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and DAU/WAU stickiness (exact, ppm):
+    the trailing-7-day distinct is an explode-into-covered-days groupBy,
+    not a stateful window — exact at any scale with bounded expansion."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    days = a.select("day").distinct()
+    dau = a.groupBy("day").agg(F.count("*").alias("dau"))
+    cov = (
+        a.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+        )
+        .distinct()
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(cov, "day")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("day") * 86400).cast("timestamp_ntz"),
+                "yyyy-MM-dd",
+            ).alias("day_s"),
+            "dau",
+            "wau",
+            F.expr("1000000 * dau div wau").alias("stickiness_ppm"),
+        )
+    )

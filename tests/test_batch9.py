@@ -472,3 +472,35 @@ def test_fk_check_counts_planted_orphans(spark):
     orders = load(spark, SF_DIR, "orders")
     planted = orders.filter(F.col("o_orderkey") % 13 == 0).count()
     assert r.n_orphans == planted
+
+
+# -- batch 18 -----------------------------------------------------------------
+
+
+def test_yield_boost_cap_and_rate(spark):
+    rows = QUERIES["crawl_yield_reprioritize"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r.yield_permille <= 1000
+        assert r.priority_boost == min(r.yield_permille // 100, 5)
+        assert r.n_items <= r.n_fetched
+
+
+def test_binary_sign_agrees_with_cosine_direction(spark):
+    rows = QUERIES["emb_binary_sign_topk"](spark, SF_DIR).collect()
+    by_probe = {}
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, hits in by_probe.items():
+        ranked = sorted(hits, key=lambda r: r.rnk)
+        hams = [r.hamming for r in ranked]
+        assert hams == sorted(hams)
+
+
+def test_dau_wau_bounds(spark):
+    rows = QUERIES["events_dau_wau"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # a day's actives are a subset of its trailing week's actives
+        assert 0 < r.dau <= r.wau
+        assert r.stickiness_ppm == 1_000_000 * r.dau // r.wau
