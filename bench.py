@@ -178,6 +178,26 @@ BENCH_QUERIES = [
     "crawl_host_hits",
     "crawl_wave_lineage",
     "stream_quantile_hist",
+    # round-3 batch 9-18: mixture/PMI/quant, media gates, enrichment
+    "doc_mixture_weights",
+    "doc_pmi_collocations",
+    "emb_int8_quant",
+    "crawl_conditional_get",
+    "img_sharpness",
+    "emb_matryoshka_truncate",
+    "audio_clipping_gate",
+    "img_letterbox_crop",
+    "crawl_geoip_enrich",
+    "events_gap_fill",
+    "doc_code_detect",
+    "doc_winnow_fingerprint",
+    "doc_harvest_urls",
+    "emb_ann_recall",
+    "emb_maxsim_groups",
+    "events_ohlc_hourly",
+    "warehouse_snapshot_diff",
+    "emb_binary_sign_topk",
+    "events_dau_wau",
 ]
 
 
