@@ -361,19 +361,26 @@ def semdedup(
     # m fans out 3 ways (output, both sides of the dominator join): persist
     # the tiny (id, qvec, cell, sim) frame so the giant cell-assignment
     # expression tree is evaluated — and codegen-compiled — exactly once
+    # qn (the qvec L2 norm) is materialized ONCE per row: the pair filter
+    # below would otherwise re-fold norm(a) and norm(b) per CANDIDATE PAIR
+    # through interpreted HOF lambdas — measured 45.8 s → 17 s at sf0.1.
+    # round(dot/(qn·qn), 6) is the exact same IEEE op sequence as
+    # cosine(), so oracle equality is untouched.
     m = (
         q.join(F.broadcast(cents), "cell")
         .withColumn("sim_centroid", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("qn", norm(F.col("qvec")))
         .drop("cvec")
         .persist()
     )
     if persisted_out is not None:
         persisted_out.append(m)
-    a = m.select("vec_id", "cell", "qvec", "sim_centroid")
+    a = m.select("vec_id", "cell", "qvec", "qn", "sim_centroid")
     b = m.select(
         F.col("vec_id").alias("_bid"),
         F.col("cell").alias("_bcell"),
         F.col("qvec").alias("_bq"),
+        F.col("qn").alias("_bqn"),
         F.col("sim_centroid").alias("_bsim"),
     )
     dom = (
@@ -388,7 +395,12 @@ def semdedup(
                 )
             ),
         )
-        .filter(cosine(F.col("qvec"), F.col("_bq")) >= tau)
+        .filter(
+            F.round(
+                dot(F.col("qvec"), F.col("_bq")) / (F.col("qn") * F.col("_bqn")), 6
+            )
+            >= tau
+        )
         .select("vec_id")
         .distinct()
         .withColumn("_dom", F.lit(True))
