@@ -3442,11 +3442,12 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- exact discrete percentiles -----------------------------------------------
-# Exact p50/p90/p99 per group in integer cents: row_number + count over the
-# group, pick rank ceil(q*n) — percentile_disc semantics, zero float
-# accumulation (the one sort per group IS the exact-percentile lower
-# bound; the approximate path at 100 TB is percentile_approx/t-digest,
-# which no DuckDB twin can hash-match).
+# Exact p50/p90/p99 per group in integer cents — percentile_disc semantics,
+# zero float accumulation. Scale shape (r4): distinct-value counts +
+# range-partitioned rank spans (rcspark.percentile) — NO per-group window
+# sort, so one giant event_type never funnels through a single task. The
+# approximate path at 100 TB is percentile_approx/t-digest, which no DuckDB
+# twin can hash-match; this is the exact tier.
 
 @register(
     "agg_percentile_disc",
@@ -3472,30 +3473,30 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile_disc(0.5/0.9/0.99) per event_type over integer
     cents — rank arithmetic is all integer division, identical in both
-    engines."""
+    engines. Distributed via rank spans (no window): the shuffle is linear
+    in distinct cents per type, never a per-type full sort."""
+    from .percentile import rank_targets, value_rank_spans, values_at_ranks
+
     ev = load(spark, sf_dir, "events").select(
         "event_type",
-        "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = ev.select(
+    spans = value_rank_spans(ev, "event_type", "cents")
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    targets = rank_targets(
+        n,
         "event_type",
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        {
+            "p50": "(n + 1) div 2",
+            "p90": "(9 * n + 9) div 10",
+            "p99": "(99 * n + 99) div 100",
+        },
     )
-    return r.groupBy("event_type").agg(
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))).alias(
-            "p50_cents"
-        ),
-        F.max(
-            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("cents"))
-        ).alias("p90_cents"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("cents"))
-        ).alias("p99_cents"),
+    picked = values_at_ranks(spans, targets, "event_type")
+    return picked.groupBy("event_type").agg(
+        F.max(F.when(F.col("which") == "p50", F.col("cents"))).alias("p50_cents"),
+        F.max(F.when(F.col("which") == "p90", F.col("cents"))).alias("p90_cents"),
+        F.max(F.when(F.col("which") == "p99", F.col("cents"))).alias("p99_cents"),
         F.max("n").cast("long").alias("n_events"),
     )
 
@@ -5718,19 +5719,24 @@ def crawl_fetch_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("load"))
     )
-    w = Window.orderBy(F.col("load").desc(), F.col("host").asc())
-    r = loads.withColumn("rnk", F.row_number().over(w))
+    # serpentine LPT rank over 10^8+ hosts: range-partitioned global seq
+    # (1-based), not an unpartitioned window; per-slot totals via a
+    # map-side-combinable groupBy broadcast back (not a 4-partition window)
+    r = assign_global_seq(
+        loads, [F.col("load").desc(), F.col("host").asc()], seq_offset=1
+    ).withColumnRenamed("seq", "rnk")
     rnd = (F.col("rnk") - 1).cast("long")
     slot = F.when(
         (rnd / _FETCH_SLOTS).cast("long") % 2 == 0, rnd % _FETCH_SLOTS
     ).otherwise(F.lit(_FETCH_SLOTS - 1) - rnd % _FETCH_SLOTS)
     s = r.withColumn("slot", slot)
-    return s.select(
+    slot_loads = s.groupBy("slot").agg(F.sum("load").alias("slot_load"))
+    return s.join(F.broadcast(slot_loads), "slot").select(
         "host",
         F.col("load").cast("long").alias("load"),
         F.col("rnk").cast("long").alias("rnk"),
         F.col("slot").cast("long").alias("slot"),
-        F.sum("load").over(Window.partitionBy("slot")).cast("long").alias("slot_load"),
+        F.col("slot_load").cast("long").alias("slot_load"),
     )
 
 
@@ -8050,9 +8056,12 @@ def crawl_host_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = orders.groupBy(
         F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host")
     ).agg(F.count("*").alias("cnt"))
-    r = x.withColumn(
-        "i", F.row_number().over(Window.orderBy(F.col("cnt").asc(), F.col("host").asc()))
-    )
+    # host cardinality at web scale is 10^8+: the Gini rank uses the
+    # range-partitioned assign_global_seq (seq_offset=1 => 1-based rank),
+    # never an unpartitioned row_number window
+    r = assign_global_seq(
+        x, [F.col("cnt").asc(), F.col("host").asc()], seq_offset=1
+    ).withColumnRenamed("seq", "i")
     s = r.agg(
         F.count("*").alias("n"),
         F.sum("cnt").alias("tot"),
@@ -8095,13 +8104,11 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card: corpus size, token/char totals, lang/source
     cardinalities, exact discrete length percentiles (rank arithmetic,
     total-order tie-break) — the header block of every dataset release."""
+    from .percentile import rank_targets, value_rank_spans, values_at_ranks
+
     docs = load(spark, sf_dir, "documents")
     dl = docs.select(
-        "doc_id", "n_chars", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
-    )
-    r = dl.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())),
+        "n_chars", F.size(tx.tokens(F.col("text"))).alias("n_tokens")
     )
     s = dl.agg(
         F.count("*").alias("n_docs"),
@@ -8113,19 +8120,29 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
     )
     base = s.crossJoin(F.broadcast(card))
-    p50 = r.join(
-        F.broadcast(s.select(F.expr("(n_docs + 1) div 2").alias("i"))), "i"
-    ).select(F.col("n_chars").cast("long").alias("p50_chars"))
-    p90 = r.join(
-        F.broadcast(s.select(F.expr("(9 * n_docs + 9) div 10").alias("i"))), "i"
-    ).select(F.col("n_chars").cast("long").alias("p90_chars"))
-    return (
-        base.crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
-        .select(
-            "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
-            "p50_chars", "p90_chars",
-        )
+    # exact length percentiles without a global window: rank spans over
+    # distinct n_chars (rcspark.percentile) — a corpus-sized sort never
+    # funnels through one task for a release-header stat
+    spans = value_rank_spans(
+        dl.select(F.lit(0).alias("_g"), "n_chars"), "_g", "n_chars"
+    )
+    targets = rank_targets(
+        s.select(F.lit(0).alias("_g"), F.col("n_docs").alias("n")),
+        "_g",
+        {"p50": "(n + 1) div 2", "p90": "(9 * n + 9) div 10"},
+    )
+    picked = values_at_ranks(spans, targets, "_g")
+    pcts = picked.groupBy("_g").agg(
+        F.max(F.when(F.col("which") == "p50", F.col("n_chars")))
+        .cast("long")
+        .alias("p50_chars"),
+        F.max(F.when(F.col("which") == "p90", F.col("n_chars")))
+        .cast("long")
+        .alias("p90_chars"),
+    )
+    return base.crossJoin(F.broadcast(pcts)).select(
+        "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+        "p50_chars", "p90_chars",
     )
 
 
@@ -8625,13 +8642,16 @@ _PCTS = (50, 90, 99)
 def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated percentiles (p50/p90/p99) of order value in exact
     integer cent-hundredths — percentile_cont without float division, so
-    the result is bit-identical across engines and reshards."""
+    the result is bit-identical across engines and reshards. Distributed
+    via rank spans (rcspark.percentile): the global sort is a
+    range-partitioned cumsum over DISTINCT cents counts, never a
+    SinglePartition window over the orders table."""
+    from .percentile import value_rank_spans, values_at_ranks
+
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = orders.select(cents.alias("cents"), "o_orderkey").withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.col("cents"), F.col("o_orderkey"))),
-    )
+    c = orders.select(cents.alias("cents"), F.lit(0).alias("_g"))
+    spans = value_rank_spans(c, "_g", "cents")
     n = c.agg(F.count("*").alias("n"))
     ps = spark.createDataFrame([(p,) for p in _PCTS], "p long")
     pos = ps.crossJoin(F.broadcast(n)).select(
@@ -8640,21 +8660,34 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(n - 1) * p div 100") + 1).alias("lo_i"),
         F.expr("(n - 1) * p % 100").alias("frac"),
     )
-    lo = c.select(F.col("i").alias("lo_i"), F.col("cents").alias("lo_c"))
-    hi = c.select((F.col("i") - 1).alias("lo_i"), F.col("cents").alias("hi_c"))
-    return (
-        pos.join(lo, "lo_i")
-        .join(hi, "lo_i", "left")
-        .select(
-            "p",
-            "n",
-            (
-                F.col("lo_c") * (100 - F.col("frac"))
-                + F.coalesce(F.col("hi_c"), F.col("lo_c")) * F.col("frac")
+    targets = pos.select(
+        F.lit(0).alias("_g"),
+        "p",
+        "n",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("side"), F.col("lo_i").alias("k")),
+                F.struct(
+                    F.lit("hi").alias("side"), (F.col("lo_i") + 1).alias("k")
+                ),
             )
-            .cast("long")
-            .alias("value_c100"),
+        ).alias("_t"),
+    ).select("_g", "p", "n", "frac", F.col("_t.side").alias("side"), F.col("_t.k").alias("k"))
+    picked = values_at_ranks(spans, targets, "_g")
+    per_p = picked.groupBy("p", "n", "frac").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("cents"))).alias("lo_c"),
+        F.max(F.when(F.col("side") == "hi", F.col("cents"))).alias("hi_c"),
+    )
+    return per_p.select(
+        "p",
+        "n",
+        (
+            F.col("lo_c") * (100 - F.col("frac"))
+            + F.coalesce(F.col("hi_c"), F.col("lo_c")) * F.col("frac")
         )
+        .cast("long")
+        .alias("value_c100"),
     )
 
 
@@ -8717,20 +8750,22 @@ def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outliers per event type in integer cents (discrete
     quartiles by rank arithmetic, k=3 fences) — the robust-statistics
     sibling of events_anomaly_mad. Emits only the flagged rows."""
+    from .percentile import rank_targets, value_rank_spans, values_at_ranks
+
     ev = load(spark, sf_dir, "events")
     c = ev.select(
         "event_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    wrank = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    r = c.withColumn("i", F.row_number().over(wrank)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type"))
+    spans = value_rank_spans(c.select("event_type", "cents"), "event_type", "cents")
+    n = c.groupBy("event_type").agg(F.count("*").alias("n"))
+    targets = rank_targets(
+        n, "event_type", {"q1": "(n + 3) div 4", "q3": "(3 * n + 3) div 4"}
     )
-    q = r.groupBy("event_type").agg(
-        F.max(F.when(F.col("i") == F.expr("(n + 3) div 4"), F.col("cents"))).alias("q1"),
-        F.max(
-            F.when(F.col("i") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
-        ).alias("q3"),
+    picked = values_at_ranks(spans, targets, "event_type")
+    q = picked.groupBy("event_type").agg(
+        F.max(F.when(F.col("which") == "q1", F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("which") == "q3", F.col("cents"))).alias("q3"),
     )
     j = c.join(F.broadcast(q), "event_type")
     fence = 3 * (F.col("q3") - F.col("q1"))
