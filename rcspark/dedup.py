@@ -233,6 +233,11 @@ def filter_unseen(
     sketch_bytes = (bloom.agg(F.sum("nbits").alias("b")).first()["b"] or 0) // 8
     if sketch_bytes <= broadcast_max_bytes:
         probed = bloom_probe_broadcast(candidates, bloom, resources_out=persisted_out)
+        if persisted_out is None:
+            # the probe's bitmap now lives in its own broadcast — the bloom
+            # DataFrame cache has no further reader, and no caller holds a
+            # handle to release it later (ADVICE r3 leak)
+            bloom.unpersist()
     else:
         probed = bloom_probe(candidates, bloom)
     probed = probed.persist(StorageLevel.MEMORY_AND_DISK)

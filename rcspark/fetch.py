@@ -118,6 +118,11 @@ class PooledHttpTransport:
     aiohttp/h2 pipelined client is a drop-in with the same contract.
     """
 
+    # max bytes drained PAST max_body to preserve keep-alive; beyond this
+    # the connection is closed and evicted instead (a multi-GB or endless
+    # body must not stall the worker just to save one TCP handshake)
+    DRAIN_BUDGET = 2 << 20
+
     def __init__(self, timeout: float = 10.0, max_body: int = 8 << 20,
                  user_agent: str = "rcspark/0.3", resolve=None):
         """``resolve``: optional picklable callable (host, port) ->
@@ -180,9 +185,19 @@ class PooledHttpTransport:
                 conn.request("GET", target, headers=headers)
                 resp = conn.getresponse()
             body = resp.read(self.max_body)
-            # drain so http.client can keep the connection alive
-            while resp.read(65536):
-                pass
+            # Drain a bounded tail so http.client can keep the connection
+            # alive — but only up to DRAIN_BUDGET past max_body. A hostile
+            # or endless body would otherwise stall this worker unboundedly
+            # (ADVICE r3); past the budget, drop the connection instead.
+            drained = 0
+            while drained < self.DRAIN_BUDGET:
+                chunk = resp.read(min(65536, self.DRAIN_BUDGET - drained))
+                if not chunk:
+                    break
+                drained += len(chunk)
+            if drained >= self.DRAIN_BUDGET and not resp.isclosed():
+                conn.close()
+                self._pool.pop(key, None)
             status = int(resp.status)
             redirect_to = (
                 resp.getheader("Location") if status in REDIRECT_STATUSES else None

@@ -71,17 +71,20 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_src").asc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    picked = [
-        F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(c)
-        for c in value_cols
-    ]
+    # Pick the winning quote ROW once (a struct is non-null whenever the
+    # row is a quote, even if every value field is NULL), then project its
+    # fields — merge_asof row-wise semantics. A per-column last(value,
+    # ignorenulls) would let a NULL field fall back to an EARLIER quote
+    # and stitch different value columns from different rows (ADVICE r3).
+    qrow = F.when(
+        F.col("_src") == 0, F.struct(*[F.col(c).alias(c) for c in value_cols])
+    )
+    win = F.last(qrow, ignorenulls=True).over(w).alias("_q")
     return (
         q.unionByName(p)
-        .select("_k", "_src", *probe_cols, *picked)
+        .select("_k", "_src", *probe_cols, win)
         .filter(F.col("_src") == 1)
-        .drop("_src", "_k")
+        .select(*probe_cols, *[F.col(f"_q.{c}").alias(c) for c in value_cols])
     )
 
 

@@ -308,11 +308,16 @@ def stream_crawl_loop(
             spark.createDataFrame([], DISCOVERY_SCHEMA), f"nudge_{n:06d}.parquet"
         )
 
-    loop = {"rounds": 0}
+    loop = {"rounds": 0, "capped": False}
     done = threading.Event()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if loop["rounds"] >= max_rounds:
+            # driver-side flag FIRST: the stop branch below must not depend
+            # on matching exception text through Spark's wrapping (ADVICE
+            # r3 — a genuine failure whose message contains 'round cap'
+            # must still raise)
+            loop["capped"] = True
             raise _LoopStop(f"rcspark loop round cap {max_rounds}")
         loop["rounds"] += 1
         todo = batch_df.persist()
@@ -449,9 +454,9 @@ def stream_crawl_loop(
         "url_canon", "digest", "path",
         "depth", "priority", "retry_count", "parent_seq", "link_idx",
     )
+    sched_stream = politeness_slots(slotted)
     q = (
-        politeness_slots(slotted)
-        .writeStream.foreachBatch(process_batch)
+        sched_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(processingTime="0 seconds")
@@ -465,16 +470,30 @@ def stream_crawl_loop(
         if q.isActive:
             q.stop()
         q.awaitTermination()
-    except Exception as e:
+    except Exception:
         # the round-cap raise surfaces as a StreamingQueryException wrapping
-        # _LoopStop; anything else is a real failure
-        if "_LoopStop" not in str(e) and "round cap" not in str(e):
+        # _LoopStop — recognized by the driver-side flag process_batch set
+        # before raising, never by exception-text matching (ADVICE r3);
+        # anything else is a real failure
+        if not loop["capped"]:
             robots.unpersist()
             raise
     robots.unpersist()
+
+    def _read_or_empty(d: str, schema) -> DataFrame:
+        # max_rounds<=1 on a fresh dir can stop the loop before any batch
+        # committed a parquet dir — an empty frame is the honest result
+        if os.path.isdir(d) and any(n.startswith("batch=") for n in os.listdir(d)):
+            return spark.read.parquet(d)
+        return spark.createDataFrame([], schema)
+
+    log_schema = (
+        "url_canon string, digest long, host string, status int, "
+        "result string, priority int, depth int, retry_count int"
+    )
     return {
-        "scheduled": spark.read.parquet(sched_dir),
-        "fetch_log": spark.read.parquet(log_dir),
+        "scheduled": _read_or_empty(sched_dir, sched_stream.schema),
+        "fetch_log": _read_or_empty(log_dir, log_schema),
     }
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Any
 
@@ -253,11 +254,20 @@ class Warehouse:
         tdir = os.path.join(self.root, table)
         for name in sorted(os.listdir(tdir)):
             path = os.path.join(tdir, name)
-            if name.startswith("wave=") and int(name.split("=")[1]) <= cw:
+            m_wave = re.fullmatch(r"wave=(\d+)", name)
+            m_comp = re.fullmatch(r"compact=(\d+)", name)
+            if m_wave and int(m_wave.group(1)) <= cw:
                 shutil.rmtree(path)
                 removed.append(path)
-                gone_waves.append(int(name.split("=")[1]))
-            elif name.startswith("compact=") and int(name.split("=")[1]) != cw:
+                gone_waves.append(int(m_wave.group(1)))
+            elif m_comp and int(m_comp.group(1)) != cw:
+                shutil.rmtree(path)
+                removed.append(path)
+            elif name.startswith(("wave=", "compact=")) and not (m_wave or m_comp):
+                # crash leftovers from compact()'s write-first swap
+                # ('compact=NNNNNN.inprogress' / '.superseded'): never
+                # referenced by any manifest, always-deletable garbage —
+                # and int(...) on them must not wedge gc forever (ADVICE r3)
                 shutil.rmtree(path)
                 removed.append(path)
         if gone_waves:

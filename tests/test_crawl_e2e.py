@@ -231,6 +231,35 @@ def test_compact_rerun_is_noop_and_gc_guards_historical_reads(spark, tmp_path):
     assert got == sorted(all_rows + [(99, "https://h9.test/x", 3)])
 
 
+def test_gc_sweeps_crash_leftovers_instead_of_wedging(spark, tmp_path):
+    """ADVICE r3: a kill mid-compact()-swap can leave
+    'compact=NNNNNN.superseded' / '.inprogress' dirs; gc() used to do
+    int('000000.superseded') on the name and raise ValueError forever.
+    They are never manifest-referenced, so gc must DELETE them."""
+    import os
+
+    from rcspark.tables import SEEN_SCHEMA, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for w in range(2):
+        rows = [(w * 10 + i, f"https://h{i}.test/p{w}", w) for i in range(5)]
+        wh.write_wave("seen", spark.createDataFrame(rows, SEEN_SCHEMA), w)
+    wh.commit(1, {})
+    wh.compact("seen", SEEN_SCHEMA)
+    tdir = os.path.join(wh.root, "seen")
+    for leftover in ("compact=000000.superseded", "compact=000001.inprogress"):
+        os.makedirs(os.path.join(tdir, leftover, "junk"))
+    removed = wh.gc("seen")
+    names = {os.path.basename(p) for p in removed}
+    assert "compact=000000.superseded" in names
+    assert "compact=000001.inprogress" in names
+    # the live compact dir and the data survive
+    got = sorted(tuple(r) for r in wh.read_appends("seen", 1, SEEN_SCHEMA).collect())
+    assert len(got) == 10
+    # and a second gc run is clean (nothing left to sweep, no ValueError)
+    assert wh.gc("seen") == []
+
+
 def test_read_appends_raises_when_watermark_dropped(spark, tmp_path):
     """A commit that does NOT carry the manifest meta forward drops the
     compaction watermark; a subsequent read must raise (the gc()'d waves

@@ -163,6 +163,58 @@ def test_pooled_http_transport_real_requests(spark):
         srv.shutdown()
 
 
+def test_pooled_transport_drain_budget_bounds_huge_bodies():
+    """ADVICE r3: a body far past max_body must not be drained to the end
+    just to save the keep-alive connection — the transport keeps max_body
+    bytes, drains at most DRAIN_BUDGET more, then drops the connection.
+    Driven directly (no Spark) against a handler streaming a body larger
+    than max_body + budget."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from rcspark.fetch import PooledHttpTransport
+
+    sent = {"bytes": 0}
+    body_len = 64 << 20  # 64 MiB advertised
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(body_len))
+            self.end_headers()
+            chunk = b"x" * 65536
+            try:
+                for _ in range(body_len // len(chunk)):
+                    self.wfile.write(chunk)
+                    sent["bytes"] += len(chunk)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up at its budget — expected
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        tr = PooledHttpTransport(timeout=10.0, max_body=1 << 20)
+        status, redirect_to, body = tr(
+            f"http://127.0.0.1:{srv.server_address[1]}/huge"
+        )
+        assert status == 200
+        assert len(body) == 1 << 20  # kept exactly max_body
+        # connection was dropped at the budget, not drained to 64 MiB
+        assert not tr._pool, "over-budget connection must be evicted"
+        cap = (1 << 20) + tr.DRAIN_BUDGET + (8 << 20)  # + OS/server buffers
+        assert sent["bytes"] < cap, f"server pushed {sent['bytes']} bytes"
+        # the transport still works for the next URL on a fresh connection
+        status2, _, _ = tr(f"http://127.0.0.1:{srv.server_address[1]}/huge")
+        assert status2 == 200
+    finally:
+        srv.shutdown()
+
+
 def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path):
     """FULL-ENGINE crawl through the production HTTP binding: the fixture
     web is served by a real localhost HTTP server (virtual-hosted via Host

@@ -54,6 +54,31 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert got[row["pid"]][0] == row["qid"]
 
 
+def test_asof_join_null_value_stays_on_winning_row(spark):
+    """Row-wise merge_asof semantics (ADVICE r3): a NULL value column on
+    the winning quote must arrive as NULL — never backfilled from an
+    earlier quote — and all value columns must come from the SAME row."""
+    quotes = [
+        (1, 10, 100, 7, 70),      # older quote: both values set
+        (1, 20, 101, None, 71),   # winner at t>=20: val is NULL
+    ]
+    probes = [(1, 15, 0), (1, 25, 1)]
+    qdf = spark.createDataFrame(quotes, "k int, t int, qid int, val int, v2 int")
+    pdf = spark.createDataFrame(probes, "k int, t int, pid int")
+    out = asof_join(
+        pdf, qdf, key="k", probe_ts="t", quote_ts="t",
+        value_cols=["qid", "val", "v2"], tie_col="qid",
+    )
+    got = {r["pid"]: (r["qid"], r["val"], r["v2"]) for r in out.collect()}
+    assert got == {0: (100, 7, 70), 1: (101, None, 71)}, got
+    # pandas merge_asof agrees: the t=25 probe takes row qid=101 wholesale
+    qp = pd.DataFrame(quotes, columns=["k", "t", "qid", "val", "v2"]).sort_values("t")
+    pp = pd.DataFrame(probes, columns=["k", "t", "pid"]).sort_values("t")
+    merged = pd.merge_asof(pp, qp, on="t", by="k", direction="backward")
+    row = merged[merged["pid"] == 1].iloc[0]
+    assert row["qid"] == 101 and pd.isna(row["val"]) and row["v2"] == 71
+
+
 def test_asof_join_one_exchange(spark):
     """The plan must contain exactly one Exchange for the union+window —
     no range-join blowup, no broadcast requirement."""
