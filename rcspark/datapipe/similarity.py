@@ -295,6 +295,12 @@ def neardup_pairs_banded(
 
 SEMDEDUP_TAU = 0.9
 SEMDEDUP_QUANT = 1_000_000
+# skew guard shared with the DuckDB oracle (the PHASH_MAX_BUCKET pattern):
+# a degenerate cell — e.g. a spam cluster collapsing half the corpus into
+# one centroid — would make the in-cell dominator join quadratic. Cells
+# past the cap skip pair comparison entirely (all members kept): honest,
+# deterministic, and mirrored in sql_semdedup's `ok` CTE.
+SEMDEDUP_MAX_CELL = 10_000
 
 
 def semdedup(
@@ -305,6 +311,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persisted_out: list | None = None,
+    max_cell: int = SEMDEDUP_MAX_CELL,
 ) -> DataFrame:
     """Semantic dedup (Abbas et al. 2023, "SemDeDup"): cluster the
     L2-normalized embeddings, and within each cluster drop every item that
@@ -375,8 +382,18 @@ def semdedup(
     )
     if persisted_out is not None:
         persisted_out.append(m)
-    a = m.select("vec_id", "cell", "qvec", "qn", "sim_centroid")
-    b = m.select(
+    # cell-size guard: only cells ≤ max_cell enter the O(cell²) dominator
+    # join (their members are all kept otherwise) — ncells ≈ √n keeps the
+    # EXPECTED cell bounded, this bounds the worst case
+    ok = F.broadcast(
+        m.groupBy("cell")
+        .agg(F.count("*").alias("_csz"))
+        .filter(F.col("_csz") <= max_cell)
+        .select("cell")
+    )
+    mok = m.join(ok, "cell")
+    a = mok.select("vec_id", "cell", "qvec", "qn", "sim_centroid")
+    b = mok.select(
         F.col("vec_id").alias("_bid"),
         F.col("cell").alias("_bcell"),
         F.col("qvec").alias("_bq"),
@@ -421,6 +438,7 @@ def sql_semdedup(
     tau: float = SEMDEDUP_TAU,
     ncells: int = IVF_CELLS,
     dim: int = 64,
+    max_cell: int = SEMDEDUP_MAX_CELL,
 ) -> str:
     """DuckDB twin of semdedup(). ``corpus_sql`` must yield
     (vec_id BIGINT, dvec DOUBLE[]) — the double-cast embedding."""
@@ -443,8 +461,10 @@ def sql_semdedup(
       SELECT q.vec_id, q.cell, q.qvec,
              {sql_cosine("q.qvec", "ca.cvec", dim)} AS sim_centroid
       FROM q JOIN ca USING (cell)),
+    ok AS (
+      SELECT cell FROM m GROUP BY cell HAVING count(*) <= {max_cell}),
     dom AS (
-      SELECT DISTINCT a.vec_id FROM m a JOIN m b
+      SELECT DISTINCT a.vec_id FROM m a JOIN ok ON a.cell = ok.cell JOIN m b
       ON a.cell = b.cell
          AND (b.sim_centroid < a.sim_centroid
               OR (b.sim_centroid = a.sim_centroid AND b.vec_id < a.vec_id))

@@ -35,6 +35,48 @@ def test_semdedup_drops_exactly_one_of_each_planted_pair(spark):
         assert by_id[p].kept != by_id[orig].kept, "exactly one survivor"
 
 
+def test_semdedup_cell_cap_skips_degenerate_cells_in_both_engines(spark):
+    """VERDICT r3 item 5: a degenerate cell (spam cluster) past max_cell
+    must skip the O(cell²) dominator join — all members kept — and the
+    DuckDB oracle must agree row-for-row with the capped Spark plan."""
+    import duckdb
+
+    from rcspark.datapipe import similarity as sim
+    from rcspark.oracle_compare import compare
+
+    # 12 identical vectors (pairwise cosine 1.0 — a would-be quadratic
+    # cell) + 2 identical vectors in an orthogonal direction
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)] + [
+        (100, [0.0, 1.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup(df, ncells=4, dim=4, max_cell=8).toPandas()
+
+    values = ", ".join(
+        f"({i}, CAST({v} AS DOUBLE[]))" for i, v in rows
+    )
+    corpus_sql = f"SELECT vec_id, dvec FROM (VALUES {values}) t(vec_id, dvec)"
+    twin = duckdb.connect().execute(
+        sim.sql_semdedup(corpus_sql, ncells=4, dim=4, max_cell=8)
+    ).fetchdf()
+    assert not compare(out, twin)
+
+    by_cell: dict = {}
+    for r in out.itertuples():
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        if len(members) > 8:
+            assert all(m.kept for m in members), (
+                f"cell {cell} over the cap must keep everything"
+            )
+        elif len(members) == 2:
+            assert sorted(m.kept for m in members) == [False, True], (
+                f"cell {cell} under the cap must still dedup"
+            )
+    assert any(len(m) > 8 for m in by_cell.values()), "cap path not exercised"
+
+
 def test_format_sniff_catches_exactly_the_planted_conversions(spark):
     rows = QUERIES["img_format_sniff"](spark, SF_DIR).collect()
     assert rows
