@@ -56,6 +56,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         if pix.shape[2] == 1:  # greyscale → RGB for the uniform contract
             pix = np.repeat(pix, 3, axis=2)
         return np.ascontiguousarray(pix[:, :, :3]), "png"
+    elif data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # real interoperable codec (round 4)
+
+        pix = decode_jpeg(data)
+        if pix.shape[2] == 1:
+            pix = np.repeat(pix, 3, axis=2)
+        return np.ascontiguousarray(pix), "jpeg"
     else:
         raise ValueError(f"unknown magic {data[:2]!r}")
     # header: magic\nW H\n255\n

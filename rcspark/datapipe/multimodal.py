@@ -54,12 +54,18 @@ RESIZED_SCHEMA = T.StructType(
 def decode_external(data: bytes, fmt: str) -> np.ndarray:
     """Real-codec decode for interchange formats. PNG is REAL (round 3:
     rcspark.png — stdlib zlib + numpy, all five filters, CRC-checked);
-    JPEG/WebP remain the documented seam where PIL/cv2 bind on a real
-    cluster (no codec libs in this container)."""
+    JPEG is REAL (round 4: rcspark.jpeg — baseline T.81, exact-integer
+    IDCT, pinned bit-equal to the independent scripts/jpeg_twin.py
+    decoder); WebP remains the documented seam where PIL/cv2 bind on a
+    real cluster (no codec libs in this container)."""
     if fmt == "png" or data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..png import decode_png
 
         return decode_png(data)
+    if fmt in ("jpeg", "jpg") or data[:2] == b"\xff\xd8":
+        from ..jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
     )
@@ -162,6 +168,53 @@ def reencode_lossy(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+JPEG_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_jpeg_bytes", T.LongType(), False),
+        T.StructField("sse", T.LongType(), False),
+        T.StructField("psnr40_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def jpeg_roundtrip(ids: DataFrame, quality: int = 90) -> DataFrame:
+    """A16 store-as-JPEG audit ([U scrapy/pipelines/images.py] converts
+    stored images to JPEG): encode the shared smooth fixture image to REAL
+    baseline JPEG (rcspark.jpeg), decode it back, report size + fidelity.
+
+    The north rule's PSNR ≥ 40 dB lossy gate is emitted as the exact
+    integer predicate sse·10⁴ ≤ npx·255² (psnr ≥ 40 ⟺ mse ≤ 255²/10⁴), so
+    every output column is an exact integer/boolean and the
+    independent-twin expected parquet (scripts/gen_media_expected.py
+    decoding the same bytes with scripts/jpeg_twin.py's scalar decoder)
+    hash-matches bit-for-bit."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                data = encode_jpeg(pix, quality=quality)
+                dec = decode_jpeg(data)
+                diff = dec.astype(np.int64) - pix.astype(np.int64)
+                sse = int((diff * diff).sum())
+                npx = pix.shape[0] * pix.shape[1] * 3
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], len(data), sse,
+                     sse * 10_000 <= npx * 65_025)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in JPEG_RT_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, JPEG_RT_SCHEMA)
 
 
 # -- video: opaque binary container + frame sampling -------------------------------

@@ -83,6 +83,37 @@ def make_image(image_id: str) -> tuple[bytes, int, int, str, int]:
     return data, w, h, fmt, phash64(stored)
 
 
+def make_smooth_image(image_id: str) -> np.ndarray:
+    """Deterministic SMOOTH RGB content for an id → uint8 (h, w, 3):
+    per-channel gradients + one low-frequency sinusoid, id-seeded.
+
+    The lossy-codec fidelity gate (north rule: PSNR ≥ 40 dB) is specified
+    over photographic-class content; make_image's uniform noise has zero
+    energy compaction and is the wrong fixture for a transform codec.
+    Shared data GENERATOR (like make_image / make_shot_frames): the engine
+    and the expected-values twin both consume it, the codec/stat math is
+    what each side implements independently."""
+    h64 = xxh64(image_id.encode())
+    dims = (16, 32, 64)
+    w = dims[h64 % 3]
+    h = dims[(h64 >> 8) % 3]
+    rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+    yy, xx = np.mgrid[0:h, 0:w]
+    chans = []
+    for _ in range(3):
+        base = rng.uniform(50, 205)
+        gx, gy = rng.uniform(-1.2, 1.2, 2)
+        fx, fy = rng.uniform(0.02, 0.09, 2)
+        ph = rng.uniform(0, 2 * np.pi, 2)
+        amp = rng.uniform(8, 35)
+        chans.append(
+            base + gx * xx + gy * yy
+            + amp * np.sin(2 * np.pi * fx * xx + ph[0])
+            + amp * np.cos(2 * np.pi * fy * yy + ph[1])
+        )
+    return np.clip(np.round(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+
+
 def make_shot_frames(video_id: str, max_shots: int = 5) -> np.ndarray:
     """Deterministic SHOT-STRUCTURED frame stack for an id → uint8
     (n, 16, 16, 3).

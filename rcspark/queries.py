@@ -2059,6 +2059,34 @@ def img_reencode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reencode_lossy(imgs).select("image_id", "out_w", "out_h", "psnr_db")
 
 
+# A16 store-as-JPEG roundtrip (round 4: rcspark.jpeg is a REAL baseline
+# T.81 codec — [U scrapy/pipelines/images.py] converts stored images to
+# JPEG). The decode contract is exact fixed-point integer (scaled-integer
+# IDCT + fixed-point YCbCr), so the engine's vectorized decoder and the
+# independent scalar twin (scripts/jpeg_twin.py, via the expected parquet)
+# agree bit-for-bit; psnr40_ok is the north rule's PSNR≥40 lossy gate as
+# an integer predicate. Sparser id subset (%40): the twin decode is
+# deliberately scalar Python.
+
+@register(
+    "img_jpeg_roundtrip",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.n_jpeg_bytes, e.sse, e.psnr40_ok
+    FROM '{_MEDIA_EXPECTED}/img_jpeg.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import jpeg_roundtrip
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return jpeg_roundtrip(ids)
+
+
 # A17 dupe-media filter beyond exact bytes: perceptual-hash near-dup pairs
 # over originals ∪ their lossy re-encodes (genuine planted near-dups:
 # quantization shifts the phash by 0-4 bits) — banded Hamming LSH with
@@ -9074,12 +9102,15 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # rewritten (range-partitioned rank family)
     "agg_percentile_disc",
     "agg_percentile_cont",
     "events_outlier_iqr",
     "doc_dataset_card",
     "crawl_host_fairness",
     "crawl_fetch_balance",
+    # new this round (file position ≠ registration recency, so listed here)
+    "img_jpeg_roundtrip",
 ]
 
 

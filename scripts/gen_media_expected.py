@@ -513,6 +513,41 @@ def expected_img_equalize() -> pd.DataFrame:
               "hi_out": "int32", "eq_sum": "int64"})
 
 
+def expected_img_jpeg(quality: int = 90) -> pd.DataFrame:
+    """img_jpeg_roundtrip twin: the smooth image (shared generator) is
+    encoded with the engine's deterministic baseline encoder — encoder
+    bytes are DATA here, like make_image's container bytes — then decoded
+    with the INDEPENDENT scalar spec-forward decoder (scripts/jpeg_twin.py)
+    and reduced with scalar integer sums. The decode contract is exact
+    fixed-point, so the twin's sse must equal the engine's bit-for-bit."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        data = encode_jpeg(pix, quality=quality)
+        dec = twin_decode_jpeg(data)
+        h, w = len(dec), len(dec[0])
+        sse = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    d = dec[y][x][c] - int(pix[y, x, c])
+                    sse += d * d
+        npx = h * w * 3
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(data)),
+             np.int64(sse), bool(sse * 10_000 <= npx * 65_025))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_jpeg_bytes", "sse", "psnr40_ok"],
+    ).astype({"w": "int32", "h": "int32", "n_jpeg_bytes": "int64", "sse": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -532,6 +567,7 @@ def main() -> None:
         ("audio_resample", expected_audio_resample),
         ("img_domcolor", expected_img_domcolor),
         ("img_equalize", expected_img_equalize),
+        ("img_jpeg", expected_img_jpeg),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -174,3 +174,100 @@ def test_image_pipeline_ingests_real_png(spark):
         assert (decode_external(bytes(data), "png") == pix).all()
         pix2, fmt = decode_image(bytes(data))
         assert fmt == "png" and (pix2 == pix).all()
+
+
+# -- JPEG (round 4: the real lossy interchange codec) ---------------------------
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (30 + seed * 7 + yy * 2 + xx) % 230,
+            (60 + xx * 2 + (yy * 3) // 2) % 230,
+            (90 + yy + xx // 2) % 230,
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_meets_lossy_psnr_gate():
+    """The north rule's fidelity contract for lossy formats: PSNR ≥ 40 dB
+    on smooth (photographic-class) content at high quality."""
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    for h, w in ((32, 48), (37, 53), (64, 80)):
+        img = _smooth(h, w)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) >= 40.0, (h, w, psnr(img, dec))
+
+
+def test_jpeg_constant_image_exact_and_bytes_deterministic():
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((24, 16, 3), 137, np.uint8)
+    data = encode_jpeg(img, quality=85)
+    assert data == encode_jpeg(img, quality=85)
+    assert (decode_jpeg(data) == img).all()
+
+
+def test_jpeg_engine_decoder_matches_independent_twin_bitwise():
+    """The PNG independent-twin pattern for the lossy codec: the vectorized
+    engine decoder and scripts/jpeg_twin.py's scalar spec-forward decoder
+    implement the same exact-integer decode contract, so their pixels must
+    be BIT-identical — 4:4:4, 4:2:0, grey, odd sizes."""
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(21, 29, seed=3)
+    grey = img[:, :, 0].copy()
+    cases = [
+        encode_jpeg(img, quality=95),
+        encode_jpeg(img, quality=70),
+        encode_jpeg(img, quality=85, subsample=True),
+        encode_jpeg(img, quality=30, subsample=True),
+        encode_jpeg(grey, quality=90),
+    ]
+    for data in cases:
+        eng = decode_jpeg(data)
+        twin = np.array(twin_decode_jpeg(data), dtype=np.uint8)
+        assert np.array_equal(eng, twin)
+
+
+def test_jpeg_subsampled_is_smaller_and_still_decodable():
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(48, 64, seed=5)
+    full = encode_jpeg(img, quality=85)
+    sub = encode_jpeg(img, quality=85, subsample=True)
+    assert len(sub) < len(full)
+    assert decode_jpeg(sub).shape == img.shape
+
+
+def test_jpeg_rejects_progressive_and_junk():
+    import pytest
+
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+    # flip SOF0 to SOF2 (progressive) in a real stream
+    data = bytearray(encode_jpeg(_smooth(16, 16), quality=80))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_flows_through_decode_image_and_decode_external():
+    from rcspark.datapipe.multimodal import decode_external
+    from rcspark.jpeg import encode_jpeg
+
+    img = _smooth(16, 24, seed=1)
+    data = encode_jpeg(img, quality=92)
+    pix, fmt = decode_image(data)
+    assert fmt == "jpeg" and pix.shape == (16, 24, 3)
+    assert psnr(img, pix) >= 38.0
+    assert (decode_external(data, "jpeg") == pix).all()
