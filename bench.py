@@ -198,6 +198,15 @@ BENCH_QUERIES = [
     "warehouse_snapshot_diff",
     "emb_binary_sign_topk",
     "events_dau_wau",
+    # round-4: range-partitioned exact percentiles/ranks, real JPEG, real HTTP
+    "agg_percentile_cont",
+    "agg_percentile_disc",
+    "events_outlier_iqr",
+    "doc_dataset_card",
+    "crawl_host_fairness",
+    "crawl_fetch_balance",
+    "img_jpeg_roundtrip",
+    "crawl_fetch_parity",
 ]
 
 

@@ -9131,6 +9131,9 @@ def crawl_fetch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # loopback keep-alive without this hits Nagle × delayed-ACK:
+        # ~40 ms per request instead of ~1 ms
+        disable_nagle_algorithm = True
 
         def do_GET(self):
             try:

@@ -85,7 +85,8 @@ def _start_server():
     conn_count = {"n": 0}
 
     class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"  # keep-alive on
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True  # loopback: avoid 40ms Nagle x delayed-ACK
 
         def setup(self):
             conn_count["n"] += 1
@@ -179,6 +180,7 @@ def test_pooled_transport_drain_budget_bounds_huge_bodies():
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True  # loopback: avoid 40ms Nagle x delayed-ACK
 
         def do_GET(self):
             self.send_response(200)
@@ -243,6 +245,7 @@ def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path):
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True  # loopback: avoid 40ms Nagle x delayed-ACK
 
         def do_GET(self):
             host = (self.headers.get("Host") or "").split(":")[0]
