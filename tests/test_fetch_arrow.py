@@ -217,17 +217,20 @@ def test_pooled_transport_drain_budget_bounds_huge_bodies():
         srv.shutdown()
 
 
-def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path):
+@pytest.mark.parametrize("transport_cls", ["pooled", "async"])
+def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path, transport_cls):
     """FULL-ENGINE crawl through the production HTTP binding: the fixture
     web is served by a real localhost HTTP server (virtual-hosted via Host
-    header; PooledHttpTransport's `resolve` maps every fixture host to the
+    header; the transport's `resolve` maps every fixture host to the
     server — the DNS/IP-pool seam), and the resulting crawl must equal the
     simulate-join engine on the same fixture: URL-seen set, caption
-    corpus, and the (url, result, retry) fetch-attempt multiset."""
+    corpus, and the (url, result, retry) fetch-attempt multiset. Runs for
+    BOTH bindings: the pooled serial transport and the pipelined asyncio
+    one (round 4)."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from rcspark.fetch import PooledHttpTransport
+    from rcspark.fetch import AsyncHttpTransport, PooledHttpTransport
     from rcspark.fixtures import make_fixture
     from rcspark.run import CrawlEngine
 
@@ -278,12 +281,16 @@ def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path):
             fx.robots, fx.seeds, fx.allowed_hosts,
         )
         eng_join.run()
+        resolve = lambda host, p, _port=port: ("127.0.0.1", _port)
+        transport = (
+            PooledHttpTransport(timeout=5.0, resolve=resolve)
+            if transport_cls == "pooled"
+            else AsyncHttpTransport(timeout=5.0, resolve=resolve)
+        )
         eng_http = CrawlEngine(
             spark, str(tmp_path / "http"), web, corpus_src,
             fx.robots, fx.seeds, fx.allowed_hosts,
-            transport=PooledHttpTransport(
-                timeout=5.0, resolve=lambda host, p: ("127.0.0.1", port)
-            ),
+            transport=transport,
         )
         eng_http.run()
 
@@ -304,5 +311,141 @@ def test_engine_crawl_over_real_http_matches_join_engine(spark, tmp_path):
         assert seen(eng_http) == seen(eng_join)
         assert log(eng_http) == log(eng_join)
         assert captions(eng_http) == captions(eng_join)
+    finally:
+        srv.shutdown()
+
+
+# -- AsyncHttpTransport (round 4: pipelined asyncio + TLS) -----------------------
+
+
+def test_async_transport_matches_pooled_over_real_http(spark):
+    """The pipelined asyncio transport must produce exactly the pooled
+    transport's rows over the same live server, while fanning a host's
+    batch across up to `concurrency` keep-alive connections."""
+    from rcspark.fetch import AsyncHttpTransport, PooledHttpTransport
+
+    srv, conn_count = _start_server()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        rows = (
+            [(f"{base}/ok/{i}", "127.0.0.1", 0, 0) for i in range(30)]
+            + [(f"{base}/redir", "127.0.0.1", 0, 0),
+               (f"{base}/retry", "127.0.0.1", 0, 0),
+               (f"{base}/missing", "127.0.0.1", 0, 0),
+               ("not-a-url", "127.0.0.1", 0, 0)]
+        )
+        sched = spark.createDataFrame(
+            rows, "url_canon string, host string, fetch_ms long, retry_count int"
+        ).withColumn("priority", F.lit(0)).withColumn("depth", F.lit(0)).coalesce(1)
+
+        def snap(transport):
+            out = classify_outcome(fetch_http_arrow(sched, transport))
+            return sorted(
+                (r["url_canon"], r["status"], r["redirect_to"],
+                 bytes(r["body"]) if r["body"] is not None else None, r["result"])
+                for r in out.collect()
+            )
+
+        conn_count["n"] = 0
+        a = snap(AsyncHttpTransport(timeout=5.0, concurrency=4))
+        async_conns = conn_count["n"]
+        b = snap(PooledHttpTransport(timeout=5.0))
+        assert a == b
+        # pipelining actually happened: >1 connection for the one-host batch,
+        # bounded by the politeness burst width
+        assert 2 <= async_conns <= 4 + 2, async_conns
+    finally:
+        srv.shutdown()
+
+
+def test_async_transport_https_verifies_certificates(tmp_path):
+    """TLS config seam: a self-signed fixture CA is trusted via
+    tls_ca_file; the DEFAULT context must refuse it (verification on)."""
+    import ssl
+    import subprocess
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from rcspark.fetch import AsyncHttpTransport
+
+    cert, key = str(tmp_path / "cert.pem"), str(tmp_path / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "1", "-nodes", "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
+
+        def do_GET(self):
+            body = b"<title>secure</title>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"https://127.0.0.1:{srv.server_address[1]}/x"
+        trusted = AsyncHttpTransport(timeout=5.0, tls_ca_file=cert)
+        status, _, body = trusted(url)
+        assert status == 200 and body == b"<title>secure</title>"
+        # default trust store must REJECT the self-signed cert
+        assert AsyncHttpTransport(timeout=5.0)(url) == (None, None, None)
+        # explicit opt-out works (and is explicit)
+        status2, _, _ = AsyncHttpTransport(timeout=5.0, tls_insecure=True)(url)
+        assert status2 == 200
+    finally:
+        srv.shutdown()
+
+
+def test_async_transport_chunked_and_close_delimited():
+    """HTTP/1.1 framing coverage the join-fetcher never exercises:
+    chunked transfer-encoding and close-delimited bodies."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from rcspark.fetch import AsyncHttpTransport
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
+
+        def do_GET(self):
+            if self.path == "/chunked":
+                self.send_response(200)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for part in (b"hello ", b"chunked ", b"world"):
+                    self.wfile.write(b"%x\r\n%s\r\n" % (len(part), part))
+                self.wfile.write(b"0\r\n\r\n")
+            else:  # close-delimited: no length, no chunking
+                self.send_response(200)
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(b"until-eof-body")
+                self.close_connection = True
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        tr = AsyncHttpTransport(timeout=5.0)
+        res = tr.fetch_many([f"{base}/chunked", f"{base}/eof"])
+        assert res[0] == (200, None, b"hello chunked world")
+        assert res[1] == (200, None, b"until-eof-body")
     finally:
         srv.shutdown()
