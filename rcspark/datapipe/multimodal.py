@@ -217,6 +217,104 @@ def jpeg_roundtrip(ids: DataFrame, quality: int = 90) -> DataFrame:
     return ids.select("image_id").mapInPandas(run, JPEG_RT_SCHEMA)
 
 
+JPEG_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("true_q", T.IntegerType(), False),
+        T.StructField("est_q", T.IntegerType(), False),
+        T.StructField("dqt_dist", T.LongType(), False),
+        T.StructField("keep", T.BooleanType(), False),
+    ]
+)
+
+
+def estimate_jpeg_quality(data: bytes) -> tuple[int, int]:
+    """(est_q, dist): read the luminance DQT back out of JPEG bytes and
+    find the IJG quality whose Annex-K scaling is nearest (L1 over the 64
+    coefficients; lowest q wins ties; dist 0 = exact table match). The
+    LAION-style curation gate: corpora drop images stored below a quality
+    floor, and the stored quantization table is the honest signal for it
+    (metadata lies, DQT can't)."""
+    import struct as _s
+
+    from ..jpeg import ZIGZAG, quality_tables
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i, n = 2, len(data)
+    tbl = None
+    while i < n - 3:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = _s.unpack(">H", data[i + 2 : i + 4])[0]
+        if marker == 0xDB:
+            seg = data[i + 4 : i + 2 + seglen]
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                step = 128 if pq else 64
+                if tq == 0:  # luminance table, zigzag order
+                    vals = (
+                        list(seg[p + 1 : p + 65])
+                        if pq == 0
+                        else [
+                            (seg[p + 1 + 2 * j] << 8) | seg[p + 2 + 2 * j]
+                            for j in range(64)
+                        ]
+                    )
+                    nat = [0] * 64
+                    for zi, pos in enumerate(ZIGZAG):
+                        nat[pos] = vals[zi]
+                    tbl = nat
+                p += 1 + step
+        i += 2 + seglen
+    if tbl is None:
+        raise ValueError("no luminance DQT found")
+    best_q, best_d = -1, None
+    for q in range(1, 101):
+        cand = quality_tables(q)[0].reshape(64)
+        d = int(sum(abs(int(cand[j]) - tbl[j]) for j in range(64)))
+        if best_d is None or d < best_d:
+            best_q, best_d = q, d
+        if d == 0:
+            break  # lowest exactly-matching q wins
+    return best_q, best_d
+
+
+def jpeg_quality_gate(ids: DataFrame, q_floor: int = 60) -> DataFrame:
+    """Per id: encode the smooth fixture at an id-derived quality
+    (35..95), read the DQT back with estimate_jpeg_quality, and gate at
+    ``q_floor``. est_q must recover true_q exactly (dist 0) — pinned by
+    the independent expected parquet, whose twin re-parses the DQT with
+    its own scalar code."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import encode_jpeg
+    from ..xxh import xxh64
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                true_q = 35 + xxh64(iid.encode()) % 61
+                data = encode_jpeg(make_smooth_image(iid), quality=true_q)
+                est_q, dist = estimate_jpeg_quality(data)
+                out.append((iid, true_q, est_q, dist, est_q >= q_floor))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_QUALITY_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, JPEG_QUALITY_SCHEMA)
+
+
 # -- video: opaque binary container + frame sampling -------------------------------
 # Container (numpy-only stand-in for mp4/webm): b"RCV1\n<n> <w> <h>\n" +
 # n raw RGB frames. Real codecs bind in decode_external; the Spark-side

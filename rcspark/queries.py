@@ -9086,6 +9086,32 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JPEG quality readback gate (round 4): the LAION-style curation filter —
+# drop images stored below a quality floor, judged from the quantization
+# table actually in the bytes (metadata lies; the DQT cannot). est_q must
+# recover the encoder's true quality exactly (dqt_dist 0); the expected
+# parquet twin re-parses the DQT and re-derives the IJG scaling with
+# independent scalar code.
+
+@register(
+    "img_jpeg_quality",
+    oracle=f"""
+    SELECT e.image_id, e.true_q, e.est_q, e.dqt_dist, e.keep
+    FROM '{_MEDIA_EXPECTED}/img_jpeg_quality.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import jpeg_quality_gate
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return jpeg_quality_gate(ids)
+
+
 # =============================================================================
 # A10 real-HTTP transport parity, driver-gated (VERDICT r3 item 8)
 # =============================================================================
@@ -9216,6 +9242,7 @@ _CHANGED_THIS_ROUND = [
     # new this round (file position ≠ registration recency, so listed here)
     "img_jpeg_roundtrip",
     "crawl_fetch_parity",
+    "img_jpeg_quality",
 ]
 
 

@@ -548,6 +548,75 @@ def expected_img_jpeg(quality: int = 90) -> pd.DataFrame:
     ).astype({"w": "int32", "h": "int32", "n_jpeg_bytes": "int64", "sse": "int64"})
 
 
+def expected_img_jpeg_quality(q_floor: int = 60) -> pd.DataFrame:
+    """img_jpeg_quality twin: bytes from the shared generator chain
+    (smooth image + deterministic encoder), then an INDEPENDENT scalar
+    DQT readback — own marker walk, own zigzag placement, own IJG
+    rescaling of the Annex-K base table (the base table itself is spec
+    DATA, imported; the formula is re-implemented)."""
+    import struct
+
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import QUANT_LUM, ZIGZAG, encode_jpeg
+    from rcspark.xxh import xxh64
+
+    base = [int(x) for x in QUANT_LUM.reshape(64)]
+
+    def scaled(q: int) -> list[int]:
+        q = min(max(q, 1), 100)
+        s = 5000 // q if q < 50 else 200 - 2 * q
+        return [min(max((b * s + 50) // 100, 1), 255) for b in base]
+
+    def read_lum_dqt(data: bytes) -> list[int]:
+        i = 2
+        while i < len(data) - 3:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            m = data[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m in (0xD9, 0xDA):
+                break
+            (ln,) = struct.unpack(">H", data[i + 2 : i + 4])
+            if m == 0xDB:
+                seg = data[i + 4 : i + 2 + ln]
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    if tq == 0 and pq == 0:
+                        nat = [0] * 64
+                        for zi, pos in enumerate(ZIGZAG):
+                            nat[pos] = seg[p + 1 + zi]
+                        return nat
+                    p += 1 + (128 if pq else 64)
+            i += 2 + ln
+        raise ValueError("twin: no luminance DQT")
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        true_q = 35 + xxh64(iid.encode()) % 61
+        data = encode_jpeg(make_smooth_image(iid), quality=true_q)
+        tbl = read_lum_dqt(data)
+        best_q, best_d = -1, None
+        for q in range(1, 101):
+            cand = scaled(q)
+            d = sum(abs(cand[j] - tbl[j]) for j in range(64))
+            if best_d is None or d < best_d:
+                best_q, best_d = q, d
+            if d == 0:
+                break
+        rows.append(
+            (iid, np.int32(true_q), np.int32(best_q), np.int64(best_d),
+             bool(best_q >= q_floor))
+        )
+    return pd.DataFrame(
+        rows, columns=["image_id", "true_q", "est_q", "dqt_dist", "keep"]
+    ).astype({"true_q": "int32", "est_q": "int32", "dqt_dist": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -568,6 +637,7 @@ def main() -> None:
         ("img_domcolor", expected_img_domcolor),
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
+        ("img_jpeg_quality", expected_img_jpeg_quality),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

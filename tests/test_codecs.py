@@ -271,3 +271,16 @@ def test_jpeg_flows_through_decode_image_and_decode_external():
     assert fmt == "jpeg" and pix.shape == (16, 24, 3)
     assert psnr(img, pix) >= 38.0
     assert (decode_external(data, "jpeg") == pix).all()
+
+
+def test_jpeg_quality_readback_recovers_encoder_quality():
+    """estimate_jpeg_quality must recover the exact IJG quality the encoder
+    used, for every quality in the curation gate's operating range —
+    straight from the bytes' DQT, no metadata."""
+    from rcspark.datapipe.multimodal import estimate_jpeg_quality
+    from rcspark.jpeg import encode_jpeg
+
+    img = _smooth(24, 32, seed=9)
+    for q in (35, 50, 60, 75, 85, 90, 95):
+        est, dist = estimate_jpeg_quality(encode_jpeg(img, quality=q))
+        assert (est, dist) == (q, 0), (q, est, dist)
