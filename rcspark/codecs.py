@@ -63,6 +63,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         if pix.shape[2] == 1:
             pix = np.repeat(pix, 3, axis=2)
         return np.ascontiguousarray(pix), "jpeg"
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp  # real VP8L lossless codec (round 4)
+
+        return np.ascontiguousarray(decode_webp(data)[:, :, :3]), "webp"
     else:
         raise ValueError(f"unknown magic {data[:2]!r}")
     # header: magic\nW H\n255\n

@@ -56,8 +56,10 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
     rcspark.png — stdlib zlib + numpy, all five filters, CRC-checked);
     JPEG is REAL (round 4: rcspark.jpeg — baseline T.81, exact-integer
     IDCT, pinned bit-equal to the independent scripts/jpeg_twin.py
-    decoder); WebP remains the documented seam where PIL/cv2 bind on a
-    real cluster (no codec libs in this container)."""
+    decoder); WebP lossless is REAL (round 4: rcspark.webp — full VP8L,
+    all four transforms + color cache + LZ77 + meta groups, pinned
+    bit-equal to scripts/webp_twin.py). Only LOSSY WebP (VP8 chunks)
+    remains the documented seam where PIL/cv2 bind on a real cluster."""
     if fmt == "png" or data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..png import decode_png
 
@@ -66,6 +68,10 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
         from ..jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "webp" or (data[:4] == b"RIFF" and data[8:12] == b"WEBP"):
+        from ..webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
         f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
     )
@@ -313,6 +319,51 @@ def jpeg_quality_gate(ids: DataFrame, q_floor: int = 60) -> DataFrame:
             )
 
     return ids.select("image_id").mapInPandas(run, JPEG_QUALITY_SCHEMA)
+
+
+WEBP_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_webp_bytes", T.LongType(), False),
+        T.StructField("enc_mode", T.StringType(), False),
+        T.StructField("exact", T.BooleanType(), False),
+    ]
+)
+
+
+def webp_roundtrip(ids: DataFrame) -> DataFrame:
+    """A16 store-as-WebP audit: encode the shared smooth fixture to REAL
+    lossless WebP (rcspark.webp, VP8L — deterministic bytes, auto mode
+    choice), decode it back, report size + mode + exact-roundtrip flag.
+
+    Lossless means ``exact`` must be True for every row — but the column
+    is COMPUTED (decode-and-compare), not asserted: the expected parquet
+    twin (scripts/gen_media_expected.py) re-decodes the same bytes with
+    the independent scalar scripts/webp_twin.py decoder, so a defect in
+    either decoder (or the encoder) breaks the hash match."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..webp import decode_webp, encode_webp_auto
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                data, mode = encode_webp_auto(pix)
+                dec = decode_webp(data)
+                exact = bool(
+                    np.array_equal(dec[:, :, :3], pix) and (dec[:, :, 3] == 255).all()
+                )
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], len(data), mode, exact)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in WEBP_RT_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, WEBP_RT_SCHEMA)
 
 
 # -- video: opaque binary container + frame sampling -------------------------------

@@ -9112,6 +9112,34 @@ def img_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_quality_gate(ids)
 
 
+# A16 store-as-WebP roundtrip (round 4 second half: rcspark.webp is a REAL
+# VP8L lossless codec — RIFF + all four transforms + color cache + LZ77 +
+# meta prefix groups, deterministic encoder). Lossless interchange is the
+# archival tier next to JPEG's lossy tier; `exact` is decode-and-compare
+# (never asserted), and the expected parquet re-decodes the same bytes
+# with the INDEPENDENT scalar scripts/webp_twin.py decoder, so the full
+# encoder + both decoders sit under the driver's hash gate. Sparse %40 id
+# subset: the twin decode is deliberately scalar Python.
+
+@register(
+    "img_webp_roundtrip",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.n_webp_bytes, e.enc_mode, e.exact
+    FROM '{_MEDIA_EXPECTED}/img_webp.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import webp_roundtrip
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return webp_roundtrip(ids)
+
+
 # =============================================================================
 # A10 real-HTTP transport parity, driver-gated (VERDICT r3 item 8)
 # =============================================================================
@@ -9240,6 +9268,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "img_webp_roundtrip",
     "img_jpeg_roundtrip",
     "crawl_fetch_parity",
     "img_jpeg_quality",

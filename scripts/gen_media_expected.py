@@ -548,6 +548,47 @@ def expected_img_jpeg(quality: int = 90) -> pd.DataFrame:
     ).astype({"w": "int32", "h": "int32", "n_jpeg_bytes": "int64", "sse": "int64"})
 
 
+def expected_img_webp() -> pd.DataFrame:
+    """img_webp_roundtrip twin: the smooth image (shared generator) is
+    encoded with the engine's deterministic VP8L encoder — the bytes are
+    DATA, like the jpeg twin — then decoded with the INDEPENDENT scalar
+    spec-forward decoder (scripts/webp_twin.py) and compared pixel by
+    pixel with scalar ints. Lossless contract: `exact` is computed, not
+    assumed, so a defect in encoder or either decoder breaks the hash."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.webp import encode_webp_auto
+    from scripts.webp_twin import twin_decode_webp
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        data, mode = encode_webp_auto(pix)
+        dec = twin_decode_webp(data)
+        h, w = len(dec), len(dec[0])
+        exact = h == pix.shape[0] and w == pix.shape[1]
+        for y in range(h):
+            if not exact:
+                break
+            for x in range(w):
+                px = dec[y][x]
+                if (
+                    px[0] != int(pix[y, x, 0])
+                    or px[1] != int(pix[y, x, 1])
+                    or px[2] != int(pix[y, x, 2])
+                    or px[3] != 255
+                ):
+                    exact = False
+                    break
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(data)), mode, bool(exact))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_webp_bytes", "enc_mode", "exact"],
+    ).astype({"w": "int32", "h": "int32", "n_webp_bytes": "int64"})
+
+
 def expected_img_jpeg_quality(q_floor: int = 60) -> pd.DataFrame:
     """img_jpeg_quality twin: bytes from the shared generator chain
     (smooth image + deterministic encoder), then an INDEPENDENT scalar
@@ -638,6 +679,7 @@ def main() -> None:
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
+        ("img_webp", expected_img_webp),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -284,3 +284,125 @@ def test_jpeg_quality_readback_recovers_encoder_quality():
     for q in (35, 50, 60, 75, 85, 90, 95):
         est, dist = estimate_jpeg_quality(encode_jpeg(img, quality=q))
         assert (est, dist) == (q, 0), (q, est, dist)
+
+
+# -- WebP (VP8L lossless) — round 4 second half -------------------------------
+
+
+def test_webp_roundtrip_lossless_every_mode():
+    from rcspark.webp import decode_webp, encode_webp_auto
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (11, 19, 3), dtype=np.uint8)
+    smooth = _smooth(24, 17, seed=3)
+    for img in (noise, smooth):
+        for mode in ("literal", "subtract_green", "predictor", "color_transform"):
+            data, m = encode_webp_auto(img, mode=mode)
+            assert m == mode
+            dec = decode_webp(data)
+            assert np.array_equal(dec[:, :, :3], img)
+            assert (dec[:, :, 3] == 255).all()
+
+
+def test_webp_bytes_deterministic_and_auto_stable():
+    from rcspark.webp import encode_webp_auto
+
+    img = _smooth(32, 32, seed=9)
+    d1, m1 = encode_webp_auto(img)
+    d2, m2 = encode_webp_auto(img)
+    assert d1 == d2 and m1 == m2
+
+
+def test_webp_palette_packing_boundaries():
+    """1/2/4/16/17/256 colors cross every sub-byte bundling width."""
+    from rcspark.webp import decode_webp, encode_webp_auto
+
+    rng = np.random.default_rng(13)
+    for ncol in (1, 2, 3, 4, 5, 16, 17, 256):
+        vals = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = vals[rng.integers(0, ncol, (9, 21))]
+        data, m = encode_webp_auto(img, mode="palette")
+        assert m == "palette"
+        assert np.array_equal(decode_webp(data)[:, :, :3], img)
+
+
+def test_webp_engine_decoder_matches_independent_twin_bitwise():
+    """The PNG/JPEG independent-twin pattern: the engine decoder and
+    scripts/webp_twin.py's scalar tree-walk decoder must agree
+    bit-for-bit across transforms, color cache, LZ77, packed palettes,
+    alpha, and the meta-prefix two-group path."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import numpy as np
+
+    from scripts.webp_twin import twin_decode_webp
+
+    from rcspark.webp import decode_webp, encode_webp_auto
+
+    rng = np.random.default_rng(31)
+    noise = rng.integers(0, 256, (13, 29, 3), dtype=np.uint8)
+    rep = np.tile(rng.integers(0, 256, (3, 5, 3), dtype=np.uint8), (5, 7, 1))
+    pal = (rng.integers(0, 4, (10, 33), dtype=np.uint8) * 80)[:, :, None].repeat(3, 2)
+    rgba = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)
+    cases = [
+        (noise, dict(mode="literal")),
+        (noise, dict(mode="subtract_green")),
+        (noise, dict(mode="predictor")),
+        (noise, dict(mode="color_transform")),
+        (_smooth(32, 32, seed=7), dict(mode="auto")),
+        (rep, dict(mode="literal", cache_bits=0, use_lz77=True)),
+        (rep, dict(mode="literal", cache_bits=6, use_lz77=True)),
+        (rep, dict(mode="literal", cache_bits=11, use_lz77=False)),
+        (pal, dict(mode="palette")),
+        (rgba, dict(mode="predictor")),
+        (noise, dict(mode="subtract_green", two_groups=True, cache_bits=4)),
+        (_smooth(40, 40, seed=8), dict(mode="predictor", two_groups=True)),
+    ]
+    for img, kw in cases:
+        data, _ = encode_webp_auto(img, **kw)
+        eng = decode_webp(data)
+        twin = np.array(twin_decode_webp(data), dtype=np.uint8)
+        assert np.array_equal(eng, twin), kw
+
+
+def test_webp_rejects_junk_lossy_and_truncation():
+    import pytest
+
+    from rcspark.webp import decode_webp, encode_webp_auto
+
+    with pytest.raises(ValueError, match="WebP"):
+        decode_webp(b"notawebp" * 4)
+    # lossy VP8 chunk is the documented external seam
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+    data, _ = encode_webp_auto(_smooth(16, 16, seed=2))
+    with pytest.raises(ValueError):
+        decode_webp(data[: len(data) // 2])
+
+
+def test_webp_flows_through_decode_image_and_decode_external():
+    from rcspark.datapipe.multimodal import decode_external
+    from rcspark.webp import encode_webp_auto
+
+    img = _smooth(16, 24, seed=4)
+    data, _ = encode_webp_auto(img)
+    pix, fmt = decode_image(data)
+    assert fmt == "webp" and pix.shape == (16, 24, 3)
+    assert (pix == img).all()  # lossless
+    assert (decode_external(data, "webp")[:, :, :3] == img).all()
+
+
+def test_webp_smaller_than_raw_on_smooth_content():
+    """The predictor transform must actually compress photographic-class
+    content (not just wrap bytes): < 0.5 byte/channel on the shared
+    smooth fixtures vs 3 bytes/px raw."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.webp import encode_webp_auto
+
+    for iid in ("img40", "img4000"):
+        pix = make_smooth_image(iid)
+        data, mode = encode_webp_auto(pix)
+        assert mode == "predictor"
+        assert len(data) < 0.5 * pix.size
