@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "crawl_fetch_balance",
     "img_jpeg_roundtrip",
     "crawl_fetch_parity",
+    # round-4 second half: real VP8L lossless WebP
+    "img_webp_roundtrip",
 ]
 
 
