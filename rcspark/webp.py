@@ -338,8 +338,12 @@ def _read_prefix_code(br: BitReader, alphabet: int) -> PrefixDecoder:
         lengths = [0] * alphabet
         if num_symbols == 2:
             s1 = br.read(8)
+            if s0 >= alphabet or s1 >= alphabet:
+                raise ValueError("VP8L: simple-code symbol out of alphabet")
             lengths[s0] = lengths[s1] = 1
         else:
+            if s0 >= alphabet:
+                raise ValueError("VP8L: simple-code symbol out of alphabet")
             lengths[s0] = 1
         return PrefixDecoder(lengths)
     return PrefixDecoder(_read_code_lengths(br, alphabet))

@@ -148,9 +148,14 @@ def _read_tree(bits, alphabet):
         two = bits.u(1)
         lengths = [0] * alphabet
         s0 = bits.u(8) if bits.u(1) else bits.u(1)
+        if s0 >= alphabet:
+            raise ValueError("twin: simple symbol out of range")
         lengths[s0] = 1
         if two:
-            lengths[bits.u(8)] = 1
+            s1 = bits.u(8)
+            if s1 >= alphabet:
+                raise ValueError("twin: simple symbol out of range")
+            lengths[s1] = 1
         return Tree(lengths)
     return Tree(_read_lengths(bits, alphabet))
 

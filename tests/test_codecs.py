@@ -406,3 +406,27 @@ def test_webp_smaller_than_raw_on_smooth_content():
         data, mode = encode_webp_auto(pix)
         assert mode == "predictor"
         assert len(data) < 0.5 * pix.size
+
+
+def test_webp_corruption_never_escapes_valueerror():
+    """Any byte corruption or truncation must surface as ValueError (or
+    the NotImplementedError lossy seam) — never IndexError/KeyError — so
+    a hostile corpus can't crash the vectorized decode UDFs."""
+    from rcspark.webp import decode_webp, encode_webp_auto
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    data, _ = encode_webp_auto(img, mode="predictor", cache_bits=4)
+    for _ in range(400):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(12, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_webp(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(data), 3):
+        try:
+            decode_webp(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
