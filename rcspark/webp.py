@@ -84,20 +84,28 @@ class BitReader:
 
 
 class BitWriter:
-    """LSB-first bit writer."""
+    """LSB-first bit writer — flushes whole bytes eagerly so each write is
+    O(1) (a single growing int would make the stream O(n^2))."""
 
     def __init__(self):
-        self._val = 0
-        self._nbits = 0
+        self._buf = bytearray()
+        self._acc = 0
+        self._nacc = 0
 
     def write(self, value: int, n: int) -> None:
         assert 0 <= value < (1 << n), (value, n)
-        self._val |= value << self._nbits
-        self._nbits += n
+        self._acc |= value << self._nacc
+        self._nacc += n
+        while self._nacc >= 8:
+            self._buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nacc -= 8
 
     def getvalue(self) -> bytes:
-        nbytes = (self._nbits + 7) // 8
-        return self._val.to_bytes(nbytes, "little")
+        out = bytes(self._buf)
+        if self._nacc:
+            out += bytes((self._acc,))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -424,10 +432,14 @@ def _trunc_half(d: np.ndarray) -> np.ndarray:
     return np.where(d >= 0, d // 2, -((-d) // 2))
 
 
-def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
-    """One pixel's predictor: L/T/TL/TR are length-4 int16 arrays [a,r,g,b]."""
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _predict_px(mode, L, T, TL, TR):
+    """One pixel's predictor on (a, r, g, b) int tuples."""
     if mode == 0:
-        return np.array([255, 0, 0, 0], dtype=np.int16)
+        return (255, 0, 0, 0)
     if mode == 1:
         return L
     if mode == 2:
@@ -437,58 +449,71 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
     if mode == 4:
         return TL
     if mode == 5:
-        return _avg2(_avg2(L, TR), T)
+        return tuple((((L[c] + TR[c]) >> 1) + T[c]) >> 1 for c in range(4))
     if mode == 6:
-        return _avg2(L, TL)
+        return tuple((L[c] + TL[c]) >> 1 for c in range(4))
     if mode == 7:
-        return _avg2(L, T)
+        return tuple((L[c] + T[c]) >> 1 for c in range(4))
     if mode == 8:
-        return _avg2(TL, T)
+        return tuple((TL[c] + T[c]) >> 1 for c in range(4))
     if mode == 9:
-        return _avg2(T, TR)
+        return tuple((T[c] + TR[c]) >> 1 for c in range(4))
     if mode == 10:
-        return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:
-        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
-        if int(np.abs(p - T).sum()) <= int(np.abs(p - L).sum()):
-            return T
-        return L
-    if mode == 12:
-        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
-        return np.clip(p, 0, 255).astype(np.int16)
-    if mode == 13:
-        m = _avg2(L, T).astype(np.int32)
-        return np.clip(m + _trunc_half(m - TL.astype(np.int32)), 0, 255).astype(
-            np.int16
+        return tuple(
+            (((L[c] + TL[c]) >> 1) + ((T[c] + TR[c]) >> 1)) >> 1 for c in range(4)
         )
+    if mode == 11:
+        pt = pl = 0
+        for c in range(4):
+            est = L[c] + T[c] - TL[c]
+            pt += abs(est - T[c])
+            pl += abs(est - L[c])
+        return T if pt <= pl else L
+    if mode == 12:
+        return tuple(_clip255(L[c] + T[c] - TL[c]) for c in range(4))
+    if mode == 13:
+        out = []
+        for c in range(4):
+            m = (L[c] + T[c]) >> 1
+            d = m - TL[c]
+            half = d // 2 if d >= 0 else -((-d) // 2)  # trunc toward zero
+            out.append(_clip255(m + half))
+        return tuple(out)
     raise ValueError(f"VP8L: bad predictor mode {mode}")
 
 
 def _inv_predictor(img: np.ndarray, modes: list[int], bits: int, mw: int) -> np.ndarray:
-    """img: (h, w, 4) uint8 [a,r,g,b] residuals -> pixels, in place scan."""
+    """img: (h, w, 4) uint8 [a,r,g,b] residuals -> pixels (sequential per
+    spec; plain-int tuples — per-pixel numpy ops are ~10x slower here)."""
     h, w, _ = img.shape
-    px = img.astype(np.int16)
+    res = img.tolist()
+    out: list[list[tuple]] = [[None] * w for _ in range(h)]
     for y in range(h):
+        orow = out[y]
+        rrow = res[y]
+        prow = out[y - 1] if y > 0 else None
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = _predict(0, None, None, None, None)
+            if y == 0:
+                pred = (255, 0, 0, 0) if x == 0 else orow[x - 1]
+            elif x == 0:
+                pred = prow[0]
             else:
-                if y == 0:
-                    mode = 1
-                elif x == 0:
-                    mode = 2
+                mode = modes[(y >> bits) * mw + (x >> bits)]
+                if mode == 1:
+                    pred = orow[x - 1]
+                elif mode == 2:
+                    pred = prow[x]
                 else:
-                    mode = modes[(y >> bits) * mw + (x >> bits)]
-                L = px[y, x - 1] if x > 0 else None
-                T = px[y - 1, x] if y > 0 else None
-                TL = px[y - 1, x - 1] if (x > 0 and y > 0) else None
-                if y > 0:
-                    TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
-                else:
-                    TR = None
-                pred = _predict(mode, L, T, TL, TR)
-            px[y, x] = (px[y, x] + pred) & 0xFF
-    return px.astype(np.uint8)
+                    TR = prow[x + 1] if x + 1 < w else orow[0]
+                    pred = _predict_px(mode, orow[x - 1], prow[x], prow[x - 1], TR)
+            r0 = rrow[x]
+            orow[x] = (
+                (r0[0] + pred[0]) & 0xFF,
+                (r0[1] + pred[1]) & 0xFF,
+                (r0[2] + pred[2]) & 0xFF,
+                (r0[3] + pred[3]) & 0xFF,
+            )
+    return np.array(out, dtype=np.uint8)
 
 
 def _ct_delta(t: int, c: int) -> int:
@@ -740,17 +765,22 @@ def _write_prefix_code(bw: BitWriter, lengths: list[int]) -> None:
             bw.write(extra, 7)
 
 
-def _emit_code_word(bw: BitWriter, codes, single: bool, sym: int) -> None:
-    if single:
-        return
-    l, c = codes[sym]
-    # canonical code bits are consumed MSB-first by the reader; BitWriter
-    # is LSB-first, so write the reversed bit pattern
-    rev = 0
-    for _ in range(l):
-        rev = (rev << 1) | (c & 1)
-        c >>= 1
-    bw.write(rev, l)
+def _emit_table(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (nbits, reversed_code)} ready for the LSB-first writer
+    (canonical code bits are consumed MSB-first by the reader). A code
+    with a single used symbol costs 0 bits."""
+    codes = canonical_codes(lengths)
+    if len(codes) == 1:
+        return {s: (0, 0) for s in codes}
+    out = {}
+    for s, (l, c) in codes.items():
+        rev = 0
+        cc = c
+        for _ in range(l):
+            rev = (rev << 1) | (cc & 1)
+            cc >>= 1
+        out[s] = (l, rev)
+    return out
 
 
 def _symbolize(
@@ -760,13 +790,27 @@ def _symbolize(
     state. Tokens: ('lit', a, r, g, b) | ('cache', idx) | ('copy', length,
     dist). Greedy LZ77 over a pixel-value hash chain (8 probes)."""
     n = len(flat)
-    cache = [0] * (1 << cache_bits) if cache_bits else None
+    arr = np.asarray(flat, dtype=np.uint32)
+    if cache_bits:
+        hs = (
+            ((np.uint64(_HASH_MUL) * arr.astype(np.uint64)) & np.uint64(0xFFFFFFFF))
+            >> np.uint64(32 - cache_bits)
+        ).astype(np.int64).tolist()
+        cache = [0] * (1 << cache_bits)
+    else:
+        hs = None
+        cache = None
+    if use_lz77:
+        # a pixel value that occurs once can never start or feed a match —
+        # keep it out of the hash chain entirely (token stream unchanged)
+        _, inv, counts = np.unique(arr, return_inverse=True, return_counts=True)
+        repeated = (counts[inv] > 1).tolist()
     chain: dict[int, list[int]] = {}
     tokens: list[tuple] = []
     pos = 0
     while pos < n:
         best_len, best_dist = 0, 0
-        if use_lz77:
+        if use_lz77 and repeated[pos]:
             for prev in reversed(chain.get(flat[pos], [])[-8:]):
                 dist = pos - prev
                 if dist > 1048576 - 120:
@@ -781,22 +825,23 @@ def _symbolize(
             tokens.append(("copy", best_len, best_dist))
             end = pos + best_len
             while pos < end:
-                chain.setdefault(flat[pos], []).append(pos)
+                if repeated[pos]:
+                    chain.setdefault(flat[pos], []).append(pos)
                 if cache is not None:
-                    cache[cache_hash(flat[pos], cache_bits)] = flat[pos]
+                    cache[hs[pos]] = flat[pos]
                 pos += 1
             continue
         px = flat[pos]
-        hidx = cache_hash(px, cache_bits) if cache is not None else 0
-        if cache is not None and cache[hidx] == px and pos > 0:
-            tokens.append(("cache", hidx))
+        if cache is not None and cache[hs[pos]] == px and pos > 0:
+            tokens.append(("cache", hs[pos]))
         else:
             tokens.append(
                 ("lit", px >> 24, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
             )
-        chain.setdefault(px, []).append(pos)
+        if use_lz77 and repeated[pos]:
+            chain.setdefault(px, []).append(pos)
         if cache is not None:
-            cache[hidx] = px
+            cache[hs[pos]] = px
         pos += 1
     return tokens
 
@@ -898,30 +943,35 @@ def _write_entropy_image(
                 fr[0] = 1  # unused code: emit a 1-symbol placeholder
             lengths = huffman_lengths(fr)
             _write_prefix_code(bw, lengths)
-            codes = canonical_codes(lengths)
-            entry[k] = (codes, len(codes) == 1)
+            entry[k] = _emit_table(lengths)
         group_codes.append(entry)
 
+    write = bw.write
     for tok, pos in zip(tokens, positions):
         cg = group_codes[group_at(pos) if group_at else 0]
-        if tok[0] == "lit":
+        kind = tok[0]
+        if kind == "lit":
             _, a, r, g, b = tok
-            _emit_code_word(bw, *cg["g"], g)
-            _emit_code_word(bw, *cg["r"], r)
-            _emit_code_word(bw, *cg["b"], b)
-            _emit_code_word(bw, *cg["a"], a)
-        elif tok[0] == "cache":
-            _emit_code_word(bw, *cg["g"], 280 + tok[1])
+            l1, v = cg["g"][g]
+            l2, v2 = cg["r"][r]
+            v |= v2 << l1
+            l1 += l2
+            l2, v2 = cg["b"][b]
+            v |= v2 << l1
+            l1 += l2
+            l2, v2 = cg["a"][a]
+            write(v | (v2 << l1), l1 + l2)
+        elif kind == "cache":
+            l1, v = cg["g"][280 + tok[1]]
+            write(v, l1)
         else:
             lcode, lextra, leb = _bin_encode(tok[1], LEN_BINS)
-            _emit_code_word(bw, *cg["g"], 256 + lcode)
-            if leb:
-                bw.write(lextra, leb)
+            l1, v = cg["g"][256 + lcode]
+            write(v | (lextra << l1), l1 + leb)
             pcode = dist_to_plane_code(w, tok[2])
             dcode, dextra, deb = _bin_encode(pcode, DIST_BINS)
-            _emit_code_word(bw, *cg["d"], dcode)
-            if deb:
-                bw.write(dextra, deb)
+            l1, v = cg["d"][dcode]
+            write(v | (dextra << l1), l1 + deb)
 
 
 # -- forward transforms ------------------------------------------------------
