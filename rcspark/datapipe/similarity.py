@@ -324,8 +324,10 @@ def semdedup(
     Scale shape: pair comparison is confined to cells — ncells grows as
     isqrt(n) (derive_ncells) so expected cell size stays bounded; the
     centroid build ships n·dim integer rows (the MinHash signature
-    pattern) with a map-side-combinable sum; the dominator check is a
-    cell-colocated self-join reusing the cell partitioning.
+    pattern) with a map-side-combinable sum; the dominator check is one
+    Arrow batch per cell (bounded by max_cell) doing an exact-integer
+    GEMM, with the decisive tau threshold re-applied as the original
+    Spark expression on the surviving candidate pairs.
 
     Cross-engine determinism: centroids are per-cell component sums of
     micro-unit-quantized normalized vectors — exact int64, fold-order
@@ -392,31 +394,84 @@ def semdedup(
         .select("cell")
     )
     mok = m.join(ok, "cell")
-    a = mok.select("vec_id", "cell", "qvec", "qn", "sim_centroid")
-    b = mok.select(
-        F.col("vec_id").alias("_bid"),
-        F.col("cell").alias("_bcell"),
-        F.col("qvec").alias("_bq"),
-        F.col("qn").alias("_bqn"),
-        F.col("sim_centroid").alias("_bsim"),
+
+    # Candidate-pair generation: one Arrow batch per cell (groups are
+    # bounded by max_cell rows x dim int64 ≈ 5 MB), a float64 GEMM inside.
+    # The GEMM is EXACT, not approximate: qvec entries are integers with
+    # |v| <= SEMDEDUP_QUANT, so every product (<= 1e12) and every partial
+    # sum (<= dim·1e12 << 2^53) is an exactly-representable integer — any
+    # summation order, SIMD or FMA, yields the bit-identical double the
+    # interpreted left-to-right dot() fold produced. The UDF only
+    # PRE-filters with a 1e-6 slack (round(x, 6) >= tau implies
+    # x >= tau - 5e-7); the decisive threshold below stays the original
+    # Spark expression, so oracle values are untouched. Replaced the
+    # per-pair interpreted 64-element HOF fold of the theta-join
+    # (13-19 s -> GEMM, sf0.1).
+    tau_f = float(tau)
+
+    def _cand_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "idot": pd.Series([], dtype="float64"),
+                "qn_a": pd.Series([], dtype="float64"),
+                "qn_b": pd.Series([], dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = pdf["sim_centroid"].to_numpy(dtype=np.float64)
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        Q = np.vstack(pdf["qvec"].to_numpy()).astype(np.float64)
+        # b dominates a iff b sorts strictly before a by (sim, id); NaN
+        # maps to +inf so ordering/equality match Spark SQL NaN semantics
+        # (NaN == NaN, NaN > everything). ids are unique by contract.
+        skey = np.where(np.isnan(sims), np.inf, sims)
+        order = np.lexsort((ids, skey))
+        ids, qn, Q = ids[order], qn[order], Q[order]
+        lo = tau_f - 1e-6
+        cols = np.arange(n)
+        out_a, out_d, out_na, out_nb = [], [], [], []
+        blk = max(1, 8_000_000 // n)  # <= 64 MB of G per block
+        for i0 in range(1, n, blk):
+            i1 = min(n, i0 + blk)
+            G = Q[i0:i1] @ Q.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = G / (qn[i0:i1, None] * qn[None, :])
+            # non-finite ratios (zero-norm rows) stay candidates so the
+            # exact Spark filter decides them exactly as the join did
+            cand = (ratio >= lo) | ~np.isfinite(ratio)
+            cand &= cols[None, :] < np.arange(i0, i1)[:, None]
+            ai, bj = np.nonzero(cand)
+            if len(ai):
+                out_a.append(ids[ai + i0])
+                out_d.append(G[ai, bj])
+                out_na.append(qn[ai + i0])
+                out_nb.append(qn[bj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_a),
+                "idot": np.concatenate(out_d),
+                "qn_a": np.concatenate(out_na),
+                "qn_b": np.concatenate(out_nb),
+            }
+        )
+
+    cand = (
+        mok.select("cell", "vec_id", "qvec", "qn", "sim_centroid")
+        .groupBy("cell")
+        .applyInPandas(_cand_pairs, "vec_id long, idot double, qn_a double, qn_b double")
     )
     dom = (
-        a.join(
-            b,
-            (F.col("cell") == F.col("_bcell"))
-            & (
-                (F.col("_bsim") < F.col("sim_centroid"))
-                | (
-                    (F.col("_bsim") == F.col("sim_centroid"))
-                    & (F.col("_bid") < F.col("vec_id"))
-                )
-            ),
-        )
-        .filter(
-            F.round(
-                dot(F.col("qvec"), F.col("_bq")) / (F.col("qn") * F.col("_bqn")), 6
-            )
-            >= tau
+        cand.filter(
+            F.round(F.col("idot") / (F.col("qn_a") * F.col("qn_b")), 6) >= tau
         )
         .select("vec_id")
         .distinct()
