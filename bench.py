@@ -207,8 +207,9 @@ BENCH_QUERIES = [
     "crawl_fetch_balance",
     "img_jpeg_roundtrip",
     "crawl_fetch_parity",
-    # round-4 second half: real VP8L lossless WebP
+    # round-4 second half: real VP8L lossless WebP + ingest-to-store transcode
     "img_webp_roundtrip",
+    "img_transcode_webp_jpeg",
 ]
 
 

@@ -366,6 +366,75 @@ def webp_roundtrip(ids: DataFrame) -> DataFrame:
     return ids.select("image_id").mapInPandas(run, WEBP_RT_SCHEMA)
 
 
+TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_webp_bytes", T.LongType(), False),
+        T.StructField("n_jpeg_bytes", T.LongType(), False),
+        T.StructField("webp_exact", T.BooleanType(), False),
+        T.StructField("sse", T.LongType(), False),
+        T.StructField("psnr40_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def webp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
+    """A16 ingest-to-store transcode — the literal ImagesPipeline behavior
+    ([U scrapy/pipelines/images.py] `convert_image` re-encodes whatever
+    arrives to JPEG): the source is stored as REAL lossless WebP
+    (rcspark.webp), the pipeline decodes it and re-encodes to REAL
+    baseline JPEG (rcspark.jpeg), and fidelity is judged against the
+    ORIGINAL pixels — the whole decode→encode→decode chain sits under one
+    gate.
+
+    `webp_exact` must be True (lossless leg) and `psnr40_ok` carries the
+    north rule's lossy floor as the exact integer predicate
+    sse·10⁴ ≤ npx·255²; both are COMPUTED, never asserted. The expected
+    parquet twin (scripts/gen_media_expected.py) re-decodes the same WebP
+    bytes with the independent scripts/webp_twin.py decoder and the same
+    JPEG bytes with scripts/jpeg_twin.py, so a defect in either encoder
+    or any of the four decoders breaks the driver's hash match."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import decode_jpeg, encode_jpeg
+    from ..webp import decode_webp, encode_webp_auto
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                wdata, _ = encode_webp_auto(pix)
+                dec_w = decode_webp(wdata)
+                webp_exact = bool(
+                    np.array_equal(dec_w[:, :, :3], pix)
+                    and (dec_w[:, :, 3] == 255).all()
+                )
+                jdata = encode_jpeg(dec_w[:, :, :3], quality=quality)
+                dec_j = decode_jpeg(jdata)
+                diff = dec_j.astype(np.int64) - pix.astype(np.int64)
+                sse = int((diff * diff).sum())
+                npx = pix.shape[0] * pix.shape[1] * 3
+                out.append(
+                    (
+                        iid,
+                        pix.shape[1],
+                        pix.shape[0],
+                        len(wdata),
+                        len(jdata),
+                        webp_exact,
+                        sse,
+                        sse * 10_000 <= npx * 65_025,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in TRANSCODE_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, TRANSCODE_SCHEMA)
+
+
 # -- video: opaque binary container + frame sampling -------------------------------
 # Container (numpy-only stand-in for mp4/webm): b"RCV1\n<n> <w> <h>\n" +
 # n raw RGB frames. Real codecs bind in decode_external; the Spark-side

@@ -9140,6 +9140,34 @@ def img_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webp_roundtrip(ids)
 
 
+# A16 ingest-to-store transcode (round 4): the literal ImagesPipeline
+# behavior — [U scrapy/pipelines/images.py] convert_image() re-encodes
+# whatever arrives to JPEG. Source = REAL lossless WebP, store = REAL
+# baseline JPEG, fidelity judged against the ORIGINAL pixels, so one hash
+# gate covers both encoders and (via the expected parquet twin, which
+# re-runs both decode legs with the independent scalar decoders and
+# re-encodes from ITS WebP pixels) all four decoder implementations.
+
+@register(
+    "img_transcode_webp_jpeg",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.n_webp_bytes, e.n_jpeg_bytes,
+           e.webp_exact, e.sse, e.psnr40_ok
+    FROM '{_MEDIA_EXPECTED}/img_transcode.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_transcode_webp_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import webp_to_jpeg_transcode
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return webp_to_jpeg_transcode(ids)
+
+
 # =============================================================================
 # A10 real-HTTP transport parity, driver-gated (VERDICT r3 item 8)
 # =============================================================================
@@ -9272,6 +9300,9 @@ _CHANGED_THIS_ROUND = [
     "img_jpeg_roundtrip",
     "crawl_fetch_parity",
     "img_jpeg_quality",
+    "img_transcode_webp_jpeg",
+    # rewritten pair stage (cell-grouped exact-integer GEMM)
+    "emb_semdedup",
 ]
 
 

@@ -658,6 +658,63 @@ def expected_img_jpeg_quality(q_floor: int = 60) -> pd.DataFrame:
     ).astype({"true_q": "int32", "est_q": "int32", "dqt_dist": "int64"})
 
 
+def expected_img_transcode(quality: int = 90) -> pd.DataFrame:
+    """img_transcode_webp_jpeg twin: the WebP and JPEG bytes come from the
+    engine's deterministic encoders (bytes are DATA, as in the jpeg/webp
+    twins), but BOTH decode legs run the independent scalar decoders —
+    scripts/webp_twin.py for the lossless ingest, scripts/jpeg_twin.py for
+    the stored copy — and the fidelity sums are scalar ints vs the shared
+    generator's original pixels. The JPEG is re-encoded from the TWIN's
+    decoded WebP pixels, so a lossless-leg defect in either decoder
+    changes the downstream bytes and breaks the hash."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg
+    from rcspark.webp import encode_webp_auto
+    from scripts.jpeg_twin import twin_decode_jpeg
+    from scripts.webp_twin import twin_decode_webp
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        wdata, _ = encode_webp_auto(pix)
+        dec_w = twin_decode_webp(wdata)
+        h, w = len(dec_w), len(dec_w[0])
+        exact = h == pix.shape[0] and w == pix.shape[1]
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                px = dec_w[y][x]
+                rgb[y, x] = px[:3]
+                if exact and (
+                    px[0] != int(pix[y, x, 0])
+                    or px[1] != int(pix[y, x, 1])
+                    or px[2] != int(pix[y, x, 2])
+                    or px[3] != 255
+                ):
+                    exact = False
+        jdata = encode_jpeg(rgb, quality=quality)
+        dec_j = twin_decode_jpeg(jdata)
+        sse = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    d = dec_j[y][x][c] - int(pix[y, x, c])
+                    sse += d * d
+        npx = h * w * 3
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(wdata)),
+             np.int64(len(jdata)), bool(exact), np.int64(sse),
+             bool(sse * 10_000 <= npx * 65_025))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_webp_bytes", "n_jpeg_bytes",
+                 "webp_exact", "sse", "psnr40_ok"],
+    ).astype({"w": "int32", "h": "int32", "n_webp_bytes": "int64",
+              "n_jpeg_bytes": "int64", "sse": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -680,6 +737,7 @@ def main() -> None:
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
         ("img_webp", expected_img_webp),
+        ("img_transcode", expected_img_transcode),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")
