@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     # round-4 second half: real VP8L lossless WebP + ingest-to-store transcode
     "img_webp_roundtrip",
     "img_transcode_webp_jpeg",
+    # round-4 continuation: real GIF codec (LZW) + GIF→JPEG convert_image leg
+    "img_gif_roundtrip",
+    "img_transcode_gif_jpeg",
 ]
 
 

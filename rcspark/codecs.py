@@ -67,6 +67,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         from .webp import decode_webp  # real VP8L lossless codec (round 4)
 
         return np.ascontiguousarray(decode_webp(data)[:, :, :3]), "webp"
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif  # real LZW palette codec (round 4)
+
+        return np.ascontiguousarray(decode_gif(data)), "gif"
     else:
         raise ValueError(f"unknown magic {data[:2]!r}")
     # header: magic\nW H\n255\n

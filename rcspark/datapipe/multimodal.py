@@ -58,8 +58,11 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
     IDCT, pinned bit-equal to the independent scripts/jpeg_twin.py
     decoder); WebP lossless is REAL (round 4: rcspark.webp — full VP8L,
     all four transforms + color cache + LZ77 + meta groups, pinned
-    bit-equal to scripts/webp_twin.py). Only LOSSY WebP (VP8 chunks)
-    remains the documented seam where PIL/cv2 bind on a real cluster."""
+    bit-equal to scripts/webp_twin.py); GIF is REAL (round 4:
+    rcspark.gif — 87a/89a, LZW, interlace, LCTs, transparency +
+    disposal compositing, pinned bit-equal to scripts/gif_twin.py).
+    Only LOSSY WebP (VP8 chunks) remains the documented seam where
+    PIL/cv2 bind on a real cluster."""
     if fmt == "png" or data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..png import decode_png
 
@@ -72,6 +75,10 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
         from ..webp import decode_webp
 
         return decode_webp(data)
+    if fmt == "gif" or data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
     )
@@ -433,6 +440,190 @@ def webp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in TRANSCODE_SCHEMA.fields])
 
     return ids.select("image_id").mapInPandas(run, TRANSCODE_SCHEMA)
+
+
+GIF_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_gif_bytes", T.LongType(), False),
+        T.StructField("pal_mode", T.StringType(), False),
+        T.StructField("exact", T.BooleanType(), False),
+    ]
+)
+
+
+def gif_roundtrip(ids: DataFrame) -> DataFrame:
+    """A16 store-as-GIF audit: encode the shared smooth fixture to REAL
+    GIF89a (rcspark.gif — real variable-width LZW, deterministic palette),
+    decode it back, report size + palette mode + exact-contract flag.
+
+    The contract is two-tier: `exact` palettes (≤256 distinct colors)
+    must roundtrip losslessly; truecolor images go through the fixed
+    3-3-2 palette and must decode to quantize_332(pixels) EXACTLY. The
+    flag is COMPUTED (decode-and-compare), and the expected parquet twin
+    (scripts/gen_media_expected.py) re-decodes the same bytes with the
+    independent scalar scripts/gif_twin.py decoder and restates the
+    quantization with its own scalar formula — a defect in encoder,
+    either decoder, or either quantizer breaks the driver's hash."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..gif import decode_gif, encode_gif, quantize_332
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                data, mode = encode_gif(pix)
+                dec = decode_gif(data)
+                want = pix if mode == "exact" else quantize_332(pix)
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], len(data), mode,
+                     bool(np.array_equal(dec, want)))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in GIF_RT_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, GIF_RT_SCHEMA)
+
+
+GIF_TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_gif_bytes", T.LongType(), False),
+        T.StructField("n_jpeg_bytes", T.LongType(), False),
+        T.StructField("pal_mode", T.StringType(), False),
+        T.StructField("gif_exact", T.BooleanType(), False),
+        T.StructField("sse", T.LongType(), False),
+        T.StructField("psnr40_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def gif_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
+    """A16 ingest-to-store transcode for GIF uploads — the literal
+    ImagesPipeline behavior ([U scrapy/pipelines/images.py]
+    `convert_image` re-encodes GIF arrivals to JPEG): the source is
+    stored as REAL GIF89a (rcspark.gif), the pipeline decodes it and
+    re-encodes to REAL baseline JPEG (rcspark.jpeg).
+
+    Fidelity is judged against the DECODED GIF pixels (what arrived —
+    for a palette format the palette image IS the ingested truth; the
+    palette leg has its own exact contract via `gif_exact`), with the
+    north rule's PSNR ≥ 40 dB floor as the exact integer predicate
+    sse·10⁴ ≤ npx·255². Measured finding the gate surfaces honestly:
+    3-3-2 palette banding turns smooth gradients into step edges that
+    baseline JPEG q90 reproduces at only ~31-33 dB, so most
+    truecolor-sourced GIFs FAIL the photographic floor (exact-palette
+    GIFs pass) — exactly the signal a curation pipeline needs before
+    storing GIF-sourced photos. The expected parquet twin re-decodes
+    the GIF bytes with scripts/gif_twin.py and the JPEG bytes with
+    scripts/jpeg_twin.py — four independent decoder legs under one
+    driver hash."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..gif import decode_gif, encode_gif, quantize_332
+    from ..jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                gdata, mode = encode_gif(pix)
+                dec_g = decode_gif(gdata)
+                want = pix if mode == "exact" else quantize_332(pix)
+                gif_exact = bool(np.array_equal(dec_g, want))
+                jdata = encode_jpeg(dec_g, quality=quality)
+                dec_j = decode_jpeg(jdata)
+                diff = dec_j.astype(np.int64) - dec_g.astype(np.int64)
+                sse = int((diff * diff).sum())
+                npx = pix.shape[0] * pix.shape[1] * 3
+                out.append(
+                    (
+                        iid,
+                        pix.shape[1],
+                        pix.shape[0],
+                        len(gdata),
+                        len(jdata),
+                        mode,
+                        gif_exact,
+                        sse,
+                        sse * 10_000 <= npx * 65_025,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GIF_TRANSCODE_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, GIF_TRANSCODE_SCHEMA)
+
+
+GIF_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_gif_bytes", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("exact", T.BooleanType(), False),
+    ]
+)
+
+
+def gif_animation_frames(ids: DataFrame) -> DataFrame:
+    """Animated-GIF frame extraction (A16 × video_frame_sample's shape):
+    the shot-structured frame stack (shared make_shot_frames generator)
+    is encoded as ONE animated GIF89a (per-frame GCE, global palette) and
+    decoded back into per-frame rows — binary in, exploded frame rows
+    out, exactly the mapInPandas plumbing a real animated corpus needs.
+
+    Per-frame channel sums are exact int64 (no float crosses the hash)
+    and `exact` compares each composited frame against the palette
+    contract. Twin: scripts/gen_media_expected.py re-decodes the same
+    bytes with scripts/gif_twin.py's per-pixel compositor."""
+    import pandas as pd
+
+    from ..fixtures import make_shot_frames
+    from ..gif import decode_gif_frames, encode_gif_frames, quantize_332
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                frames = make_shot_frames(iid)
+                flist = [np.ascontiguousarray(f) for f in frames]
+                data, mode = encode_gif_frames(
+                    flist, delays_cs=[4] * len(flist)
+                )
+                dec = decode_gif_frames(data)
+                for i, d in enumerate(dec):
+                    want = (
+                        flist[i] if mode == "exact" else quantize_332(flist[i])
+                    )
+                    s = d.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    out.append(
+                        (
+                            iid,
+                            i,
+                            len(dec),
+                            len(data),
+                            int(s[0]),
+                            int(s[1]),
+                            int(s[2]),
+                            bool(np.array_equal(d, want)),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in GIF_ANIM_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, GIF_ANIM_SCHEMA)
 
 
 # -- video: opaque binary container + frame sampling -------------------------------

@@ -715,6 +715,151 @@ def expected_img_transcode(quality: int = 90) -> pd.DataFrame:
               "n_jpeg_bytes": "int64", "sse": "int64"})
 
 
+def expected_img_gif() -> pd.DataFrame:
+    """img_gif_roundtrip twin: bytes from the engine's deterministic GIF
+    encoder (bytes are DATA, like the jpeg/webp twins), decoded with the
+    INDEPENDENT scalar scripts/gif_twin.py decoder (bit-by-bit LZW,
+    dict-of-bytestrings) and compared pixel by pixel against the twin's
+    OWN scalar 3-3-2 quantization formula (exact-palette rows compare
+    against the raw pixels). `exact` is computed, never assumed."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.gif import encode_gif
+    from scripts.gif_twin import twin_decode_gif, twin_quantize_332
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        data, mode = encode_gif(pix)
+        dec = twin_decode_gif(data)
+        h, w = len(dec), len(dec[0])
+        exact = h == pix.shape[0] and w == pix.shape[1]
+        for y in range(h):
+            if not exact:
+                break
+            for x in range(w):
+                r, g, b = (int(pix[y, x, 0]), int(pix[y, x, 1]), int(pix[y, x, 2]))
+                want = (r, g, b) if mode == "exact" else twin_quantize_332(r, g, b)
+                if tuple(dec[y][x]) != want:
+                    exact = False
+                    break
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(data)), mode, bool(exact))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_gif_bytes", "pal_mode", "exact"],
+    ).astype({"w": "int32", "h": "int32", "n_gif_bytes": "int64"})
+
+
+def expected_img_transcode_gif(quality: int = 90) -> pd.DataFrame:
+    """img_transcode_gif_jpeg twin: GIF and JPEG bytes from the engine's
+    encoders; BOTH decode legs run the independent scalar decoders
+    (scripts/gif_twin.py, scripts/jpeg_twin.py). The JPEG is re-encoded
+    from the TWIN's decoded GIF pixels and fidelity sums are scalar ints
+    vs those same decoded-GIF pixels (the ingested truth for a palette
+    format) — so a palette/LZW defect in either decoder changes the
+    downstream bytes AND the reference frame, breaking the hash."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.gif import encode_gif
+    from rcspark.jpeg import encode_jpeg
+    from scripts.gif_twin import twin_decode_gif, twin_quantize_332
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        gdata, mode = encode_gif(pix)
+        dec_g = twin_decode_gif(gdata)
+        h, w = len(dec_g), len(dec_g[0])
+        gif_exact = h == pix.shape[0] and w == pix.shape[1]
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                px = dec_g[y][x]
+                rgb[y, x] = px
+                if gif_exact:
+                    r, g, b = (
+                        int(pix[y, x, 0]), int(pix[y, x, 1]), int(pix[y, x, 2])
+                    )
+                    want = (
+                        (r, g, b) if mode == "exact" else twin_quantize_332(r, g, b)
+                    )
+                    if tuple(px) != want:
+                        gif_exact = False
+        jdata = encode_jpeg(rgb, quality=quality)
+        dec_j = twin_decode_jpeg(jdata)
+        sse = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    d = dec_j[y][x][c] - int(rgb[y, x, c])
+                    sse += d * d
+        npx = h * w * 3
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(gdata)),
+             np.int64(len(jdata)), mode, bool(gif_exact), np.int64(sse),
+             bool(sse * 10_000 <= npx * 65_025))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_gif_bytes", "n_jpeg_bytes",
+                 "pal_mode", "gif_exact", "sse", "psnr40_ok"],
+    ).astype({"w": "int32", "h": "int32", "n_gif_bytes": "int64",
+              "n_jpeg_bytes": "int64", "sse": "int64"})
+
+
+def expected_img_gif_anim() -> pd.DataFrame:
+    """img_gif_anim_frames twin: the shot-frame stack (shared generator)
+    is encoded as one animated GIF by the engine; the twin re-decodes it
+    frame by frame with its per-pixel compositor and computes scalar-int
+    channel sums + its own quantization-contract comparison."""
+    from rcspark.fixtures import make_shot_frames
+    from rcspark.gif import encode_gif_frames
+    from scripts.gif_twin import twin_decode_gif_frames, twin_quantize_332
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        frames = make_shot_frames(iid)
+        flist = [np.ascontiguousarray(f) for f in frames]
+        data, mode = encode_gif_frames(flist, delays_cs=[4] * len(flist))
+        dec = twin_decode_gif_frames(data)
+        for i, fr in enumerate(dec):
+            src = flist[i]
+            h, w = len(fr), len(fr[0])
+            exact = h == src.shape[0] and w == src.shape[1]
+            sr = sg = sb = 0
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = fr[y][x]
+                    sr += r
+                    sg += g
+                    sb += b
+                    if exact:
+                        pr, pg, pb = (
+                            int(src[y, x, 0]), int(src[y, x, 1]), int(src[y, x, 2])
+                        )
+                        want = (
+                            (pr, pg, pb) if mode == "exact"
+                            else twin_quantize_332(pr, pg, pb)
+                        )
+                        if (r, g, b) != want:
+                            exact = False
+            rows.append(
+                (iid, np.int32(i), np.int32(len(dec)), np.int64(len(data)),
+                 np.int64(sr), np.int64(sg), np.int64(sb), bool(exact))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "frame_idx", "n_frames", "n_gif_bytes",
+                 "sum_r", "sum_g", "sum_b", "exact"],
+    ).astype({"frame_idx": "int32", "n_frames": "int32",
+              "n_gif_bytes": "int64", "sum_r": "int64", "sum_g": "int64",
+              "sum_b": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -738,6 +883,9 @@ def main() -> None:
         ("img_jpeg_quality", expected_img_jpeg_quality),
         ("img_webp", expected_img_webp),
         ("img_transcode", expected_img_transcode),
+        ("img_gif", expected_img_gif),
+        ("img_transcode_gif", expected_img_transcode_gif),
+        ("img_gif_anim", expected_img_gif_anim),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

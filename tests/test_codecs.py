@@ -430,3 +430,190 @@ def test_webp_corruption_never_escapes_valueerror():
             decode_webp(data[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 4: real GIF87a/89a codec — rcspark/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_exact_palette_roundtrip_lossless():
+    from rcspark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    for ncol in (1, 2, 3, 4, 5, 16, 17, 200, 256):
+        vals = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = vals[rng.integers(0, ncol, (9, 21))]
+        data, mode = encode_gif(img)
+        assert mode == "exact"
+        assert np.array_equal(decode_gif(data), img)
+
+
+def test_gif_truecolor_decodes_to_exact_332_quantization():
+    from rcspark.gif import decode_gif, encode_gif, quantize_332
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (33, 27, 3), dtype=np.uint8)
+    data, mode = encode_gif(img)
+    assert mode == "p332"
+    assert np.array_equal(decode_gif(data), quantize_332(img))
+
+
+def test_gif_interlaced_decodes_identically():
+    from rcspark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for h in (1, 2, 3, 5, 8, 13, 29):  # every interlace-pass boundary class
+        img = (rng.integers(0, 6, (h, 15, 3), dtype=np.uint8)) * 40
+        plain, m1 = encode_gif(img)
+        inter, m2 = encode_gif(img, interlace=True)
+        assert m1 == m2 == "exact"
+        assert np.array_equal(decode_gif(inter), decode_gif(plain))
+
+
+def test_gif_bytes_deterministic():
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.gif import encode_gif
+
+    pix = make_smooth_image("img40")
+    assert encode_gif(pix) == encode_gif(pix)
+
+
+def test_gif_lzw_survives_dictionary_reset():
+    """>4096 dictionary entries forces the mid-stream CLEAR/reset path."""
+    from rcspark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    data, mode = encode_gif(img)
+    assert mode == "p332"
+    from rcspark.gif import quantize_332
+
+    assert np.array_equal(decode_gif(data), quantize_332(img))
+
+
+def test_gif_engine_decoder_matches_independent_twin_bitwise():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.gif import decode_gif, encode_gif
+    from scripts.gif_twin import twin_decode_gif
+
+    for iid in ("img0", "img40", "img2000", "img4000"):
+        pix = make_smooth_image(iid)
+        data, _ = encode_gif(pix)
+        eng = decode_gif(data)
+        twin = np.array(twin_decode_gif(data), dtype=np.uint8)
+        assert np.array_equal(eng, twin)
+
+
+def test_gif_animation_frames_and_disposal_compositing():
+    """Hand-built animation: frame 2 is a transparent PATCH over frame 1
+    (disposal 1 = leave), so the composited second canvas must show frame
+    1 pixels through the transparent holes; disposal 2 then restores the
+    patch region to background for frame 3."""
+    import struct
+
+    from rcspark.gif import decode_gif_frames
+
+    # 4x4 canvas, 4-color GCT (pow2 table: bits=2)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 4, 4)
+    out.append(0x80 | (7 << 4) | 1)  # GCT, 4 entries
+    out += b"\x00\x00" + pal
+
+    from rcspark.gif import _lzw_encode, _sub_blocks
+
+    def frame(idx_bytes, left, top, w, h, disposal, transparent=None):
+        b = bytearray(b"\x21\xf9\x04")
+        flags = (disposal & 7) << 2
+        if transparent is not None:
+            flags |= 1
+        b.append(flags)
+        b += struct.pack("<H", 4)
+        b.append(transparent if transparent is not None else 0)
+        b.append(0)
+        b += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        b.append(2)
+        b += _sub_blocks(_lzw_encode(idx_bytes, 2))
+        return bytes(b)
+
+    out += frame(bytes([0] * 16), 0, 0, 4, 4, disposal=1)  # all red
+    # 2x2 patch at (1,1): [green, transparent, transparent, blue]
+    out += frame(bytes([1, 3, 3, 2]), 1, 1, 2, 2, disposal=2, transparent=3)
+    out += frame(bytes([2] * 16), 0, 0, 4, 4, disposal=0)  # all blue
+    out.append(0x3B)
+
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 3
+    assert (frames[0] == [255, 0, 0]).all()
+    f2 = frames[1]
+    assert tuple(f2[1, 1]) == (0, 255, 0)  # green
+    assert tuple(f2[1, 2]) == (255, 0, 0)  # transparent → frame 1 shows
+    assert tuple(f2[2, 1]) == (255, 0, 0)
+    assert tuple(f2[2, 2]) == (0, 0, 255)  # blue
+    assert (frames[2] == [0, 0, 255]).all()
+
+    # twin agrees frame by frame
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.gif_twin import twin_decode_gif_frames
+
+    twin = twin_decode_gif_frames(bytes(out))
+    for a, b in zip(frames, twin):
+        assert np.array_equal(a, np.array(b, dtype=np.uint8))
+
+
+def test_gif_encoder_animation_roundtrip():
+    from rcspark.fixtures import make_shot_frames
+    from rcspark.gif import decode_gif_frames, encode_gif_frames, quantize_332
+
+    frames = [np.ascontiguousarray(f) for f in make_shot_frames("vid7")]
+    data, mode = encode_gif_frames(frames, delays_cs=[4] * len(frames))
+    dec = decode_gif_frames(data)
+    assert len(dec) == len(frames)
+    for d, src in zip(dec, frames):
+        want = src if mode == "exact" else quantize_332(src)
+        assert np.array_equal(d, want)
+
+
+def test_gif_flows_through_decode_image_and_decode_external():
+    from rcspark.datapipe.multimodal import decode_external
+    from rcspark.gif import encode_gif
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+    img = vals[rng.integers(0, 12, (10, 14))]
+    data, mode = encode_gif(img)
+    assert mode == "exact"
+    pix, fmt = decode_image(data)
+    assert fmt == "gif" and np.array_equal(pix, img)
+    assert np.array_equal(decode_external(data, "gif"), img)
+
+
+def test_gif_corruption_never_escapes_valueerror():
+    import pytest
+
+    from rcspark.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    data, _ = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(b"notagif" * 5)
+    for _ in range(400):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(6, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_gif(bytes(buf))
+        except ValueError:
+            pass
+    for cut in range(1, len(data), 3):
+        try:
+            decode_gif(data[:cut])
+        except ValueError:
+            pass
