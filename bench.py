@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     # round-4 continuation: real GIF codec (LZW) + GIF→JPEG convert_image leg
     "img_gif_roundtrip",
     "img_transcode_gif_jpeg",
+    "img_exif_autoorient",
 ]
 
 

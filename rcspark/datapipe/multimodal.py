@@ -442,6 +442,89 @@ def webp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
     return ids.select("image_id").mapInPandas(run, TRANSCODE_SCHEMA)
 
 
+def apply_exif_orientation(pix: np.ndarray, orientation: int) -> np.ndarray:
+    """[U PIL ImageOps.exif_transpose] semantics: transform the STORED
+    pixels so the result displays upright. numpy slicing formulation (the
+    twin uses per-pixel source-index mapping)."""
+    if orientation == 1:
+        return pix
+    if orientation == 2:
+        return pix[:, ::-1]
+    if orientation == 3:
+        return pix[::-1, ::-1]
+    if orientation == 4:
+        return pix[::-1]
+    if orientation == 5:
+        return pix.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(pix, 3)
+    if orientation == 7:
+        return pix[::-1, ::-1].transpose(1, 0, 2)
+    if orientation == 8:
+        return np.rot90(pix, 1)
+    raise ValueError(f"EXIF orientation {orientation} outside 1..8")
+
+
+EXIF_ORIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("orientation", T.IntegerType(), False),
+        T.StructField("stored_w", T.IntegerType(), False),
+        T.StructField("stored_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def exif_autoorient(ids: DataFrame, quality: int = 90) -> DataFrame:
+    """A16 EXIF auto-orientation — the ImagesPipeline ingest step PIL's
+    exif_transpose performs: cameras store sensor-rotated pixels plus an
+    Orientation tag, and a corpus that ignores it trains on sideways
+    images. The fixture plants orientation 1+xxh64(id)%8 into a REAL
+    Exif APP1 (rcspark.jpeg); the operator re-reads the tag FROM THE
+    BYTES (never trusts the generator), decodes, applies the upright
+    transform, and emits the oriented dimensions + oriented phash (the
+    phash is flip/rotation-sensitive, so a wrong transform breaks the
+    hash; plain channel sums would not). Twin: scripts/
+    gen_media_expected.py re-reads the tag with its own marker walk and
+    re-orients with per-pixel source-index mapping."""
+    import pandas as pd
+
+    from ..codecs import phash64
+    from ..fixtures import make_smooth_image
+    from ..jpeg import decode_jpeg, encode_jpeg, read_exif_orientation
+    from ..xxh import xxh64
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                planted = 1 + xxh64(iid.encode()) % 8
+                data = encode_jpeg(pix, quality=quality, exif_orientation=planted)
+                o = read_exif_orientation(data)
+                dec = decode_jpeg(data)
+                up = np.ascontiguousarray(apply_exif_orientation(dec, o))
+                out.append(
+                    (
+                        iid,
+                        o,
+                        dec.shape[1],
+                        dec.shape[0],
+                        up.shape[1],
+                        up.shape[0],
+                        phash64(up),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in EXIF_ORIENT_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, EXIF_ORIENT_SCHEMA)
+
+
 GIF_RT_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -309,11 +309,65 @@ def rgb_to_ycbcr(pixels: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal valid Exif APP1 payload: little-endian TIFF header + IFD0
+    with the single Orientation (0x0112, SHORT) entry."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation {orientation} outside 1..8")
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)  # byte order, magic, IFD0 offset
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def read_exif_orientation(data: bytes) -> int:
+    """Walk the marker stream for an Exif APP1 and return the Orientation
+    tag (1..8); 1 (upright) when absent — the ImagesPipeline auto-orient
+    contract ([U PIL ImageOps.exif_transpose] semantics). Handles both
+    TIFF byte orders; stops at SOS."""
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            break
+        marker = data[i + 1]
+        if marker in (0xDA, 0xD9):
+            break
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = i + 10
+            order = data[t : t + 2]
+            bo = {b"II": "little", b"MM": "big"}.get(bytes(order))
+            if bo is not None:
+                ifd = t + int.from_bytes(data[t + 4 : t + 8], bo)
+                n = int.from_bytes(data[ifd : ifd + 2], bo)
+                for e in range(n):
+                    q = ifd + 2 + 12 * e
+                    tag = int.from_bytes(data[q : q + 2], bo)
+                    typ = int.from_bytes(data[q + 2 : q + 4], bo)
+                    if tag == 0x0112 and typ == 3:
+                        v = int.from_bytes(data[q + 8 : q + 10], bo)
+                        if not 1 <= v <= 8:
+                            raise ValueError(f"EXIF orientation {v} invalid")
+                        return v
+        i += 2 + seg_len
+    return 1
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) grey uint8 → baseline JPEG bytes.
-    ``subsample=True`` emits 4:2:0 (2×2 chroma), else 4:4:4."""
+    ``subsample=True`` emits 4:2:0 (2×2 chroma), else 4:4:4.
+    ``exif_orientation`` (1..8) plants an Exif APP1 Orientation tag —
+    bytes are unchanged when None, so pre-existing fixtures are stable."""
     if pixels.ndim == 3 and pixels.shape[2] == 1:
         pixels = pixels[:, :, 0]
     grey = pixels.ndim == 2
@@ -328,6 +382,8 @@ def encode_jpeg(
 
     out = bytearray(SOI)
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if exif_orientation is not None:
+        out += _marker(0xE1, _exif_app1(exif_orientation))
     out += _marker(0xDB, bytes([0x00]) + bytes(int(x) for x in qlum_zz))
     if not grey:
         out += _marker(0xDB, bytes([0x01]) + bytes(int(x) for x in qchrom_zz))

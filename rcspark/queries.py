@@ -9252,6 +9252,34 @@ def img_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_animation_frames(ids)
 
 
+# A16 EXIF auto-orientation — the ingest step PIL's exif_transpose does
+# inside the ImagesPipeline: the Orientation tag is read FROM THE BYTES
+# (a REAL Exif APP1 written by rcspark.jpeg), the stored pixels are
+# transformed upright, and the oriented phash (flip/rotation-sensitive —
+# channel sums would be orientation-invariant and prove nothing) plus
+# oriented dims go under the driver hash. Twin: independent APP1 walk +
+# per-pixel index-mapped re-orient + scalar JPEG decode.
+
+@register(
+    "img_exif_autoorient",
+    oracle=f"""
+    SELECT e.image_id, e.orientation, e.stored_w, e.stored_h,
+           e.out_w, e.out_h, e.phash
+    FROM '{_MEDIA_EXPECTED}/img_exif_orient.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_exif_autoorient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import exif_autoorient
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return exif_autoorient(ids)
+
+
 # =============================================================================
 # A10 real-HTTP transport parity, driver-gated (VERDICT r3 item 8)
 # =============================================================================
@@ -9380,6 +9408,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "img_exif_autoorient",
     "img_gif_roundtrip",
     "img_transcode_gif_jpeg",
     "img_gif_anim_frames",

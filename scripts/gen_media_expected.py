@@ -860,6 +860,95 @@ def expected_img_gif_anim() -> pd.DataFrame:
               "sum_b": "int64"})
 
 
+def _twin_read_orientation(data: bytes) -> int:
+    """Independent APP1/TIFF walk (struct.unpack_from based, both byte
+    orders) — not the engine's int.from_bytes marker walk."""
+    import struct as _s
+
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        marker, seg = _s.unpack_from(">BH", data, pos + 1)
+        if marker in (0xDA, 0xD9):
+            break
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            base = pos + 10
+            fmt = {b"II": "<", b"MM": ">"}.get(data[base : base + 2])
+            if fmt:
+                (ifd_off,) = _s.unpack_from(fmt + "I", data, base + 4)
+                (n,) = _s.unpack_from(fmt + "H", data, base + ifd_off)
+                for e in range(n):
+                    tag, typ, _cnt, val16, _pad = _s.unpack_from(
+                        fmt + "HHIHH", data, base + ifd_off + 2 + 12 * e
+                    )
+                    if tag == 0x0112 and typ == 3:
+                        return val16
+        pos += 2 + seg
+    return 1
+
+
+def _twin_orient(px: list, o: int) -> list:
+    """Per-pixel source-index mapping (the engine uses numpy slicing)."""
+    h, w = len(px), len(px[0])
+    if o in (1, 2, 3, 4):
+        oh, ow = h, w
+    else:
+        oh, ow = w, h
+    src = {
+        1: lambda y, x: (y, x),
+        2: lambda y, x: (y, w - 1 - x),
+        3: lambda y, x: (h - 1 - y, w - 1 - x),
+        4: lambda y, x: (h - 1 - y, x),
+        5: lambda y, x: (x, y),
+        6: lambda y, x: (h - 1 - x, y),
+        7: lambda y, x: (h - 1 - x, w - 1 - y),
+        8: lambda y, x: (x, w - 1 - y),
+    }[o]
+    out = []
+    for y in range(oh):
+        row = []
+        for x in range(ow):
+            sy, sx = src(y, x)
+            row.append(px[sy][sx])
+        out.append(row)
+    return out
+
+
+def expected_img_exif_orient() -> pd.DataFrame:
+    """img_exif_autoorient twin: bytes from the engine encoder (planted
+    orientation is DATA inside them), then an independent APP1 walk, the
+    independent scalar JPEG decode, a per-pixel index-mapped re-orient,
+    and the twin's reduceat phash."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        planted = 1 + xxh64(iid.encode()) % 8
+        data = encode_jpeg(pix, quality=90, exif_orientation=planted)
+        o = _twin_read_orientation(data)
+        dec = twin_decode_jpeg(data)
+        up = _twin_orient(dec, o)
+        arr = np.array(
+            [[list(c) for c in row] for row in up], dtype=np.uint8
+        )
+        rows.append(
+            (iid, np.int32(o), np.int32(len(dec[0])), np.int32(len(dec)),
+             np.int32(arr.shape[1]), np.int32(arr.shape[0]),
+             np.int64(twin_phash(arr)))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "orientation", "stored_w", "stored_h",
+                 "out_w", "out_h", "phash"],
+    ).astype({"orientation": "int32", "stored_w": "int32",
+              "stored_h": "int32", "out_w": "int32", "out_h": "int32",
+              "phash": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -886,6 +975,7 @@ def main() -> None:
         ("img_gif", expected_img_gif),
         ("img_transcode_gif", expected_img_transcode_gif),
         ("img_gif_anim", expected_img_gif_anim),
+        ("img_exif_orient", expected_img_exif_orient),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -617,3 +617,74 @@ def test_gif_corruption_never_escapes_valueerror():
             decode_gif(data[:cut])
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (round 4: APP1 plant/read + exif_transpose semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_orientation_plant_read_all_values():
+    from rcspark.jpeg import encode_jpeg, read_exif_orientation
+
+    rng = np.random.default_rng(21)
+    pix = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        data = encode_jpeg(pix, quality=90, exif_orientation=o)
+        assert read_exif_orientation(data) == o
+    assert read_exif_orientation(encode_jpeg(pix, quality=90)) == 1
+
+
+def test_exif_app1_does_not_change_decoded_pixels_or_plain_bytes():
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(22)
+    pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    plain = encode_jpeg(pix, quality=90)
+    tagged = encode_jpeg(pix, quality=90, exif_orientation=6)
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(tagged))
+    assert plain == encode_jpeg(pix, quality=90)  # None leaves bytes stable
+
+
+def test_exif_orientation_transforms_are_involutive_where_expected():
+    """Applying the transform twice must identity for 2,3,4 (mirrors/180),
+    and 5/7 are self-inverse transposes; 6 and 8 invert each other."""
+    from rcspark.datapipe.multimodal import apply_exif_orientation as ap
+
+    rng = np.random.default_rng(23)
+    pix = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    for o in (2, 3, 4, 5, 7):
+        assert np.array_equal(ap(ap(pix, o), o), pix), o
+    assert np.array_equal(ap(ap(pix, 6), 8), pix)
+    assert np.array_equal(ap(ap(pix, 8), 6), pix)
+    assert ap(pix, 5).shape == (13, 9, 3)
+
+
+def test_exif_orientation_big_endian_tiff_and_junk():
+    import struct
+
+    import pytest
+
+    from rcspark.jpeg import encode_jpeg, read_exif_orientation
+
+    rng = np.random.default_rng(24)
+    pix = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    # hand-build a BIG-endian (MM) Exif APP1 with orientation 7
+    tiff = (
+        b"MM\x00*" + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 7, 0)
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    plain = encode_jpeg(pix, quality=90)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    data = plain[:2] + app1 + plain[2:]
+    assert read_exif_orientation(data) == 7
+    with pytest.raises(ValueError):
+        read_exif_orientation(b"junkjunk")
+    # orientation 0 in the tag is invalid
+    bad = data.replace(struct.pack(">HHIHH", 0x0112, 3, 1, 7, 0),
+                       struct.pack(">HHIHH", 0x0112, 3, 1, 0, 0))
+    with pytest.raises(ValueError):
+        read_exif_orientation(bad)
