@@ -214,6 +214,12 @@ BENCH_QUERIES = [
     "img_gif_roundtrip",
     "img_transcode_gif_jpeg",
     "img_exif_autoorient",
+    # round-4 continuation batch 19: corpus-curation depth
+    "doc_paragraph_dedup",
+    "doc_cdc_chunks",
+    "doc_encoding_fix",
+    "crawl_main_content",
+    "crawl_anchor_index",
 ]
 
 

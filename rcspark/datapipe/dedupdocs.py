@@ -232,3 +232,53 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         packed = bit if packed is None else (packed + bit)
     return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def paragraph_dedup(paras: DataFrame) -> DataFrame:
+    """MassiveText/Gopher-style PARAGRAPH-granularity exact dedup with
+    document reassembly ([U gopher MassiveText §A.2]: duplicate paragraphs
+    are removed corpus-wide, keeping one occurrence; the document is
+    rebuilt from its surviving paragraphs in order).
+
+    Input: (doc_id long, pidx long, para string) — one row per paragraph.
+    Output per doc: n_paras, n_kept, kept_ppm (exact integer), and
+    kept_digest = digest60 of the reassembled surviving text (NULL when
+    every paragraph was a duplicate of an earlier keeper).
+
+    Winner election is total-ordered: the corpus-wide FIRST occurrence by
+    (doc_id, pidx) keeps the paragraph — a min(struct) aggregation, NOT a
+    global window, so the plan is two linear hash shuffles (groupBy digest
+    + join back) plus a doc-keyed reassembly groupBy. At 100 TB each
+    shuffle is linear in paragraph count and the digest join is
+    hash-partitioned; nothing funnels through one task."""
+    p = paras.withColumn("pdig", digest60(F.col("para")))
+    keeper = p.groupBy("pdig").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pidx").alias("i"))).alias("k")
+    )
+    kept = (
+        p.join(keeper, "pdig")
+        .where((F.col("doc_id") == F.col("k.d")) & (F.col("pidx") == F.col("k.i")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            digest60(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                        lambda s: s["para"],
+                    ),
+                )
+            ).alias("kept_digest"),
+        )
+    )
+    totals = p.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.expr("CAST(coalesce(n_kept, 0) * 1000000 DIV n_paras AS BIGINT)").alias(
+            "kept_ppm"
+        ),
+        "kept_digest",
+    )

@@ -471,3 +471,69 @@ def sql_chunk_texts(toks_expr: str, window: int, stride: int) -> str:
         f"list_transform({starts}, s -> "
         f"array_to_string(list_slice({toks_expr}, s + 1, s + {window}), ' '))"
     )
+
+
+def cdc_chunk_stats(docs, trigger_mod: int = 8):
+    """Content-defined chunking (the Rabin/Gear CDC principle at token
+    granularity, [U restic/chunker, LBFS]): a chunk boundary falls AFTER
+    any token whose digest60 hits ``% trigger_mod == 0``, so boundaries
+    are a pure content property — inserting a token near the front shifts
+    only the chunks up to the next trigger, then the cut points resync
+    (the shift-resilience that fixed-stride windows lack; pinned in
+    tests/test_datapipe.py).
+
+    Input: (doc_id long, text string). Output per doc: n_tokens,
+    n_chunks, max_chunk, n_shared (chunks whose digest appears in >1
+    doc) and shared_ppm — the CDC dedup signal a chunk store would use.
+
+    Scale shape: the cumulative-trigger window is DOC-partitioned (docs
+    are bounded, never a global sort); chunk assembly is a (doc, chunk)
+    groupBy; cross-doc sharing is one digest-keyed groupBy + join back —
+    all linear hash shuffles."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    tok = tok.withColumn(
+        "trig", (digest60(F.col("tok")) % trigger_mod == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum("trig").over(w), F.lit(0)).cast("long")
+    )
+    chunks = tok.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("clen"),
+        digest60(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cdig"),
+    )
+    dfreq = chunks.groupBy("cdig").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        chunks.join(dfreq, "cdig")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("clen").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_chunks"),
+            F.max("clen").cast("long").alias("max_chunk"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .withColumn(
+            "shared_ppm",
+            F.expr("CAST(n_shared * 1000000 DIV n_chunks AS BIGINT)"),
+        )
+    )

@@ -9385,6 +9385,373 @@ def crawl_fetch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Round-4 continuation batch 19: corpus-curation depth
+# (paragraph dedup, CDC chunking, mojibake repair, boilerplate removal,
+#  anchor-text index)
+# =============================================================================
+
+# Shared boilerplate paragraphs planted into the derived corpora below —
+# the inter-document duplicate signal paragraph dedup must find.
+_BP1 = "subscribe to our newsletter all rights reserved terms apply"
+_BP2 = "cookie notice privacy policy contact us about this site"
+
+
+@register(
+    "doc_paragraph_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    plist AS (
+      SELECT doc_id,
+             list_filter([
+               CASE WHEN doc_id % 3 = 0 THEN '{_BP1}' END,
+               array_to_string(toks[1:12], ' '),
+               CASE WHEN doc_id % 5 = 0 THEN array_to_string(toks[1:12], ' ') END,
+               array_to_string(toks[13:24], ' '),
+               CASE WHEN doc_id % 4 = 0 THEN '{_BP2}' END,
+               array_to_string(toks[25:36], ' ')
+             ], x -> x IS NOT NULL AND x <> '') AS ps
+      FROM base),
+    par AS (
+      SELECT doc_id, struct_extract(u, 'pidx') AS pidx,
+             struct_extract(u, 'para') AS para
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+                 i -> {{'pidx': CAST(i - 1 AS BIGINT), 'para': ps[i]}})) AS u
+        FROM plist) t),
+    d AS (SELECT doc_id, pidx, para, {sql_digest60("para")} AS pdig FROM par),
+    k AS (SELECT *, row_number() OVER (
+            PARTITION BY pdig ORDER BY doc_id, pidx) AS rn FROM d),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM d GROUP BY 1),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             {sql_digest60("string_agg(para, ' ' ORDER BY pidx)")} AS kept_digest
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(n_kept, 0) * 1000000 // t.n_paras AS BIGINT) AS kept_ppm,
+           kept_digest
+    FROM tot t LEFT JOIN kept USING (doc_id)
+    """,
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup with document reassembly
+    ([U gopher MassiveText §A.2] — the standard LLM-corpus pass between
+    exact-doc and fuzzy dedup). The derived corpus plants BOTH duplicate
+    classes: a shared boilerplate paragraph on every third/fourth doc
+    (inter-doc) and the doc's own first paragraph repeated on every
+    fifth (intra-doc). Winner = corpus-wide first occurrence by
+    (doc_id, pidx), elected with min(struct) — two linear hash shuffles,
+    no global window (see datapipe.dedupdocs.paragraph_dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p1 = F.concat_ws(" ", F.slice(toks, 1, 12))
+    p2 = F.concat_ws(" ", F.slice(toks, 13, 12))
+    p3 = F.concat_ws(" ", F.slice(toks, 25, 12))
+    paras = F.filter(
+        F.array(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BP1)),
+            p1,
+            F.when(F.col("doc_id") % 5 == 0, p1),
+            p2,
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_BP2)),
+            p3,
+        ),
+        lambda x: x.isNotNull() & (x != F.lit("")),
+    )
+    pe = docs.select("doc_id", F.posexplode(paras).alias("pidx", "para"))
+    return dd.paragraph_dedup(pe)
+
+
+@register(
+    "doc_cdc_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, struct_extract(u, 'pos') AS pos,
+             struct_extract(u, 'tok') AS tok
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> {{'pos': CAST(i - 1 AS BIGINT), 'tok': toks[i]}})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t0) t),
+    tr AS (SELECT *, CASE WHEN {sql_digest60("tok")} % 8 = 0
+                          THEN 1 ELSE 0 END AS trig FROM tok),
+    ch AS (SELECT *, coalesce(sum(trig) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           FROM tr),
+    chunks AS (
+      SELECT doc_id, chunk_id, count(*) AS clen,
+             {sql_digest60("string_agg(tok, ' ' ORDER BY pos)")} AS cdig
+      FROM ch GROUP BY 1, 2),
+    dfc AS (SELECT cdig, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(sum(clen) AS BIGINT) AS n_tokens,
+           count(*) AS n_chunks,
+           CAST(max(clen) AS BIGINT) AS max_chunk,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS shared_ppm
+    FROM chunks c JOIN dfc USING (cdig) GROUP BY 1
+    """,
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/Gear CDC principle at token
+    granularity, [U restic/chunker, LBFS]): boundaries fall after tokens
+    whose digest hits 1/8, so cut points are a pure content property and
+    resync after edits — the dedup-store signal fixed-stride windows
+    can't give (shift-resilience pinned in tests/test_datapipe.py).
+    Per-doc chunk stats + cross-doc shared-chunk fraction in exact ppm
+    (see datapipe.text.cdc_chunk_stats for the scale shape)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.cdc_chunk_stats(docs, trigger_mod=8)
+
+
+# Mojibake pairs: UTF-8 bytes mis-decoded as CP1252 (the single most
+# common real-corpus encoding defect, [U ftfy] fixes the same table).
+# Keys never overlap/prefix one another, so the replace-chain order is
+# inert; both engines apply the identical chain.
+_MOJIBAKE = [
+    ("Ã©", "é"),   # Ã©  → é
+    ("Ã¨", "è"),   # Ã¨  → è
+    ("Ã¼", "ü"),   # Ã¼  → ü
+    ("Ã±", "ñ"),   # Ã±  → ñ
+    ("Ã¯", "ï"),   # Ã¯  → ï
+    ("â€”", "—"),  # â€” → em dash
+    ("â€œ", "“"),  # â€œ → left curly quote
+]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@register(
+    "doc_encoding_fix",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'cafÃ© crÃ¨me ' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 0
+                  THEN 'naÃ¯ve â€” maÃ±ana ' ELSE '' END ||
+             text AS s
+      FROM documents),
+    fixed AS (
+      SELECT doc_id, s,
+             {" + ".join(f"(length(s) - length(replace(s, {_sql_quote(bad)}, ''))) // {len(bad)}" for bad, _ in _MOJIBAKE)} AS n_fixed,
+             {"".join("replace(" for _ in _MOJIBAKE)}s{"".join(f", {_sql_quote(bad)}, {_sql_quote(good)})" for bad, good in _MOJIBAKE)} AS clean
+      FROM dirty)
+    SELECT doc_id, CAST(n_fixed AS BIGINT) AS n_fixed,
+           n_fixed > 0 AS was_dirty,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           {sql_digest60("clean")} AS clean_digest
+    FROM fixed
+    """,
+)
+def doc_encoding_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair ([U ftfy]'s core table): UTF-8 text that was once
+    mis-decoded as CP1252 carries signature pairs (Ã©, â€”, …) that a
+    training corpus must repair before tokenization. Planted defects on
+    every 4th/6th doc; detection count = exact length-delta arithmetic
+    per pair (no regex — codepoint lengths agree across engines), repair
+    = one fixed replace chain. Pure codegen projection: zero shuffles,
+    scan-rate at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("cafÃ© crÃ¨me "))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("naÃ¯ve â€” maÃ±ana "),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    d = docs.select("doc_id", dirty.alias("s"))
+    n_fixed = None
+    for bad, _good in _MOJIBAKE:
+        cnt = (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        n_fixed = cnt if n_fixed is None else n_fixed + cnt
+    clean = F.col("s")
+    for bad, good in _MOJIBAKE:
+        clean = F.replace(clean, F.lit(bad), F.lit(good))
+    return d.select(
+        "doc_id",
+        n_fixed.alias("n_fixed"),
+        (n_fixed > 0).alias("was_dirty"),
+        F.length(clean).cast("long").alias("clean_len"),
+        digest60(clean).alias("clean_digest"),
+    )
+
+
+# The synthetic page the boilerplate-removal query derives per document:
+# nav bar + sidebar + footer are link-dense chrome, the two content lines
+# carry the doc's text (one with a single inline link).
+_NAV = (
+    '<a href="/">home</a> | <a href="/products">products</a> | '
+    '<a href="/about">about</a> | <a href="/contact">contact</a>'
+)
+_SIDE = '<a href="/promo">subscribe now</a> <a href="/deal">hot deals</a>'
+_FOOT = (
+    '<a href="/privacy">privacy</a> | <a href="/terms">terms</a> | (c) example corp'
+)
+
+
+@register(
+    "crawl_main_content",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    page AS (
+      SELECT doc_id,
+             ['{_NAV}',
+              array_to_string(toks[1:20], ' '),
+              '{_SIDE}',
+              'read <a href="/more">more</a> ' || array_to_string(toks[21:40], ' '),
+              '{_FOOT}'] AS lines
+      FROM base),
+    scored AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(
+               list_transform(lines, l ->
+                 CASE WHEN 100 * coalesce(list_sum(list_transform(
+                          regexp_extract_all(l, '">([^<]*)</a>', 1),
+                          x -> length(x))), 0)
+                        <= 40 * greatest(length(replace(regexp_replace(
+                             l, '<a href="[^"]*">', '', 'g'), '</a>', '')), 1)
+                       AND length(replace(regexp_replace(
+                             l, '<a href="[^"]*">', '', 'g'), '</a>', '')) >= 40
+                      THEN replace(regexp_replace(
+                             l, '<a href="[^"]*">', '', 'g'), '</a>', '')
+                 END),
+               x -> x IS NOT NULL) AS kept
+      FROM page)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS content_chars,
+           {sql_digest60("array_to_string(kept, chr(10))")} AS content_digest
+    FROM scored
+    """,
+)
+def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal / main-content extraction ([U trafilatura,
+    readability] line heuristics): per line, link-text density ≤ 40% AND
+    visible length ≥ 40 keeps the line — nav bars, sidebars and footers
+    are link-dense or short, article text is neither. Density compares
+    exact integer products (100·link_chars ≤ 40·visible_chars), never a
+    float ratio. Whole page scored in ONE higher-order projection over
+    the line array — no explode, no shuffle; at 100 TB this runs at
+    parquet scan rate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.array(
+        F.lit(_NAV),
+        F.concat_ws(" ", F.slice(toks, 1, 20)),
+        F.lit(_SIDE),
+        F.concat(
+            F.lit('read <a href="/more">more</a> '),
+            F.concat_ws(" ", F.slice(toks, 21, 20)),
+        ),
+        F.lit(_FOOT),
+    )
+
+    def vis(line):
+        return F.replace(
+            F.regexp_replace(line, '<a href="[^"]*">', ""),
+            F.lit("</a>"),
+            F.lit(""),
+        )
+
+    def link_chars(line):
+        return F.aggregate(
+            F.regexp_extract_all(line, F.lit('">([^<]*)</a>'), F.lit(1)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        )
+
+    kept = F.filter(
+        F.transform(
+            lines,
+            lambda l: F.when(
+                (
+                    F.lit(100) * link_chars(l)
+                    <= F.lit(40) * F.greatest(F.length(vis(l)), F.lit(1))
+                )
+                & (F.length(vis(l)) >= 40),
+                vis(l),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    content = F.concat_ws("\n", kept)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.length(content).cast("long").alias("content_chars"),
+        digest60(content).alias("content_digest"),
+    )
+
+
+@register(
+    "crawl_anchor_index",
+    oracle="""
+    WITH links AS (
+      SELECT 'http://shop.example/p/' || (o_orderkey % 199) AS target,
+             'part ' || (o_orderkey % 13) AS anchor
+      FROM orders),
+    ta AS (SELECT target, anchor, count(*) AS cnt FROM links GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY target ORDER BY cnt DESC, anchor DESC) AS rn
+      FROM ta)
+    SELECT target,
+           CAST(sum(cnt) AS BIGINT) AS n_links,
+           count(*) AS n_anchors,
+           max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+           CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
+    FROM ranked GROUP BY target
+    """,
+)
+def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index — the classic web-search signal ([U nutch
+    anchor indexing]): aggregate the anchor TEXTS pointing at each target
+    URL (extraction itself is `crawl_anchor_extract`). Top anchor is
+    elected with max(struct(cnt, anchor)) after a (target, anchor)
+    pre-aggregation — two map-side-combinable groupBys, NO window over
+    the hot target key, so a URL with 10⁸ in-links (every big site's
+    homepage) never funnels one task."""
+    orders = load(spark, sf_dir, "orders")
+    links = orders.select(
+        F.concat(
+            F.lit("http://shop.example/p/"), (F.col("o_orderkey") % 199).cast("string")
+        ).alias("target"),
+        F.concat(F.lit("part "), (F.col("o_orderkey") % 13).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    ta = links.groupBy("target", "anchor").agg(F.count("*").alias("cnt"))
+    return (
+        ta.groupBy("target")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_links"),
+            F.count("*").alias("n_anchors"),
+            F.max(F.struct(F.col("cnt"), F.col("anchor"))).alias("_top"),
+        )
+        .select(
+            "target",
+            "n_links",
+            "n_anchors",
+            F.col("_top.anchor").alias("top_anchor"),
+            F.col("_top.cnt").cast("long").alias("top_count"),
+        )
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -9408,6 +9775,11 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "doc_paragraph_dedup",
+    "doc_cdc_chunks",
+    "doc_encoding_fix",
+    "crawl_main_content",
+    "crawl_anchor_index",
     "img_exif_autoorient",
     "img_gif_roundtrip",
     "img_transcode_gif_jpeg",
