@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "doc_encoding_fix",
     "crawl_main_content",
     "crawl_anchor_index",
+    "doc_bpe_train",
 ]
 
 

@@ -9752,6 +9752,115 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# BPE TRAINING (round-4 continuation): doc_bpe_tokenize applies a FIXED
+# merge table; this learns the table from the corpus — the actual
+# [U sennrich BPE / huggingface tokenizers] training loop, distributed.
+# Each iteration: one corpus-wide weighted pair count (map-side
+# combinable groupBy over (pair)), argmax with a total-order tie-break
+# (cnt DESC, pair ASC) collected as ONE model row (the k-means-centroid
+# precedent: sketches/model parameters cross the driver, never data
+# rows), then the merge is folded into the next iteration's piece
+# expression. Production-scale note: real trainers incrementalize the
+# pair counts between iterations; a fixed 6-pass loop over a
+# word-frequency table (shuffle linear in DISTINCT words, not corpus
+# size) is the honest distributed shape at this merge count.
+# =============================================================================
+
+_BPE_TRAIN_ITERS = 6
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT tok AS word, count(*) AS freq
+      FROM (SELECT unnest({tx.sql_tokens('text')}) AS tok FROM documents) t
+      GROUP BY 1),
+    s0 AS (SELECT word, freq,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+           FROM w)"""
+    ]
+    for i in range(1, _BPE_TRAIN_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT pair, sum(freq) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(pl)),
+                 j -> pl[j] || ' ' || pl[j + 1])) AS pair
+        FROM (SELECT freq, string_split(s, ' ') AS pl FROM s{i - 1}) t) u
+      GROUP BY 1),
+    b{i} AS (SELECT {i} AS rank, pair, replace(pair, ' ', '') AS merged, cnt
+             FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s{i} AS (SELECT word, freq, regexp_replace(s, b.pair, b.merged, 'g') AS s
+             FROM s{i - 1}, b{i} b)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, _BPE_TRAIN_ITERS + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, pair, merged,
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union}) all_b""")
+    return "".join(parts)
+
+
+@register("doc_bpe_train", oracle=_bpe_train_oracle())
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn {n} BPE merges from the corpus (the training half of
+    doc_bpe_tokenize, [U sennrich BPE]): per iteration, count adjacent
+    piece pairs weighted by word frequency, elect the max (total-order
+    tie-break cnt DESC / pair ASC), fold the merge into the piece
+    expression, repeat. The DuckDB oracle re-derives ALL {n} iterations
+    in unrolled CTEs — the learned table is cross-checked end to end,
+    not just the final counts. The shuffle is linear in DISTINCT words
+    (the word-frequency table), never corpus size; the per-iteration
+    driver collect is one model row.""".format(n=_BPE_TRAIN_ITERS)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        rows = []
+        for rank in range(1, _BPE_TRAIN_ITERS + 1):
+            s = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+            for pat, rep in merges:
+                s = F.regexp_replace(s, pat, rep)
+            base = words.select("freq", s.alias("s"))
+            pairs = base.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "filter(zip_with(split(s, ' '), "
+                        "slice(split(s, ' '), 2, greatest(size(split(s, ' ')) - 1, 0)), "
+                        "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+                    )
+                ).alias("pair"),
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"), F.col("pair").alias("p")
+                        )
+                    ).alias("b")
+                )
+                .collect()[0]["b"]
+            )
+            pair, cnt = best["p"], -best["nc"]
+            merges.append((pair, pair.replace(" ", "")))
+            rows.append((rank, pair, pair.replace(" ", ""), cnt))
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        rows, "rank long, pair string, merged string, pair_count long"
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -9775,6 +9884,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "doc_bpe_train",
     "doc_paragraph_dedup",
     "doc_cdc_chunks",
     "doc_encoding_fix",
