@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "crawl_main_content",
     "crawl_anchor_index",
     "doc_bpe_train",
+    "crawl_host_components",
+    "events_ab_srm_check",
 ]
 
 

@@ -9751,6 +9751,94 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
+
+
+@register(
+    "crawl_host_components",
+    oracle=f"""
+    WITH {_sql_cc_ctes(
+        "SELECT CAST(i AS BIGINT) AS node FROM range(50) r(i)",
+        "SELECT CAST(o_custkey % 48 AS BIGINT) AS src, "
+        "CAST((o_custkey % 48) - (o_custkey % 48) % 8 + o_orderkey % 8 AS BIGINT) AS dst "
+        "FROM orders",
+    )}
+    SELECT cluster, count(*) AS n_hosts FROM ccF GROUP BY 1
+    """,
+)
+def crawl_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph connected components (mirror/farm detection at the
+    GRAPH level — [U common-crawl host-level webgraph] analysis):
+    link edges are planted inside 8-host blocks (6 components) plus two
+    never-linked hosts (singleton coverage), labels propagate via the
+    repo's fixed-iteration min-label CC (relational.connected_components
+    — per-round groupBy(min) + node-keyed join, no global structure),
+    and the readout is component sizes. Oracle re-derives every CC round
+    CTE-by-CTE via relational.sql_cc_ctes."""
+    from .relational import connected_components
+
+    orders = load(spark, sf_dir, "orders")
+    src = (F.col("o_custkey") % 48).cast("long")
+    edges = orders.select(
+        src.alias("src"),
+        ((src - src % 8) + F.col("o_orderkey") % 8).cast("long").alias("dst"),
+    )
+    nodes = spark.range(50).select(F.col("id").alias("node"))
+    cc = connected_components(nodes, edges)
+    return cc.groupBy("cluster").agg(F.count("*").alias("n_hosts"))
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_type,
+             {sql_digest60("CAST(user_id AS VARCHAR)")} % 2 AS variant
+      FROM events),
+    counts AS (
+      SELECT event_type,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM assigned GROUP BY 1)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) AS BIGINT)
+             AS chi2_ppm,
+           1000000 * (n_a - n_b) * (n_a - n_b) > 3841459 * (n_a + n_b)
+             AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for A/B assignment ([U twyman's law /
+    trustworthy online experiments §SRM]): under a 50/50 hash split the
+    1-df chi-square collapses to (n_a-n_b)²/n, carried as exact integer
+    ppm with the 95% critical value 3.841459 as a cross-multiplied
+    integer compare — no floats cross the hash. One map-side-combinable
+    groupBy; the flag catches broken bucketing before anyone reads the
+    experiment."""
+    events = load(spark, sf_dir, "events")
+    assigned = events.select(
+        "event_type",
+        (digest60(F.col("user_id").cast("string")) % 2).alias("variant"),
+    )
+    counts = assigned.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    d2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    return counts.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(1000000 * (n_a - n_b) * (n_a - n_b) DIV (n_a + n_b) AS BIGINT)"
+        ).alias("chi2_ppm"),
+        (F.lit(1000000) * d2 > F.lit(3841459) * (F.col("n_a") + F.col("n_b"))).alias(
+            "srm_flag"
+        ),
+    )
+
+
 # =============================================================================
 # BPE TRAINING (round-4 continuation): doc_bpe_tokenize applies a FIXED
 # merge table; this learns the table from the corpus — the actual
@@ -9884,6 +9972,8 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_host_components",
+    "events_ab_srm_check",
     "doc_bpe_train",
     "doc_paragraph_dedup",
     "doc_cdc_chunks",
