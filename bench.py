@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "doc_bpe_train",
     "crawl_host_components",
     "events_ab_srm_check",
+    "img_thumbs_pipeline",
 ]
 
 

@@ -442,6 +442,85 @@ def webp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
     return ids.select("image_id").mapInPandas(run, TRANSCODE_SCHEMA)
 
 
+THUMB_SIZES: tuple[tuple[str, int, int], ...] = (("small", 8, 8), ("big", 16, 16))
+
+THUMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("thumb", T.StringType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("n_jpeg_bytes", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("sse", T.LongType(), False),
+    ]
+)
+
+
+def fit_box(w: int, h: int, tw: int, th: int) -> tuple[int, int]:
+    """Aspect-preserving fit into (tw, th) — PIL Image.thumbnail
+    semantics in exact integer arithmetic (floor, min 1px)."""
+    if w * th <= h * tw:  # height-bound
+        return max(1, (w * th) // h), th
+    return tw, max(1, (h * tw) // w)
+
+
+def int_block_mean(pix: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downsample with EXACT integer division (sum // count) —
+    unlike block_mean_resize's float mean, this is trivially restatable
+    by the scalar twin, so thumbnails can sit under the driver hash."""
+    h, w, _ = pix.shape
+    ys = np.linspace(0, h, out_h + 1, dtype=np.int64)
+    xs = np.linspace(0, w, out_w + 1, dtype=np.int64)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = pix[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].reshape(-1, 3)
+            out[i, j] = block.astype(np.int64).sum(axis=0) // block.shape[0]
+    return out
+
+
+def thumbs_pipeline(ids: DataFrame, quality: int = 85) -> DataFrame:
+    """IMAGES_THUMBS parity ([U scrapy/pipelines/images.py] writes one
+    JPEG thumbnail per configured size beside every stored image): each
+    source image fans out into aspect-fit integer block-mean thumbnails
+    re-encoded as REAL baseline JPEG. Emitted channel sums are over the
+    DECODED-JPEG thumbnail pixels (exact int64 — decode-sensitive at any
+    thumb size, where an 8×8 phash degenerates below 8px) and sse is the
+    decoded-vs-pre-encode fidelity, so the whole resize→encode→decode
+    chain sits under the driver hash; the expected parquet twin restates
+    the fit arithmetic and block means scalar-wise and re-decodes the
+    same bytes with scripts/jpeg_twin.py."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                h, w, _ = pix.shape
+                for name, tw, th in THUMB_SIZES:
+                    ow, oh = fit_box(w, h, tw, th)
+                    thumb = int_block_mean(pix, oh, ow)
+                    data = encode_jpeg(thumb, quality=quality)
+                    dec = decode_jpeg(data)
+                    s = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    diff = dec.astype(np.int64) - thumb.astype(np.int64)
+                    out.append(
+                        (iid, name, ow, oh, len(data),
+                         int(s[0]), int(s[1]), int(s[2]),
+                         int((diff * diff).sum()))
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in THUMBS_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, THUMBS_SCHEMA)
+
+
 def apply_exif_orientation(pix: np.ndarray, orientation: int) -> np.ndarray:
     """[U PIL ImageOps.exif_transpose] semantics: transform the STORED
     pixels so the result displays upright. numpy slicing formulation (the

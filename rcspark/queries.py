@@ -9280,6 +9280,32 @@ def img_exif_autoorient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exif_autoorient(ids)
 
 
+# A16 IMAGES_THUMBS parity — [U scrapy/pipelines/images.py] writes one
+# JPEG thumbnail per configured size beside every stored image. Aspect
+# fit + block means are exact integer arithmetic; channel sums + sse run
+# over the DECODED-JPEG pixels, so resize→encode→decode sits under one
+# hash. Twin restates fit/means scalar-wise + scripts/jpeg_twin.py.
+
+@register(
+    "img_thumbs_pipeline",
+    oracle=f"""
+    SELECT e.image_id, e.thumb, e.out_w, e.out_h, e.n_jpeg_bytes,
+           e.sum_r, e.sum_g, e.sum_b, e.sse
+    FROM '{_MEDIA_EXPECTED}/img_thumbs.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_thumbs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import thumbs_pipeline
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return thumbs_pipeline(ids)
+
+
 # =============================================================================
 # A10 real-HTTP transport parity, driver-gated (VERDICT r3 item 8)
 # =============================================================================
@@ -9972,6 +9998,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "img_thumbs_pipeline",
     "crawl_host_components",
     "events_ab_srm_check",
     "doc_bpe_train",

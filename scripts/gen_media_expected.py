@@ -949,6 +949,72 @@ def expected_img_exif_orient() -> pd.DataFrame:
               "phash": "int64"})
 
 
+def expected_img_thumbs(quality: int = 85) -> pd.DataFrame:
+    """img_thumbs_pipeline twin: its OWN aspect-fit formula, per-pixel
+    scalar block means, then the engine's JPEG bytes decoded with the
+    independent scripts/jpeg_twin.py decoder for the sums/sse."""
+    from rcspark.datapipe.multimodal import THUMB_SIZES
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        h, w = pix.shape[:2]
+        for name, tw, th in THUMB_SIZES:
+            # own fit restatement: scale to the binding dimension
+            if w * th <= h * tw:
+                oh = th
+                ow = (w * th) // h
+                if ow < 1:
+                    ow = 1
+            else:
+                ow = tw
+                oh = (h * tw) // w
+                if oh < 1:
+                    oh = 1
+            ys = [h * i // oh for i in range(oh + 1)]
+            xs = [w * j // ow for j in range(ow + 1)]
+            thumb = np.zeros((oh, ow, 3), dtype=np.uint8)
+            for i in range(oh):
+                for j in range(ow):
+                    acc = [0, 0, 0]
+                    n = 0
+                    for y in range(ys[i], ys[i + 1]):
+                        for x in range(xs[j], xs[j + 1]):
+                            for c in range(3):
+                                acc[c] += int(pix[y, x, c])
+                            n += 1
+                    for c in range(3):
+                        thumb[i, j, c] = acc[c] // n
+            data = encode_jpeg(thumb, quality=quality)
+            dec = twin_decode_jpeg(data)
+            sr = sg = sb = 0
+            sse = 0
+            for y in range(oh):
+                for x in range(ow):
+                    r, g, b = dec[y][x][0], dec[y][x][1], dec[y][x][2]
+                    sr += r
+                    sg += g
+                    sb += b
+                    for c, v in enumerate((r, g, b)):
+                        d = v - int(thumb[y, x, c])
+                        sse += d * d
+            rows.append(
+                (iid, name, np.int32(ow), np.int32(oh), np.int64(len(data)),
+                 np.int64(sr), np.int64(sg), np.int64(sb), np.int64(sse))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "thumb", "out_w", "out_h", "n_jpeg_bytes",
+                 "sum_r", "sum_g", "sum_b", "sse"],
+    ).astype({"out_w": "int32", "out_h": "int32", "n_jpeg_bytes": "int64",
+              "sum_r": "int64", "sum_g": "int64", "sum_b": "int64",
+              "sse": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -976,6 +1042,7 @@ def main() -> None:
         ("img_transcode_gif", expected_img_transcode_gif),
         ("img_gif_anim", expected_img_gif_anim),
         ("img_exif_orient", expected_img_exif_orient),
+        ("img_thumbs", expected_img_thumbs),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

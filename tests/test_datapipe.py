@@ -611,3 +611,22 @@ def test_cdc_chunks_shift_resilience(spark):
     assert got[1]["n_tokens"] == 400 and got[2]["n_tokens"] == 401
     # the shared suffix chunks make nearly everything cross-doc shared
     assert got[1]["shared_ppm"] >= 900000
+
+
+def test_thumbs_fit_box_and_integer_means():
+    """Aspect fit matches PIL thumbnail semantics (bounding box, floor,
+    min 1px) and block means are exact integer division."""
+    import numpy as np
+
+    from rcspark.datapipe.multimodal import fit_box, int_block_mean
+
+    assert fit_box(64, 64, 8, 8) == (8, 8)
+    assert fit_box(64, 16, 8, 8) == (8, 2)   # wide → height shrinks
+    assert fit_box(16, 64, 8, 8) == (2, 8)   # tall → width shrinks
+    assert fit_box(100, 1, 8, 8) == (8, 1)
+    assert fit_box(1, 100, 8, 8) == (1, 8)
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    t = int_block_mean(pix, 2, 2)
+    # block (0,0) rows 0-1 cols 0-1 channel 0: values 0,3,12,15 → 30//4=7
+    assert t[0, 0, 0] == 7
+    assert t.shape == (2, 2, 3)
