@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "crawl_host_components",
     "events_ab_srm_check",
     "img_thumbs_pipeline",
+    "crawl_warc_read",
 ]
 
 

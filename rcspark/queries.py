@@ -9781,6 +9781,133 @@ from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
 @register(
+    "crawl_warc_read",
+    oracle=f"""
+    WITH page AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey AS url,
+             'body:' || o_orderpriority || ':' || repeat('x', CAST(o_orderkey % 40 AS INT))
+               AS body
+      FROM orders),
+    rec AS (
+      SELECT url, body,
+             'WARC/1.0' || chr(13) || chr(10)
+               || 'WARC-Type: response' || chr(13) || chr(10)
+               || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+               || 'WARC-Record-ID: urn:digest:' || {sql_digest60("url")} || chr(13) || chr(10)
+               || 'Content-Length: ' || length(body) || chr(13) || chr(10)
+               || chr(13) || chr(10) || body || chr(13) || chr(10) || chr(13) || chr(10)
+               AS record,
+             {sql_digest60("url")} % {_WARC_SHARDS} AS shard
+      FROM page),
+    files AS (
+      SELECT shard, string_agg(record, '' ORDER BY url) AS warc
+      FROM rec GROUP BY 1),
+    frags AS (
+      SELECT shard, f AS frag
+      FROM (SELECT shard,
+                   unnest(string_split(warc, 'WARC/1.0' || chr(13) || chr(10))) AS f
+            FROM files) t
+      WHERE f <> ''),
+    parsed AS (
+      SELECT shard,
+             regexp_extract(frag, 'WARC-Target-URI: ([^' || chr(13) || ']*)', 1) AS url,
+             CAST(regexp_extract(frag, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+               AS content_length,
+             substring(frag,
+                       position((chr(13) || chr(10) || chr(13) || chr(10)) IN frag) + 4,
+                       CAST(regexp_extract(frag, 'Content-Length: ([0-9]+)', 1) AS BIGINT))
+               AS body
+      FROM frags)
+    SELECT p.shard, p.url, p.content_length,
+           {sql_digest60("p.body")} AS body_digest,
+           CAST(length(p.body) AS BIGINT) = p.content_length
+             AND {sql_digest60("p.body")} = {sql_digest60("g.body")} AS roundtrip_ok
+    FROM parsed p JOIN page g USING (url)
+    """,
+)
+def crawl_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC READ side ([U warcio / common-crawl ingest] — the entry path
+    of every archive-backed corpus): shard files are materialized from
+    the export derivation (crawl_warc_export's record layout), then
+    parsed BACK — split on the version line, header regexes for
+    Target-URI / Content-Length, and a length-driven body read (real
+    WARC readers consume exactly Content-Length bytes; the parse never
+    trusts the blank-line heuristic for the body END). roundtrip_ok
+    joins each parsed body against the original page — digest equality
+    closes the write→read loop under one driver hash. Scale shape:
+    shard-file assembly is one groupBy; parsing is a per-shard split +
+    explode (archives are read shard-parallel); the verify join is
+    url-keyed."""
+    orders = load(spark, sf_dir, "orders")
+    crlf = "\r\n"
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    body = F.concat(
+        F.lit("body:"),
+        F.col("o_orderpriority"),
+        F.lit(":"),
+        F.repeat(F.lit("x"), (F.col("o_orderkey") % 40).cast("int")),
+    )
+    page = orders.select(url.alias("url"), body.alias("body"))
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(crlf),
+        F.lit("WARC-Record-ID: urn:digest:"),
+        digest60(F.col("url")).cast("string"), F.lit(crlf),
+        F.lit("Content-Length: "), F.length("body").cast("string"), F.lit(crlf),
+        F.lit(crlf), F.col("body"), F.lit(crlf + crlf),
+    )
+    rec = page.select(
+        "url",
+        record.alias("record"),
+        F.pmod(digest60(F.col("url")), F.lit(_WARC_SHARDS)).alias("shard"),
+    )
+    files = rec.groupBy("shard").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("url", "record"))),
+                lambda s: s["record"],
+            ),
+        ).alias("warc")
+    )
+    frags = files.select(
+        "shard",
+        F.explode(F.split(F.col("warc"), "WARC/1\\.0\r\n")).alias("frag"),
+    ).filter(F.col("frag") != "")
+    parsed = frags.select(
+        "shard",
+        F.regexp_extract("frag", "WARC-Target-URI: ([^\r]*)", 1).alias("url"),
+        F.regexp_extract("frag", "Content-Length: ([0-9]+)", 1)
+        .cast("long")
+        .alias("content_length"),
+        F.expr(
+            "substring(frag, instr(frag, '\r\n\r\n') + 4, "
+            "CAST(regexp_extract(frag, 'Content-Length: ([0-9]+)', 1) AS BIGINT))"
+        ).alias("body"),
+    )
+    orig = page.select("url", digest60(F.col("body")).alias("orig_digest"))
+    return (
+        parsed.join(orig, "url")
+        .select(
+            "shard",
+            "url",
+            "content_length",
+            digest60(F.col("body")).alias("body_digest"),
+            (
+                (F.length("body").cast("long") == F.col("content_length"))
+                & (digest60(F.col("body")) == F.col("orig_digest"))
+            ).alias("roundtrip_ok"),
+        )
+    )
+
+
+@register(
     "crawl_host_components",
     oracle=f"""
     WITH {_sql_cc_ctes(
@@ -9998,6 +10125,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_warc_read",
     "img_thumbs_pipeline",
     "crawl_host_components",
     "events_ab_srm_check",
