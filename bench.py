@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "events_ab_srm_check",
     "img_thumbs_pipeline",
     "crawl_warc_read",
+    "crawl_etld1_politeness",
 ]
 
 

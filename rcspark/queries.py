@@ -9780,6 +9780,130 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
+# Mini public-suffix list (the PSL is DATA, exactly like the extraction
+# rules and GeoIP tables): multi-level entries make 'co.uk' beat 'uk'.
+_PSL = (
+    "com", "org", "net", "io", "uk", "co.uk", "org.uk",
+    "com.au", "github.io", "ac.jp",
+)
+
+
+@register(
+    "crawl_etld1_politeness",
+    oracle=f"""
+    WITH urls AS (
+      SELECT CASE o_orderkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+             WHEN 2 THEN 'shop.' ELSE 'a.b.' END
+             || 'brand' || (o_custkey % 20) || '.'
+             || CASE o_custkey % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                WHEN 2 THEN 'github.io' WHEN 3 THEN 'org' ELSE 'com.au' END
+               AS host
+      FROM orders),
+    hosts AS (SELECT DISTINCT host FROM urls),
+    psl(suffix) AS (VALUES {", ".join(f"('{s}')" for s in _PSL)}),
+    cand AS (
+      SELECT host, unnest(list_transform(range(1, len(labels) + 1),
+               i -> array_to_string(labels[i:len(labels)], '.'))) AS suffix
+      FROM (SELECT host, string_split(host, '.') AS labels FROM hosts) t),
+    matched AS (
+      SELECT host, suffix,
+             row_number() OVER (PARTITION BY host
+               ORDER BY len(string_split(suffix, '.')) DESC, suffix) AS rn
+      FROM cand JOIN psl USING (suffix)),
+    etld AS (
+      SELECT host,
+             reverse(split_part(reverse(substring(
+               host, 1, length(host) - length(suffix) - 1)), '.', 1))
+               || '.' || suffix AS etld1
+      FROM matched WHERE rn = 1)
+    SELECT e.etld1,
+           CAST(count(DISTINCT u.host) AS BIGINT) AS n_hosts,
+           count(*) AS n_urls,
+           CAST(least(8, count(*)) AS BIGINT) AS burst_budget
+    FROM urls u JOIN etld e USING (host)
+    GROUP BY 1
+    """,
+)
+def crawl_etld1_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness grouping — [U scrapy
+    OffsiteMiddleware / tldextract]: budgets keyed on the raw host let a
+    crawler hammer one operator through thousands of subdomains
+    (a.b.brand7.co.uk and shop.brand7.co.uk are the SAME server farm).
+    The public-suffix list rides as a broadcast table; every dot-suffix
+    of the host joins against it and the LONGEST match wins ('co.uk'
+    beats 'uk'), the label left of it completes the registrable domain,
+    and the per-domain burst budget is granted once per eTLD+1. Scale
+    shape: suffix fan-out is ≤ label-count per DISTINCT host (tiny next
+    to URL count), the PSL join broadcasts, and the final agg is one
+    etld1-keyed groupBy."""
+    orders = load(spark, sf_dir, "orders")
+    sub = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(""))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("www."))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("shop."))
+        .otherwise(F.lit("a.b."))
+    )
+    tld = (
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("com"))
+        .when(F.col("o_custkey") % 5 == 1, F.lit("co.uk"))
+        .when(F.col("o_custkey") % 5 == 2, F.lit("github.io"))
+        .when(F.col("o_custkey") % 5 == 3, F.lit("org"))
+        .otherwise(F.lit("com.au"))
+    )
+    urls = orders.select(
+        F.concat(
+            sub, F.lit("brand"), (F.col("o_custkey") % 20).cast("string"),
+            F.lit("."), tld,
+        ).alias("host")
+    )
+    hosts = urls.distinct()
+    cand = hosts.select(
+        "host",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '\\\\.'))), "
+                "i -> array_join(slice(split(host, '\\\\.'), i, "
+                "size(split(host, '\\\\.')) - i + 1), '.'))"
+            )
+        ).alias("suffix"),
+    )
+    psl = spark.createDataFrame([(s,) for s in _PSL], "suffix string")
+    matched = (
+        cand.join(F.broadcast(psl), "suffix")
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.struct(
+                    F.size(F.split(F.col("suffix"), "\\.")).alias("nlab"),
+                    F.col("suffix").alias("s"),
+                )
+            ).alias("m")
+        )
+        .select("host", F.col("m.s").alias("suffix"))
+    )
+    etld = matched.select(
+        "host",
+        F.concat(
+            F.substring_index(
+                F.expr("substring(host, 1, length(host) - length(suffix) - 1)"),
+                ".",
+                -1,
+            ),
+            F.lit("."),
+            F.col("suffix"),
+        ).alias("etld1"),
+    )
+    return (
+        urls.join(etld, "host")
+        .groupBy("etld1")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").alias("n_urls"),
+            F.least(F.lit(8), F.count("*")).cast("long").alias("burst_budget"),
+        )
+    )
+
+
 @register(
     "crawl_warc_read",
     oracle=f"""
@@ -10125,6 +10249,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_etld1_politeness",
     "crawl_warc_read",
     "img_thumbs_pipeline",
     "crawl_host_components",
