@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "crawl_warc_read",
     "crawl_etld1_politeness",
     "crawl_idn_canonicalize",
+    "crawl_sitemap_discovery",
 ]
 
 

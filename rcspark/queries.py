@@ -9780,6 +9780,73 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
+@register(
+    "crawl_sitemap_discovery",
+    oracle="""
+    WITH robots AS (
+      SELECT 'h' || (o_custkey % 20) AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+               || 'Sitemap: https://h' || (o_custkey % 20)
+               || '.example/sitemap.xml' || chr(10)
+               || CASE WHEN o_custkey % 2 = 0
+                       THEN 'Sitemap: https://h' || (o_custkey % 20)
+                            || '.example/sitemap-news.xml' || chr(10)
+                       ELSE '' END
+               || 'Crawl-delay: 1'
+               AS txt
+      FROM orders),
+    hosts AS (SELECT host, min(txt) AS txt FROM robots GROUP BY 1),
+    lines AS (
+      SELECT host, unnest(string_split(txt, chr(10))) AS line FROM hosts),
+    maps AS (
+      SELECT host, substring(line, 10) AS sitemap_url
+      FROM lines WHERE starts_with(line, 'Sitemap: '))
+    SELECT host, sitemap_url,
+           row_number() OVER (PARTITION BY host ORDER BY sitemap_url)
+             AS seq
+    FROM (SELECT DISTINCT host, sitemap_url FROM maps) d
+    """,
+)
+def crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt ([U sitemaps.org protocol §
+    'informing search engine crawlers'; scrapy SitemapSpider follows
+    robots Sitemap: lines]): the A1 front half BEFORE sitemap-XML
+    parsing (crawl_sitemap_extract) — per-host robots text is split on
+    newlines, `Sitemap:` directives extracted by literal prefix (no
+    regex dialect risk), deduped, and sequenced per host. The per-host
+    seq is a tiny window (≤ sitemaps-per-host partitions), never
+    global. Chained with sitemap_entries this completes
+    robots → sitemap URL → <urlset> → seed list."""
+    orders = load(spark, sf_dir, "orders")
+    hostn = (F.col("o_custkey") % 20).cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.lit("Sitemap: https://h"), hostn, F.lit(".example/sitemap.xml\n"),
+        F.when(
+            F.col("o_custkey") % 2 == 0,
+            F.concat(
+                F.lit("Sitemap: https://h"), hostn,
+                F.lit(".example/sitemap-news.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 1"),
+    )
+    hosts = (
+        orders.select(F.concat(F.lit("h"), hostn).alias("host"), txt.alias("txt"))
+        .groupBy("host")
+        .agg(F.min("txt").alias("txt"))
+    )
+    lines = hosts.select("host", F.explode(F.split("txt", "\n")).alias("line"))
+    maps = lines.filter(F.col("line").startswith("Sitemap: ")).select(
+        "host", F.expr("substring(line, 10)").alias("sitemap_url")
+    )
+    w = Window.partitionBy("host").orderBy("sitemap_url")
+    return (
+        maps.distinct()
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+    )
+
+
 _IDN_EXPECTED = os.path.normpath(
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  "..", "tests", "data", "idn_expected.parquet")
@@ -10295,6 +10362,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_sitemap_discovery",
     "crawl_idn_canonicalize",
     "crawl_etld1_politeness",
     "crawl_warc_read",

@@ -78,3 +78,55 @@ def test_budget_bounds(delay):
     assert 1 <= b <= PER_HOST_CAP
     # the last scheduled fetch of the wave starts within the wave clock
     assert (b - 1) * host_delay_ms(delay) <= WAVE_SECONDS * 1000
+
+
+# -- GIF codec properties (round 4) -------------------------------------------
+
+
+@st.composite
+def _small_images(draw):
+    import numpy as np
+
+    h = draw(st.integers(min_value=1, max_value=24))
+    w = draw(st.integers(min_value=1, max_value=24))
+    ncol = draw(st.integers(min_value=1, max_value=256))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncol, (h, w))]
+
+
+@given(_small_images(), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(img, interlace):
+    """Any ≤256-color image (any size ≥1×1, any interlace flag)
+    roundtrips losslessly through the real GIF codec, and the
+    independent scalar twin decodes the same bytes to the same pixels."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from rcspark.gif import decode_gif, encode_gif
+    from scripts.gif_twin import twin_decode_gif
+
+    data, mode = encode_gif(img, interlace=interlace)
+    assert mode == "exact"
+    dec = decode_gif(data)
+    assert np.array_equal(dec, img)
+    twin = np.array(twin_decode_gif(data), dtype=np.uint8).reshape(img.shape)
+    assert np.array_equal(twin, img)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_truecolor_roundtrip_is_quantization(seed):
+    import numpy as np
+
+    from rcspark.gif import decode_gif, encode_gif, quantize_332
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    data, mode = encode_gif(img)
+    want = img if mode == "exact" else quantize_332(img)
+    assert np.array_equal(decode_gif(data), want)
