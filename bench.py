@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "crawl_etld1_politeness",
     "crawl_idn_canonicalize",
     "crawl_sitemap_discovery",
+    "crawl_autothrottle",
 ]
 
 

@@ -9781,6 +9781,67 @@ from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
 @register(
+    "crawl_autothrottle",
+    oracle="""
+    WITH fetches AS (
+      SELECT 'h' || (o_custkey % 30) AS host,
+             CAST(50 + (o_orderkey * 37) % 900 AS BIGINT) AS latency_ms,
+             o_orderkey % 50 = 0 AS failed
+      FROM orders),
+    agg AS (
+      SELECT host,
+             count(*) AS n_fetches,
+             CAST(sum(latency_ms) AS BIGINT) AS total_ms,
+             CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+      FROM fetches GROUP BY 1),
+    throttle AS (
+      SELECT host, n_fetches, n_failed,
+             total_ms // n_fetches AS avg_latency_ms,
+             least(30000, greatest(200,
+               (total_ms // n_fetches) * 10
+                 // (CASE WHEN n_failed * 10 >= n_fetches THEN 5 ELSE 20 END)))
+               AS next_delay_ms
+      FROM agg)
+    SELECT host, n_fetches, n_failed, avg_latency_ms, next_delay_ms,
+           n_failed * 10 >= n_fetches AS backoff
+    FROM throttle
+    """,
+)
+def crawl_autothrottle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoThrottle ([U scrapy/extensions/throttle.py]): the download
+    delay adapts to the server — target delay = observed latency /
+    target concurrency (2.0 here, carried as ×10 integer arithmetic),
+    clamped to [200 ms, 30 s], and hosts whose failure rate reaches 10%
+    get their effective concurrency halved (0.5 ⇒ delay doubles vs
+    target — scrapy's 'reduce concurrency on non-200' rule). Pure
+    integer division end to end; one host-keyed map-side-combinable
+    groupBy feeding the same with_budget politeness machinery."""
+    orders = load(spark, sf_dir, "orders")
+    fetches = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 30).cast("string")).alias("host"),
+        (50 + (F.col("o_orderkey") * 37) % 900).cast("long").alias("latency_ms"),
+        (F.col("o_orderkey") % 50 == 0).alias("failed"),
+    )
+    agg = fetches.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum("latency_ms").cast("long").alias("total_ms"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("n_failed"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_failed",
+        F.expr("total_ms DIV n_fetches").alias("avg_latency_ms"),
+        F.expr(
+            "least(CAST(30000 AS BIGINT), greatest(CAST(200 AS BIGINT), "
+            "(total_ms DIV n_fetches) * 10 "
+            "DIV (CASE WHEN n_failed * 10 >= n_fetches THEN 5 ELSE 20 END)))"
+        ).alias("next_delay_ms"),
+        (F.col("n_failed") * 10 >= F.col("n_fetches")).alias("backoff"),
+    )
+
+
+@register(
     "crawl_sitemap_discovery",
     oracle="""
     WITH robots AS (
@@ -10362,6 +10423,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_autothrottle",
     "crawl_sitemap_discovery",
     "crawl_idn_canonicalize",
     "crawl_etld1_politeness",
