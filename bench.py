@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "crawl_idn_canonicalize",
     "crawl_sitemap_discovery",
     "crawl_autothrottle",
+    "video_keyframe_select",
 ]
 
 

@@ -947,6 +947,65 @@ def scene_cuts(videos: DataFrame, threshold_permille: int = 150) -> DataFrame:
     return src.mapInPandas(run, SCENE_CUT_SCHEMA)
 
 
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("shot_id", T.IntegerType(), False),
+        T.StructField("start_idx", T.IntegerType(), False),
+        T.StructField("end_idx", T.IntegerType(), False),
+        T.StructField("key_idx", T.IntegerType(), False),
+        T.StructField("key_lap_energy", T.LongType(), False),
+    ]
+)
+
+
+def keyframe_select(videos: DataFrame, threshold_permille: int = 150) -> DataFrame:
+    """Per-shot keyframe selection — the step after scene cutting that a
+    video-curation pipeline stores per shot ([U ffmpeg thumbnail filter /
+    katna keyframes]): segment frames into shots with the SAME
+    exact-integer MAD cut rule as scene_cuts, then elect the sharpest
+    frame per shot by Laplacian energy (the sharpness_features formula:
+    luma = r+g+b, 4-neighbor interior Laplacian, Σ lap²), ties broken
+    toward the earliest frame. All int64, so the independent twin
+    (scripts/gen_media_expected.py — scalar per-pixel Laplacian, its own
+    segmentation loop) bit-matches. One mapInPandas pass; container
+    bytes never cross a shuffle."""
+    src = videos.select("video_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                frames = decode_video(bytes(data)).astype(np.int64)
+                n, h, w, _ = frames.shape
+                denom = h * w * 3 * 255
+                bounds = [0]
+                for i in range(1, n):
+                    mad = int(np.abs(frames[i] - frames[i - 1]).sum())
+                    if (1000 * mad) // denom >= threshold_permille:
+                        bounds.append(i)
+                bounds.append(n)
+                for s in range(len(bounds) - 1):
+                    a, b = bounds[s], bounds[s + 1]
+                    best_i, best_e = a, -1
+                    for i in range(a, b):
+                        c = frames[i].sum(axis=2)
+                        lap = (
+                            4 * c[1:-1, 1:-1]
+                            - c[:-2, 1:-1]
+                            - c[2:, 1:-1]
+                            - c[1:-1, :-2]
+                            - c[1:-1, 2:]
+                        )
+                        e = int((lap * lap).sum())
+                        if e > best_e:
+                            best_i, best_e = i, e
+                    rows.append((vid, s, a, b - 1, best_i, best_e))
+            yield pd.DataFrame(rows, columns=[f.name for f in KEYFRAME_SCHEMA.fields])
+
+    return src.mapInPandas(run, KEYFRAME_SCHEMA)
+
+
 # -- audio: opaque binary container + feature extraction -----------------------------
 # Container (stand-in for wav/flac): b"RCA1\n<rate> <n>\n" + n int16 LE
 # samples. Real decoders bind in decode_external; numpy carries the

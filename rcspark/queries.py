@@ -2238,6 +2238,31 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_cuts(synthesize_shot_videos(ids), threshold_permille=150)
 
 
+# Per-shot keyframe election — the step video curation stores per shot
+# (after scene_cuts): same MAD cut rule, sharpest interior-Laplacian
+# frame wins, earliest frame on ties. Twin re-segments with its own loop
+# and a per-pixel scalar Laplacian.
+
+@register(
+    "video_keyframe_select",
+    oracle=f"""
+    SELECT e.video_id, e.shot_id, e.start_idx, e.end_idx,
+           e.key_idx, e.key_lap_energy
+    FROM '{_MEDIA_EXPECTED}/video_keyframes.parquet' e
+    JOIN (SELECT 'sv' || p_partkey AS video_id FROM part
+          WHERE p_partkey % 20 = 5) i USING (video_id)
+    """,
+)
+def video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import keyframe_select, synthesize_shot_videos
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 5).select(
+        F.concat(F.lit("sv"), F.col("p_partkey").cast("string")).alias("video_id")
+    )
+    return keyframe_select(synthesize_shot_videos(ids), threshold_permille=150)
+
+
 # =============================================================================
 # Structured Streaming (availableNow batch-over-stream) — SURVEY.md Table B
 # =============================================================================
@@ -10423,6 +10448,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "video_keyframe_select",
     "crawl_autothrottle",
     "crawl_sitemap_discovery",
     "crawl_idn_canonicalize",

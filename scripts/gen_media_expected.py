@@ -1015,6 +1015,52 @@ def expected_img_thumbs(quality: int = 85) -> pd.DataFrame:
               "sse": "int64"})
 
 
+def expected_video_keyframes(threshold_permille: int = 150) -> pd.DataFrame:
+    """video_keyframe_select twin: shared shot-frame generator, its own
+    segmentation loop (per-channel Python-int MAD like the scene-cut
+    twin) and a per-pixel scalar Laplacian accumulator (the engine uses
+    one vectorized int64 slice expression)."""
+    from rcspark.fixtures import make_shot_frames
+
+    rows = []
+    for k in range(5, MAX_PARTKEY, 20):
+        vid = f"sv{k}"
+        frames = make_shot_frames(vid).astype(np.int64)
+        n, h, w, _ = frames.shape
+        denom = h * w * 3 * 255
+        bounds = [0]
+        for i in range(1, n):
+            mad = 0
+            for c in range(3):
+                mad += int(abs(frames[i, :, :, c] - frames[i - 1, :, :, c]).sum())
+            if (1000 * mad) // denom >= threshold_permille:
+                bounds.append(i)
+        bounds.append(n)
+        for s in range(len(bounds) - 1):
+            a, b = bounds[s], bounds[s + 1]
+            best_i, best_e = a, -1
+            for i in range(a, b):
+                lum = [[int(frames[i, y, x, 0] + frames[i, y, x, 1]
+                            + frames[i, y, x, 2]) for x in range(w)]
+                       for y in range(h)]
+                e = 0
+                for y in range(1, h - 1):
+                    for x in range(1, w - 1):
+                        lap = (4 * lum[y][x] - lum[y - 1][x] - lum[y + 1][x]
+                               - lum[y][x - 1] - lum[y][x + 1])
+                        e += lap * lap
+                if e > best_e:
+                    best_i, best_e = i, e
+            rows.append((vid, np.int32(s), np.int32(a), np.int32(b - 1),
+                         np.int32(best_i), np.int64(best_e)))
+    return pd.DataFrame(
+        rows,
+        columns=["video_id", "shot_id", "start_idx", "end_idx",
+                 "key_idx", "key_lap_energy"],
+    ).astype({"shot_id": "int32", "start_idx": "int32", "end_idx": "int32",
+              "key_idx": "int32", "key_lap_energy": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1043,6 +1089,7 @@ def main() -> None:
         ("img_gif_anim", expected_img_gif_anim),
         ("img_exif_orient", expected_img_exif_orient),
         ("img_thumbs", expected_img_thumbs),
+        ("video_keyframes", expected_video_keyframes),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")
