@@ -470,10 +470,13 @@ def fit_box(w: int, h: int, tw: int, th: int) -> tuple[int, int]:
 def int_block_mean(pix: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Block-mean downsample with EXACT integer division (sum // count) —
     unlike block_mean_resize's float mean, this is trivially restatable
-    by the scalar twin, so thumbnails can sit under the driver hash."""
+    by the scalar twin, so thumbnails can sit under the driver hash.
+    Block boundaries are exact integer floors (h*i//out_h) — NOT
+    linspace float truncation, which disagrees with floor on non-dyadic
+    sizes (e.g. h=122, out_h=14 truncates 60.999… to 60 vs floor 61)."""
     h, w, _ = pix.shape
-    ys = np.linspace(0, h, out_h + 1, dtype=np.int64)
-    xs = np.linspace(0, w, out_w + 1, dtype=np.int64)
+    ys = (h * np.arange(out_h + 1, dtype=np.int64)) // out_h
+    xs = (w * np.arange(out_w + 1, dtype=np.int64)) // out_w
     out = np.empty((out_h, out_w, 3), dtype=np.uint8)
     for i in range(out_h):
         for j in range(out_w):

@@ -34,6 +34,13 @@ import numpy as np
 
 GIF_MAX_CODE = 4096  # LZW dictionary ceiling fixed by the GIF spec
 
+# hostile-input decode budgets: a GIF is tiny relative to its decoded
+# size (a 12-byte frame block forces a full-canvas composite copy), so
+# both the frame count and the TOTAL composited pixels are capped —
+# without this a ~KB file amplifies into terabytes of canvas copies.
+GIF_MAX_FRAMES = 1024
+GIF_MAX_TOTAL_PIXELS = 1 << 27  # Σ over frames of canvas w*h
+
 # interlace passes: (row offset, row step) in pass order (GIF89a App. E)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -249,6 +256,10 @@ def encode_gif_frames(
     frame — matching the single-frame contract per frame."""
     if not frames:
         raise ValueError("no frames")
+    if delays_cs is not None and len(delays_cs) != len(frames):
+        raise ValueError(
+            f"delays_cs has {len(delays_cs)} entries for {len(frames)} frames"
+        )
     h, w, _ = frames[0].shape
     for f in frames:
         if f.shape != (h, w, 3) or f.dtype != np.uint8:
@@ -347,7 +358,13 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
             continue
         if sep != 0x2C:
             raise ValueError(f"unexpected block 0x{sep:02x}")
+        if len(frames) >= GIF_MAX_FRAMES:
+            raise ValueError(f"more than {GIF_MAX_FRAMES} frames")
+        if (len(frames) + 1) * h * w > GIF_MAX_TOTAL_PIXELS:
+            raise ValueError("decoded size exceeds GIF_MAX_TOTAL_PIXELS budget")
         left, top, fw, fh = struct.unpack("<HHHH", r.take(8))
+        if fw == 0 or fh == 0:
+            raise ValueError("zero-area frame")
         iflags = r.byte()
         table = gct
         if iflags & 0x80:

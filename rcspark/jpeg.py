@@ -334,27 +334,37 @@ def read_exif_orientation(data: bytes) -> int:
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             break
+        # T.81 allows 0xFF fill bytes before a marker — skip them
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         if marker in (0xDA, 0xD9):
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # TEM/RSTn are standalone (no length field)
+            continue
         seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg_end = i + 2 + seg_len  # IFD reads must stay inside the APP1
         if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
             t = i + 10
             order = data[t : t + 2]
             bo = {b"II": "little", b"MM": "big"}.get(bytes(order))
             if bo is not None:
                 ifd = t + int.from_bytes(data[t + 4 : t + 8], bo)
-                n = int.from_bytes(data[ifd : ifd + 2], bo)
-                for e in range(n):
-                    q = ifd + 2 + 12 * e
-                    tag = int.from_bytes(data[q : q + 2], bo)
-                    typ = int.from_bytes(data[q + 2 : q + 4], bo)
-                    if tag == 0x0112 and typ == 3:
-                        v = int.from_bytes(data[q + 8 : q + 10], bo)
-                        if not 1 <= v <= 8:
-                            raise ValueError(f"EXIF orientation {v} invalid")
-                        return v
-        i += 2 + seg_len
+                if ifd + 2 <= seg_end:
+                    n = int.from_bytes(data[ifd : ifd + 2], bo)
+                    for e in range(n):
+                        q = ifd + 2 + 12 * e
+                        if q + 12 > seg_end:
+                            break  # hostile offset walking out of the segment
+                        tag = int.from_bytes(data[q : q + 2], bo)
+                        typ = int.from_bytes(data[q + 2 : q + 4], bo)
+                        if tag == 0x0112 and typ == 3:
+                            v = int.from_bytes(data[q + 8 : q + 10], bo)
+                            if not 1 <= v <= 8:
+                                raise ValueError(f"EXIF orientation {v} invalid")
+                            return v
+        i = seg_end
     return 1
 
 

@@ -9723,16 +9723,19 @@ def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.length(x),
         )
 
+    # materialize (visible, link_chars) ONCE per line via a struct
+    # element — the CLAUDE.md HOF rule: never re-evaluate a captured
+    # regexp per reference inside the lambda
+    scored = F.transform(
+        lines, lambda l: F.struct(vis(l).alias("v"), link_chars(l).alias("lc"))
+    )
     kept = F.filter(
         F.transform(
-            lines,
-            lambda l: F.when(
-                (
-                    F.lit(100) * link_chars(l)
-                    <= F.lit(40) * F.greatest(F.length(vis(l)), F.lit(1))
-                )
-                & (F.length(vis(l)) >= 40),
-                vis(l),
+            scored,
+            lambda s: F.when(
+                (F.lit(100) * s["lc"] <= F.lit(40) * F.greatest(F.length(s["v"]), F.lit(1)))
+                & (F.length(s["v"]) >= 40),
+                s["v"],
             ),
         ),
         lambda x: x.isNotNull(),
@@ -10056,13 +10059,14 @@ def crawl_etld1_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host")
     )
     hosts = urls.distinct()
-    cand = hosts.select(
+    # hoist the split into a materialized column (CLAUDE.md HOF rule:
+    # don't re-split the host per transform element)
+    cand = hosts.withColumn("labels", F.split(F.col("host"), "\\.")).select(
         "host",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(host, '\\\\.'))), "
-                "i -> array_join(slice(split(host, '\\\\.'), i, "
-                "size(split(host, '\\\\.')) - i + 1), '.'))"
+                "transform(sequence(1, size(labels)), "
+                "i -> array_join(slice(labels, i, size(labels) - i + 1), '.'))"
             )
         ).alias("suffix"),
     )
@@ -10372,11 +10376,18 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bpe_tokenize, [U sennrich BPE]): per iteration, count adjacent
     piece pairs weighted by word frequency, elect the max (total-order
     tie-break cnt DESC / pair ASC), fold the merge into the piece
-    expression, repeat. The DuckDB oracle re-derives ALL {n} iterations
-    in unrolled CTEs — the learned table is cross-checked end to end,
-    not just the final counts. The shuffle is linear in DISTINCT words
-    (the word-frequency table), never corpus size; the per-iteration
-    driver collect is one model row.""".format(n=_BPE_TRAIN_ITERS)
+    expression, repeat. Merge APPLICATION uses the repo's pinned BPE-ish
+    regex rendering (doc_bpe_tokenize's unanchored substring replace —
+    RE2 has no lookarounds, so a boundary-anchored form can't be shared
+    with the oracle). Documented deviation from exact sennrich: a merge
+    pattern can fuse across a piece boundary when one piece's SUFFIX +
+    ' ' + the next piece spells the pair (e.g. pieces 'he s' under rule
+    ('e','s')); both engines apply the identical rendering, so the
+    cross-engine hash still pins the full learned table. The DuckDB
+    oracle re-derives ALL {n} iterations in unrolled CTEs. The shuffle
+    is linear in DISTINCT words (the word-frequency table), never
+    corpus size; the per-iteration driver collect is one model
+    row.""".format(n=_BPE_TRAIN_ITERS)
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tx.tokens(F.col("text"))).alias("word"))

@@ -174,8 +174,19 @@ def idna_host(host_col):
     # `from __future__ import annotations` — pandas_udf eval's them in
     # this module's globals
 
+    def _one(h):
+        # quarantine, don't crash the stage: a single malformed public-web
+        # host (empty label, >63-char label, BIDI violation, null) yields
+        # NULL for the caller to filter/flag, never an executor abort
+        if h is None:
+            return None
+        try:
+            return h.encode("idna").decode("ascii")
+        except (UnicodeError, ValueError):
+            return None
+
     @pandas_udf("string")
     def _enc(s: pd.Series) -> pd.Series:
-        return s.map(lambda h: h.encode("idna").decode("ascii"))
+        return s.map(_one)
 
     return _enc(host_col)

@@ -688,3 +688,72 @@ def test_exif_orientation_big_endian_tiff_and_junk():
                        struct.pack(">HHIHH", 0x0112, 3, 1, 0, 0))
     with pytest.raises(ValueError):
         read_exif_orientation(bad)
+
+
+def test_gif_hostile_amplification_bounded():
+    """A tiny GIF must not amplify into unbounded canvas copies:
+    zero-area frames are rejected, and frame-count x canvas-size is
+    budgeted (GIF_MAX_TOTAL_PIXELS)."""
+    import struct
+
+    import pytest
+
+    from rcspark.gif import GIF_MAX_TOTAL_PIXELS, decode_gif_frames
+
+    pal = bytes(6)
+    head = bytearray(b"GIF89a") + struct.pack("<HH", 8000, 8000)
+    head.append(0x80 | (7 << 4) | 0)
+    head += b"\x00\x00" + pal
+    zero = b"\x2c" + struct.pack("<HHHH", 0, 0, 0, 0) + b"\x00\x02\x01\x44\x00"
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(head + zero + b"\x3b"))
+    # many full-screen frames exceed the pixel budget before materializing
+    full = b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00\x02\x01\x44\x00"
+    n = GIF_MAX_TOTAL_PIXELS // (8000 * 8000) + 1
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(head + full * (n + 1) + b"\x3b"))
+
+
+def test_gif_delays_length_mismatch_raises():
+    import numpy as np
+    import pytest
+
+    from rcspark.gif import encode_gif_frames
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)] * 3
+    with pytest.raises(ValueError):
+        encode_gif_frames(frames, delays_cs=[4])
+
+
+def test_exif_walk_survives_fill_bytes_and_hostile_ifd():
+    import struct
+
+    import numpy as np
+
+    from rcspark.jpeg import encode_jpeg, read_exif_orientation
+
+    pix = np.random.default_rng(2).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    plain = encode_jpeg(pix, quality=90, exif_orientation=6)
+    # T.81 fill bytes + a standalone TEM marker before the APP1
+    assert read_exif_orientation(plain[:2] + b"\xff\xff\xff\x01" + plain[2:]) == 6
+    # hostile IFD offset outside the APP1 segment → treated as absent
+    tagged = bytearray(encode_jpeg(pix, quality=90, exif_orientation=3))
+    i = tagged.find(b"Exif\x00\x00") + 6
+    tagged[i + 4 : i + 8] = struct.pack("<I", 0xFFFFF0)
+    assert read_exif_orientation(bytes(tagged)) == 1
+
+
+def test_idna_host_quarantines_bad_hosts(spark):
+    """One malformed host must yield NULL, not abort the stage."""
+    from pyspark.sql import functions as F
+
+    from rcspark.urlnorm import idna_host
+
+    df = spark.createDataFrame(
+        [("münchen.example",), ("a..example.com",), (None,), ("x" * 80 + ".com",)],
+        "host string",
+    )
+    rows = df.select(idna_host(F.col("host")).alias("a")).collect()
+    vals = [r["a"] for r in rows]
+    assert vals[0] == "xn--mnchen-3ya.example"
+    assert vals[1] is None and vals[2] is None and vals[3] is None
