@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "crawl_sitemap_discovery",
     "crawl_autothrottle",
     "video_keyframe_select",
+    "crawl_canonical_dedup",
 ]
 
 

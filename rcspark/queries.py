@@ -9808,6 +9808,90 @@ def crawl_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .relational import sql_cc_ctes as _sql_cc_ctes  # noqa: E402
 
 
+# rel=canonical edges derived from orders: pages k%5==0 are mains;
+# variants declare canonical to their main (k - k%5), except k%5==4
+# chains through the preceding variant and k%3==0 variants declare
+# nothing (self-canonical) — so resolution must follow chains AND
+# tolerate absent declarations.
+_CANON_EDGES_SQL = """
+      SELECT o_orderkey AS src,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  WHEN o_orderkey % 3 = 0 THEN NULL
+                  WHEN o_orderkey % 5 = 4 THEN o_orderkey - 1
+                  ELSE o_orderkey - (o_orderkey % 5) END AS dst
+      FROM orders
+"""
+
+
+@register(
+    "crawl_canonical_dedup",
+    oracle=f"""
+    WITH e AS ({_CANON_EDGES_SQL}),
+    res AS (
+      SELECT a.src AS url_id,
+             coalesce(c.dst, b.dst, a.dst, a.src) AS canonical,
+             CAST(CASE WHEN a.dst IS NULL THEN 0
+                       WHEN b.dst IS NULL THEN 1
+                       WHEN c.dst IS NULL THEN 2
+                       ELSE 3 END AS BIGINT) AS hops
+      FROM e a
+      LEFT JOIN e b ON b.src = a.dst
+      LEFT JOIN e c ON c.src = b.dst),
+    sizes AS (SELECT canonical, count(*) AS n_variants FROM res GROUP BY 1)
+    SELECT r.url_id, r.canonical, r.hops,
+           r.canonical <> r.url_id AS is_dup,
+           s.n_variants
+    FROM res r JOIN sizes s USING (canonical)
+    """,
+)
+def crawl_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical dedup ([U google canonical-link handling / scrapy
+    LinkExtractor + custom canonical middleware]): pages DECLARE their
+    canonical URL in markup, and a crawler that ignores it stores every
+    tracking/mobile/print variant as a separate document. Declared
+    edges resolve through fixed-depth chains (variant → variant → main,
+    the MAX_REDIRECT_TIMES analogue — same 3-hop left-join shape as
+    crawl_redirect_resolve), absent declarations self-canonicalize, and
+    the canonical-keyed groupBy yields the variant-cluster sizes the
+    dedup pass keys on. All joins are id-keyed hash joins; no window."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    e = orders.select(
+        k.alias("src"),
+        F.when(
+            (k % 5 != 0) & (k % 3 != 0),
+            F.when(k % 5 == 4, k - 1).otherwise(k - (k % 5)),
+        ).alias("dst"),
+    )
+    cur = e.select(
+        "src",
+        F.col("src").alias("final0"),
+        F.col("dst").alias("nxt"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for _ in range(3):
+        nxt = e.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+        cur = cur.join(nxt, cur["nxt"] == nxt["_s"], "left").select(
+            "src",
+            F.coalesce(F.col("nxt"), F.col("final0")).alias("final0"),
+            F.when(F.col("nxt").isNotNull(), F.col("_d")).alias("nxt"),
+            (
+                F.col("hops") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)
+            ).alias("hops"),
+        )
+    res = cur.select(
+        F.col("src").alias("url_id"), F.col("final0").alias("canonical"), "hops"
+    )
+    sizes = res.groupBy("canonical").agg(F.count("*").alias("n_variants"))
+    return res.join(sizes, "canonical").select(
+        "url_id",
+        "canonical",
+        "hops",
+        (F.col("canonical") != F.col("url_id")).alias("is_dup"),
+        "n_variants",
+    )
+
+
 @register(
     "crawl_autothrottle",
     oracle="""
@@ -10459,6 +10543,7 @@ _CHANGED_THIS_ROUND = [
     "crawl_host_fairness",
     "crawl_fetch_balance",
     # new this round (file position ≠ registration recency, so listed here)
+    "crawl_canonical_dedup",
     "video_keyframe_select",
     "crawl_autothrottle",
     "crawl_sitemap_discovery",
