@@ -231,6 +231,12 @@ BENCH_QUERIES = [
     "crawl_autothrottle",
     "video_keyframe_select",
     "crawl_canonical_dedup",
+    "crawl_meta_refresh",
+    "crawl_nofollow_gate",
+    "crawl_referer_policy",
+    "crawl_charset_detect",
+    "img_bmp_roundtrip",
+    "img_transcode_bmp_jpeg",
 ]
 
 

@@ -1706,3 +1706,103 @@ def equalize_luma(images: DataFrame, id_col: str = "image_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in EQUALIZE_SCHEMA.fields])
 
     return src.mapInPandas(run, EQUALIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# BMP (batch 22): the uncompressed-interchange arrival format
+# --------------------------------------------------------------------------
+
+BMP_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_bmp_bytes", T.LongType(), False),
+        T.StructField("exact", T.BooleanType(), False),
+    ]
+)
+
+
+def _bmp_fixture_pixels(image_id: str) -> np.ndarray:
+    """Shared data generator (like make_smooth_image itself): the smooth
+    fixture cropped by xxh64(id)%3 columns, so row strides hit every
+    4-byte padding residue — the BMP-specific failure surface the stock
+    16/32/64 widths (all ≡0 mod 4) would never exercise."""
+    from ..fixtures import make_smooth_image
+    from ..xxh import xxh64
+
+    pix = make_smooth_image(image_id)
+    crop = (xxh64(image_id.encode()) >> 24) % 3
+    return pix[:, : pix.shape[1] - crop] if crop else pix
+
+
+def bmp_roundtrip(ids: DataFrame) -> DataFrame:
+    """A16 uncompressed-arrival audit: encode the padded-width fixture to
+    REAL 24-bit BMP (rcspark.bmp), decode it back, report size + exact
+    flag. BMP is lossless so `exact` must be True for every row — but the
+    column is COMPUTED (decode-and-compare): the expected parquet twin
+    re-decodes the same bytes with the independent scalar
+    scripts/bmp_twin.py walk, so a defect in the encoder or either
+    decoder (notably a stride/padding slip) breaks the driver's hash."""
+    from ..bmp import decode_bmp, encode_bmp
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = _bmp_fixture_pixels(iid)
+                data = encode_bmp(pix)
+                dec = decode_bmp(data)
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], len(data),
+                     bool(np.array_equal(dec, pix)))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in BMP_RT_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, BMP_RT_SCHEMA)
+
+
+BMP_TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("n_bmp_bytes", T.LongType(), False),
+        T.StructField("n_jpeg_bytes", T.LongType(), False),
+        T.StructField("bmp_exact", T.BooleanType(), False),
+        T.StructField("sse", T.LongType(), False),
+        T.StructField("psnr40_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def bmp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
+    """A16 ingest-to-store transcode, BMP leg ([U scrapy/pipelines/images.py]
+    `convert_image` re-encodes whatever arrives to JPEG): decode the REAL
+    BMP arrival, re-encode to REAL baseline JPEG, judge fidelity against
+    the original pixels under the north rule's exact-integer PSNR≥40
+    predicate (sse·10⁴ ≤ npx·255²). Twin re-runs both decode legs with the
+    independent scalar decoders (scripts/bmp_twin.py, scripts/jpeg_twin.py)."""
+    from ..bmp import decode_bmp, encode_bmp
+    from ..jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = _bmp_fixture_pixels(iid)
+                bdata = encode_bmp(pix)
+                dec_b = decode_bmp(bdata)
+                bmp_exact = bool(np.array_equal(dec_b, pix))
+                jdata = encode_jpeg(dec_b, quality=quality)
+                dec_j = decode_jpeg(jdata)
+                diff = dec_j.astype(np.int64) - pix.astype(np.int64)
+                sse = int((diff * diff).sum())
+                npx = pix.shape[0] * pix.shape[1] * 3
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], len(bdata), len(jdata),
+                     bmp_exact, sse, bool(sse * 10_000 <= npx * 65_025))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in BMP_TRANSCODE_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, BMP_TRANSCODE_SCHEMA)

@@ -1,0 +1,253 @@
+"""Downloader/spider-middleware column semantics (SURVEY.md §2 Table A
+adjuncts): meta-refresh redirects, rel=nofollow link gating, Referer
+policies, and charset detection — each as a pure whole-stage-codegen
+column-expression builder PLUS a handwritten DuckDB twin (the
+``sql_trap_features`` precedent in rcspark.urlnorm), so every rule is
+cross-checked by the driver's hash gate.
+
+Public models (reference mount is empty; anchors are upstream modules):
+- meta refresh: [U scrapy/downloadermiddlewares/redirect.py
+  ``MetaRefreshMiddleware``; w3lib/html.py ``get_meta_refresh``] — follow
+  ``<meta http-equiv="refresh" content="N;url=T">`` when N <=
+  METAREFRESH_MAXDELAY (default 100); a content with no url= targets the
+  page itself (dedup kills it — classified ``self`` here).
+- nofollow: [U scrapy/linkextractors/lxmlhtml.py] drops ``rel=nofollow``
+  anchors; a page-level ``<meta name="robots" content="...nofollow...">``
+  drops every link on the page (robots-meta extension).
+- Referer: [U scrapy/spidermiddlewares/referer.py] implements the W3C
+  Referrer-Policy states; the seven standard policies are reproduced as a
+  single CASE over (policy, src, dst).
+- charset: [U w3lib/encoding.py ``html_to_unicode``] — precedence here is
+  pinned as BOM > HTTP header charset > meta (html5 ``charset=`` or
+  http-equiv content-type) > XML declaration > utf-8 default, with alias
+  folding (case, latin-1 family).
+
+Every builder returns plain column expressions — no UDFs, no shuffles; at
+100 TB these run inside the post-fetch map stage for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+METAREFRESH_MAXDELAY = 100  # [U scrapy/settings/default_settings.py]
+
+# --------------------------------------------------------------------------
+# Relative-URL resolution (urljoin-lite). Bases are guaranteed by every
+# caller to carry a path component ("scheme://host/..."); with no path the
+# directory expression would eat the host.
+# --------------------------------------------------------------------------
+
+_ABS_RE = "^[a-z][a-z0-9+.-]*://"
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """Resolve ``ref`` against ``base``: absolute / protocol-relative /
+    root-relative / directory-relative (RFC 3986 merge, no dot-segment
+    normalization — canon_col owns that downstream)."""
+    scheme = F.substring_index(base, "://", 1)
+    origin = F.regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/]+)", 1)
+    basedir = F.regexp_replace(base, "[^/]*$", "")
+    return (
+        F.when(ref.rlike(_ABS_RE), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .otherwise(F.concat(basedir, ref))
+    )
+
+
+def sql_resolve_url(base: str, ref: str) -> str:
+    return f"""CASE
+        WHEN regexp_matches({ref}, '{_ABS_RE}') THEN {ref}
+        WHEN {ref} LIKE '//%' THEN split_part({base}, '://', 1) || ':' || {ref}
+        WHEN {ref} LIKE '/%'
+          THEN regexp_extract({base}, '^([a-z][a-z0-9+.-]*://[^/]+)', 1) || {ref}
+        ELSE regexp_replace({base}, '[^/]*$', '') || {ref}
+      END"""
+
+
+# --------------------------------------------------------------------------
+# Meta refresh
+# --------------------------------------------------------------------------
+
+_MR_TAG = '(?i)<meta[^>]*http-equiv="refresh"[^>]*>'
+_MR_CONTENT = '(?i)content="([^"]*)"'
+_MR_SECS = "^ *([0-9]+)"
+_MR_URL = '(?i); *url *= *([^ ">]+)'
+
+
+def meta_refresh_cols(
+    page_url: Column, body: Column, max_delay: int = METAREFRESH_MAXDELAY
+) -> dict[str, Column]:
+    """(interval, target, action) for a fetched page body. action ∈
+    none (no refresh tag) / self (no url= → page itself) / ignore
+    (interval > max_delay) / follow."""
+    content = F.regexp_extract(
+        F.regexp_extract(body, _MR_TAG, 0), _MR_CONTENT, 1
+    )
+    secs_s = F.regexp_extract(content, _MR_SECS, 1)
+    interval = F.when(secs_s != "", secs_s.cast("int"))
+    raw = F.regexp_extract(content, _MR_URL, 1)
+    action = (
+        F.when(content == "", F.lit("none"))
+        .when(raw == "", F.lit("self"))
+        .when(interval > max_delay, F.lit("ignore"))
+        .otherwise(F.lit("follow"))
+    )
+    target = F.when(action == "follow", resolve_url(page_url, raw))
+    return {"interval": interval, "target": target, "action": action}
+
+
+def sql_meta_refresh(
+    url_expr: str, body_expr: str, max_delay: int = METAREFRESH_MAXDELAY
+) -> dict[str, str]:
+    content = (
+        f"regexp_extract(regexp_extract({body_expr}, '{_MR_TAG}', 0),"
+        f" '{_MR_CONTENT}', 1)"
+    )
+    secs = f"regexp_extract({content}, '{_MR_SECS}', 1)"
+    interval = f"CASE WHEN {secs} <> '' THEN CAST({secs} AS INT) END"
+    raw = f"regexp_extract({content}, '{_MR_URL}', 1)"
+    action = f"""CASE
+        WHEN {content} = '' THEN 'none'
+        WHEN {raw} = '' THEN 'self'
+        WHEN {interval} > {max_delay} THEN 'ignore'
+        ELSE 'follow' END"""
+    target = (
+        f"CASE WHEN ({action}) = 'follow'"
+        f" THEN {sql_resolve_url(url_expr, raw)} END"
+    )
+    return {"interval": interval, "target": target, "action": action}
+
+
+# --------------------------------------------------------------------------
+# Referer policy — the seven W3C states over (src, dst). src may carry a
+# fragment (stripped); origins are scheme://host (fixtures carry no ports
+# or userinfo — default-port folding is canon_col's job upstream).
+# --------------------------------------------------------------------------
+
+REFERRER_POLICIES = (
+    "no-referrer",
+    "no-referrer-when-downgrade",
+    "same-origin",
+    "origin",
+    "strict-origin",
+    "origin-when-cross-origin",
+    "strict-origin-when-cross-origin",
+)
+
+_ORIGIN_RE = "^([a-z][a-z0-9+.-]*://[^/]+)"
+
+
+def referer_value(policy: Column, src: Column, dst: Column) -> Column:
+    full = F.regexp_replace(src, "#.*$", "")
+    origin = F.concat(F.regexp_extract(src, _ORIGIN_RE, 1), F.lit("/"))
+    same = F.regexp_extract(src, _ORIGIN_RE, 1) == F.regexp_extract(
+        dst, _ORIGIN_RE, 1
+    )
+    downgrade = src.startswith("https://") & dst.startswith("http://")
+    return (
+        F.when(policy == "no-referrer", F.lit(None).cast("string"))
+        .when(policy == "no-referrer-when-downgrade",
+              F.when(~downgrade, full))
+        .when(policy == "same-origin", F.when(same, full))
+        .when(policy == "origin", origin)
+        .when(policy == "strict-origin", F.when(~downgrade, origin))
+        .when(policy == "origin-when-cross-origin",
+              F.when(same, full).otherwise(origin))
+        .when(policy == "strict-origin-when-cross-origin",
+              F.when(same, full).when(~downgrade, origin))
+    )
+
+
+def sql_referer_value(policy: str, src: str, dst: str) -> str:
+    full = f"regexp_replace({src}, '#.*$', '')"
+    so = f"regexp_extract({src}, '{_ORIGIN_RE}', 1)"
+    do = f"regexp_extract({dst}, '{_ORIGIN_RE}', 1)"
+    origin = f"({so} || '/')"
+    same = f"({so} = {do})"
+    downgrade = f"({src} LIKE 'https://%' AND {dst} LIKE 'http://%')"
+    return f"""CASE {policy}
+        WHEN 'no-referrer' THEN NULL
+        WHEN 'no-referrer-when-downgrade'
+          THEN CASE WHEN NOT {downgrade} THEN {full} END
+        WHEN 'same-origin' THEN CASE WHEN {same} THEN {full} END
+        WHEN 'origin' THEN {origin}
+        WHEN 'strict-origin' THEN CASE WHEN NOT {downgrade} THEN {origin} END
+        WHEN 'origin-when-cross-origin'
+          THEN CASE WHEN {same} THEN {full} ELSE {origin} END
+        WHEN 'strict-origin-when-cross-origin'
+          THEN CASE WHEN {same} THEN {full}
+                    WHEN NOT {downgrade} THEN {origin} END
+      END"""
+
+
+# --------------------------------------------------------------------------
+# Charset detection (string-plane: bytes already transferred; the UTF-16
+# BOM byte-plane path lives in fetch ingest, not here)
+# --------------------------------------------------------------------------
+
+_HDR_CS = "(?i)charset= *([a-zA-Z0-9_-]+)"
+_META_CS = '(?i)<meta[^>]*charset="?([a-zA-Z0-9_-]+)'
+_XML_CS = '(?i)^<\\?xml[^>]*encoding="([a-zA-Z0-9_-]+)"'
+_BOM = "\ufeff"
+
+
+def _norm_enc(c: Column) -> Column:
+    low = F.lower(c)
+    return (
+        F.when(low.isin("latin-1", "latin1", "iso8859-1", "cp819"),
+               F.lit("iso-8859-1"))
+        .when(low.isin("utf8", "u8"), F.lit("utf-8"))
+        .otherwise(low)
+    )
+
+
+def charset_cols(header: Column, body: Column) -> dict[str, Column]:
+    hdr = F.regexp_extract(header, _HDR_CS, 1)
+    meta = F.regexp_extract(body, _META_CS, 1)
+    xml = F.regexp_extract(body, _XML_CS, 1)
+    source = (
+        F.when(body.startswith(_BOM), F.lit("bom"))
+        .when(hdr != "", F.lit("header"))
+        .when(meta != "", F.lit("meta"))
+        .when(xml != "", F.lit("xmldecl"))
+        .otherwise(F.lit("default"))
+    )
+    enc = (
+        F.when(source == "bom", F.lit("utf-8"))
+        .when(source == "header", _norm_enc(hdr))
+        .when(source == "meta", _norm_enc(meta))
+        .when(source == "xmldecl", _norm_enc(xml))
+        .otherwise(F.lit("utf-8"))
+    )
+    return {"encoding": enc, "source": source}
+
+
+def _sql_norm(e: str) -> str:
+    return f"""CASE
+        WHEN lower({e}) IN ('latin-1','latin1','iso8859-1','cp819')
+          THEN 'iso-8859-1'
+        WHEN lower({e}) IN ('utf8','u8') THEN 'utf-8'
+        ELSE lower({e}) END"""
+
+
+def sql_charset(header_expr: str, body_expr: str) -> dict[str, str]:
+    hdr = f"regexp_extract({header_expr}, '{_HDR_CS}', 1)"
+    meta = f"regexp_extract({body_expr}, '{_META_CS}', 1)"
+    xml = f"regexp_extract({body_expr}, '{_XML_CS}', 1)"
+    bom = f"starts_with({body_expr}, chr(65279))"
+    source = f"""CASE
+        WHEN {bom} THEN 'bom'
+        WHEN {hdr} <> '' THEN 'header'
+        WHEN {meta} <> '' THEN 'meta'
+        WHEN {xml} <> '' THEN 'xmldecl'
+        ELSE 'default' END"""
+    enc = f"""CASE ({source})
+        WHEN 'bom' THEN 'utf-8'
+        WHEN 'header' THEN {_sql_norm(hdr)}
+        WHEN 'meta' THEN {_sql_norm(meta)}
+        WHEN 'xmldecl' THEN {_sql_norm(xml)}
+        ELSE 'utf-8' END"""
+    return {"encoding": enc, "source": source}

@@ -10519,6 +10519,378 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A12 sibling: meta-refresh redirects (round-4 batch 22) --------------------
+# [U scrapy/downloadermiddlewares/redirect.py MetaRefreshMiddleware;
+# w3lib/html.py get_meta_refresh]: the OTHER redirect channel — an HTML
+# <meta http-equiv="refresh"> tag. Bodies synthesized from orders cover all
+# four verdicts (none / follow-relative / follow-absolute+ignore-slow /
+# self); relative targets resolve against the page URL. Pure codegen
+# regexp work over the post-fetch rows — zero shuffles at any scale.
+
+from .middleware import (  # noqa: E402
+    REFERRER_POLICIES as _REF_POLICIES,
+    charset_cols as _charset_cols,
+    meta_refresh_cols as _mr_cols,
+    referer_value as _referer_value,
+    sql_charset as _sql_charset,
+    sql_meta_refresh as _sql_mr,
+    sql_referer_value as _sql_referer,
+)
+
+_MR_PAGE_SQL = """
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+               || '/index.html' AS page_url,
+             CASE o_orderkey % 5
+               WHEN 0 THEN '<html><body>plain</body></html>'
+               WHEN 1 THEN '<html><head><meta http-equiv="refresh" content="0;url=/next/'
+                           || o_orderkey || '"></head></html>'
+               WHEN 2 THEN '<html><head><meta http-equiv="refresh" content="5; URL=http://m'
+                           || (o_orderkey % 7) || '.example/page/' || o_orderkey
+                           || '"></head></html>'
+               WHEN 3 THEN '<html><head><meta http-equiv="refresh" content="120;url=slow/'
+                           || o_orderkey || '"></head></html>'
+               ELSE '<html><head><meta http-equiv="refresh" content="30"></head></html>'
+             END AS body
+      FROM orders"""
+
+_MR_TWIN = _sql_mr("page_url", "body")
+
+
+@register(
+    "crawl_meta_refresh",
+    oracle=f"""
+    WITH pages AS ({_MR_PAGE_SQL})
+    SELECT o_orderkey, page_url,
+           {_MR_TWIN["interval"]} AS refresh_secs,
+           {_MR_TWIN["action"]} AS action,
+           {_MR_TWIN["target"]} AS target
+    FROM pages
+    """,
+)
+def crawl_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect extraction (rcspark.middleware.meta_refresh_cols):
+    parse the refresh tag out of each fetched body, classify
+    none/self/ignore/follow under METAREFRESH_MAXDELAY, and resolve the
+    relative target against the page URL — the follow rows re-enter the
+    frontier through A2 canonicalization exactly like 3xx redirects."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    page_url = F.concat(
+        F.lit("http://h"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"), k.cast("string"), F.lit("/index.html"),
+    )
+    body = (
+        F.when(k % 5 == 0, F.lit("<html><body>plain</body></html>"))
+        .when(k % 5 == 1, F.concat(
+            F.lit('<html><head><meta http-equiv="refresh" content="0;url=/next/'),
+            k.cast("string"), F.lit('"></head></html>')))
+        .when(k % 5 == 2, F.concat(
+            F.lit('<html><head><meta http-equiv="refresh" content="5; URL=http://m'),
+            (k % 7).cast("string"), F.lit(".example/page/"), k.cast("string"),
+            F.lit('"></head></html>')))
+        .when(k % 5 == 3, F.concat(
+            F.lit('<html><head><meta http-equiv="refresh" content="120;url=slow/'),
+            k.cast("string"), F.lit('"></head></html>')))
+        .otherwise(F.lit('<html><head><meta http-equiv="refresh" content="30"></head></html>'))
+    )
+    pages = orders.select(
+        "o_orderkey", page_url.alias("page_url"), body.alias("body")
+    )
+    mr = _mr_cols(F.col("page_url"), F.col("body"))
+    return pages.select(
+        "o_orderkey", "page_url",
+        mr["interval"].alias("refresh_secs"),
+        mr["action"].alias("action"),
+        mr["target"].alias("target"),
+    )
+
+
+# -- A14 gate: rel=nofollow + robots-meta link suppression ---------------------
+# [U scrapy/linkextractors/lxmlhtml.py] drops rel=nofollow anchors; a
+# page-level <meta name="robots" content="...nofollow..."> suppresses every
+# link on the page. Pages assembled per host exactly like
+# crawl_anchor_extract (sorted string_agg — identical both engines), then
+# exploded back into per-anchor verdict rows.
+
+_NF_PAGE_SQL = """
+      SELECT 'h' || hn AS host,
+             CASE WHEN hn % 5 = 0
+                  THEN '<html><meta name="robots" content="noindex,nofollow">'
+                  ELSE '<html>' END
+               || string_agg(e, '' ORDER BY e) || '</html>' AS body
+      FROM (
+        SELECT o_custkey % 20 AS hn,
+               '<a href="http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+                 || '"' || CASE WHEN o_orderkey % 3 = 0 THEN ' rel="nofollow"' ELSE '' END
+                 || '>t' || o_orderkey || '</a>' AS e
+        FROM orders) t
+      GROUP BY hn"""
+
+
+@register(
+    "crawl_nofollow_gate",
+    oracle=f"""
+    WITH pages AS ({_NF_PAGE_SQL}),
+    ex AS (
+      SELECT host, body,
+             regexp_extract(body, '<meta name="robots" content="([^"]*)"', 1)
+               LIKE '%nofollow%' AS page_nofollow,
+             regexp_extract_all(body, '(<a [^>]*>)', 1) AS tags
+      FROM pages),
+    sel AS (
+      SELECT host, page_nofollow,
+             unnest(list_transform(range(1, len(tags) + 1), i ->
+               {{'seq': CAST(i AS BIGINT), 'tag': tags[i]}})) AS u
+      FROM ex)
+    SELECT host, struct_extract(u, 'seq') AS seq,
+           regexp_extract(struct_extract(u, 'tag'), 'href="([^"]*)"', 1) AS href,
+           regexp_extract(struct_extract(u, 'tag'), 'rel="([^"]*)"', 1)
+             LIKE '%nofollow%' AS rel_nofollow,
+           page_nofollow,
+           NOT (page_nofollow OR
+                regexp_extract(struct_extract(u, 'tag'), 'rel="([^"]*)"', 1)
+                  LIKE '%nofollow%') AS followed
+    FROM sel
+    """,
+)
+def crawl_nofollow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nofollow link gate: per-anchor rel=nofollow plus the page-level
+    robots-meta nofollow, combined into the followed verdict the discovery
+    path consumes. Same embarrassingly-parallel regexp/posexplode shape as
+    anchor extraction — the explode multiplies rows before the frontier
+    union, never shuffles by itself."""
+    orders = load(spark, sf_dir, "orders")
+    hostn = F.col("o_custkey") % 20
+    entry = F.concat(
+        F.lit('<a href="http://h'), hostn.cast("string"), F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"), F.lit('"'),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(' rel="nofollow"')).otherwise(F.lit("")),
+        F.lit(">t"), F.col("o_orderkey").cast("string"), F.lit("</a>"),
+    )
+    pages = (
+        orders.select(
+            F.concat(F.lit("h"), hostn.cast("string")).alias("host"),
+            entry.alias("_e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.when(
+                    F.substring(F.col("host"), 2, 10).cast("int") % 5 == 0,
+                    F.lit('<html><meta name="robots" content="noindex,nofollow">'),
+                ).otherwise(F.lit("<html>")),
+                F.array_join(F.array_sort(F.collect_list("_e")), ""),
+                F.lit("</html>"),
+            ).alias("body")
+        )
+    )
+    page_nf = F.regexp_extract(
+        F.col("body"), '<meta name="robots" content="([^"]*)"', 1
+    ).contains("nofollow")
+    tags = F.regexp_extract_all(F.col("body"), F.lit("(<a [^>]*>)"), 1)
+    sel = pages.select(
+        "host", page_nf.alias("page_nofollow"), F.posexplode(tags).alias("_i", "tag")
+    )
+    rel_nf = F.regexp_extract(F.col("tag"), 'rel="([^"]*)"', 1).contains("nofollow")
+    return sel.select(
+        "host",
+        (F.col("_i") + 1).cast("long").alias("seq"),
+        F.regexp_extract(F.col("tag"), 'href="([^"]*)"', 1).alias("href"),
+        rel_nf.alias("rel_nofollow"),
+        "page_nofollow",
+        (~(F.col("page_nofollow") | rel_nf)).alias("followed"),
+    )
+
+
+# -- A10 sibling: Referer header policy ----------------------------------------
+# [U scrapy/spidermiddlewares/referer.py]: the W3C Referrer-Policy states as
+# one CASE over (policy, src, dst) — fragment stripped, origin-only forms,
+# https→http downgrade suppression. Derivation covers all 7 policies × all
+# 3 origin relations (same-origin / cross-secure / downgrade).
+
+_REF_SRC_SQL = """CASE WHEN o_orderkey % 4 = 0 THEN 'http' ELSE 'https' END
+               || '://h' || (o_orderkey % 10) || '.example/o/' || o_orderkey
+               || '?x=1#frag'"""
+_REF_DST_SQL = """CASE o_orderkey % 3
+               WHEN 0 THEN (CASE WHEN o_orderkey % 4 = 0 THEN 'http' ELSE 'https' END)
+                           || '://h' || (o_orderkey % 10) || '.example/p/' || o_orderkey
+               WHEN 1 THEN 'https://d' || (o_orderkey % 6) || '.example/t/' || o_orderkey
+               ELSE 'http://d' || (o_orderkey % 6) || '.example/t/' || o_orderkey
+             END"""
+_REF_POLICY_SQL = (
+    "list_extract(["
+    + ", ".join(f"'{p}'" for p in _REF_POLICIES)
+    + "], CAST(o_orderkey % 7 AS INT) + 1)"
+)
+
+
+@register(
+    "crawl_referer_policy",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT o_orderkey,
+             {_REF_POLICY_SQL} AS policy,
+             {_REF_SRC_SQL} AS src,
+             {_REF_DST_SQL} AS dst
+      FROM orders)
+    SELECT o_orderkey, policy, src, dst,
+           {_sql_referer("policy", "src", "dst")} AS referer
+    FROM pairs
+    """,
+)
+def crawl_referer_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referer header computation (rcspark.middleware.referer_value): the
+    downloader attaches at most the policy-permitted referrer to every
+    outgoing request — NULL (suppressed), origin-only, or the full
+    fragment-stripped URL. Pure per-row CASE arithmetic; pushes to the
+    scan and costs nothing at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    scheme = F.when(k % 4 == 0, F.lit("http")).otherwise(F.lit("https"))
+    src = F.concat(
+        scheme, F.lit("://h"), (k % 10).cast("string"), F.lit(".example/o/"),
+        k.cast("string"), F.lit("?x=1#frag"),
+    )
+    dst = (
+        F.when(k % 3 == 0, F.concat(
+            scheme, F.lit("://h"), (k % 10).cast("string"), F.lit(".example/p/"),
+            k.cast("string")))
+        .when(k % 3 == 1, F.concat(
+            F.lit("https://d"), (k % 6).cast("string"), F.lit(".example/t/"),
+            k.cast("string")))
+        .otherwise(F.concat(
+            F.lit("http://d"), (k % 6).cast("string"), F.lit(".example/t/"),
+            k.cast("string")))
+    )
+    policy = F.element_at(
+        F.array(*[F.lit(p) for p in _REF_POLICIES]), (k % 7).cast("int") + 1
+    )
+    pairs = orders.select(
+        "o_orderkey", policy.alias("policy"), src.alias("src"), dst.alias("dst")
+    )
+    return pairs.select(
+        "o_orderkey", "policy", "src", "dst",
+        _referer_value(F.col("policy"), F.col("src"), F.col("dst")).alias("referer"),
+    )
+
+
+# -- A10/A14 seam: charset detection -------------------------------------------
+# [U w3lib/encoding.py html_to_unicode] as pinned in rcspark.middleware:
+# BOM > HTTP header charset > meta (html5 charset= / http-equiv content) >
+# XML declaration > utf-8 default, with alias folding. Fixtures cross all
+# five body declarations with four header variants so every precedence
+# edge (e.g. BOM overriding a conflicting header) occurs.
+
+_CS_FIX_SQL = """
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'text/html; charset=ISO-8859-1'
+               WHEN 1 THEN 'text/html; charset=UTF-8'
+               WHEN 2 THEN 'text/html'
+               ELSE '' END AS header,
+             CASE o_orderkey % 5
+               WHEN 0 THEN chr(65279) || '<html><head></head>'
+               WHEN 1 THEN '<?xml version="1.0" encoding="windows-1251"?><html/>'
+               WHEN 2 THEN '<html><head><meta charset="Shift_JIS"></head>'
+               WHEN 3 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=EUC-KR"></head>'
+               ELSE '<html><body>x</body></html>' END AS body
+      FROM orders"""
+
+_CS_TWIN = _sql_charset("header", "body")
+
+
+@register(
+    "crawl_charset_detect",
+    oracle=f"""
+    WITH pages AS ({_CS_FIX_SQL})
+    SELECT o_orderkey, header,
+           {_CS_TWIN["encoding"]} AS encoding,
+           {_CS_TWIN["source"]} AS source
+    FROM pages
+    """,
+)
+def crawl_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response charset detection (rcspark.middleware.charset_cols): pick
+    the decode encoding for each fetched body under the pinned precedence
+    and fold aliases — the step between fetch bytes and every downstream
+    text operator. Zero-shuffle column expressions."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    header = (
+        F.when(k % 4 == 0, F.lit("text/html; charset=ISO-8859-1"))
+        .when(k % 4 == 1, F.lit("text/html; charset=UTF-8"))
+        .when(k % 4 == 2, F.lit("text/html"))
+        .otherwise(F.lit(""))
+    )
+    body = (
+        F.when(k % 5 == 0, F.lit("\ufeff<html><head></head>"))
+        .when(k % 5 == 1, F.lit('<?xml version="1.0" encoding="windows-1251"?><html/>'))
+        .when(k % 5 == 2, F.lit('<html><head><meta charset="Shift_JIS"></head>'))
+        .when(k % 5 == 3, F.lit(
+            '<html><head><meta http-equiv="Content-Type" content="text/html; charset=EUC-KR"></head>'))
+        .otherwise(F.lit("<html><body>x</body></html>"))
+    )
+    pages = orders.select("o_orderkey", header.alias("header"), body.alias("body"))
+    cs = _charset_cols(F.col("header"), F.col("body"))
+    return pages.select(
+        "o_orderkey", "header",
+        cs["encoding"].alias("encoding"),
+        cs["source"].alias("source"),
+    )
+
+
+# -- A16 BMP legs (batch 22): the uncompressed-interchange arrival format ------
+# rcspark.bmp is a REAL Windows-DIB codec (24-bit BI_RGB encode; 24/8-bit,
+# bottom-up/top-down decode). The fixture crops xxh64(id)%3 columns so the
+# 4-byte row-stride padding — the BMP-specific failure surface — occurs in
+# every residue. Twin: independent scalar scripts/bmp_twin.py walk.
+
+@register(
+    "img_bmp_roundtrip",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.n_bmp_bytes, e.exact
+    FROM '{_MEDIA_EXPECTED}/img_bmp.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import bmp_roundtrip
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return bmp_roundtrip(ids)
+
+
+# A16 BMP-ingest → JPEG-store transcode — the third convert_image leg
+# ([U scrapy/pipelines/images.py] re-encodes every arrival to JPEG).
+# Fidelity judged against the ORIGINAL pixels so the whole
+# decode→encode→decode chain sits under one hash, PSNR≥40 as the exact
+# integer predicate sse·10⁴ ≤ npx·65025.
+
+@register(
+    "img_transcode_bmp_jpeg",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.n_bmp_bytes, e.n_jpeg_bytes,
+           e.bmp_exact, e.sse, e.psnr40_ok
+    FROM '{_MEDIA_EXPECTED}/img_transcode_bmp.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_transcode_bmp_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import bmp_to_jpeg_transcode
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return bmp_to_jpeg_transcode(ids)
+
+
 # =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
@@ -10535,6 +10907,13 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-22 session (middleware semantics + BMP legs)
+    "img_bmp_roundtrip",
+    "img_transcode_bmp_jpeg",
+    "crawl_meta_refresh",
+    "crawl_nofollow_gate",
+    "crawl_referer_policy",
+    "crawl_charset_detect",
     # rewritten (range-partitioned rank family)
     "agg_percentile_disc",
     "agg_percentile_cont",

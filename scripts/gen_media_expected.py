@@ -1061,6 +1061,86 @@ def expected_video_keyframes(threshold_permille: int = 150) -> pd.DataFrame:
               "key_idx": "int32", "key_lap_energy": "int64"})
 
 
+def expected_img_bmp() -> pd.DataFrame:
+    """img_bmp_roundtrip twin: bytes from the engine's deterministic BMP
+    encoder (bytes are DATA, like every codec twin), re-decoded with the
+    INDEPENDENT scalar scripts/bmp_twin.py walk and compared pixel by
+    pixel with plain ints. The fixture crop (xxh64(id)%3 columns) is part
+    of the shared generator so every 4-byte stride residue occurs."""
+    from rcspark.bmp import encode_bmp
+    from rcspark.datapipe.multimodal import _bmp_fixture_pixels
+    from scripts.bmp_twin import twin_decode_bmp
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = _bmp_fixture_pixels(iid)
+        data = encode_bmp(pix)
+        dec = twin_decode_bmp(data)
+        h, w = len(dec), len(dec[0])
+        exact = h == pix.shape[0] and w == pix.shape[1]
+        for y in range(h):
+            if not exact:
+                break
+            for x in range(w):
+                if tuple(int(v) for v in pix[y, x]) != dec[y][x]:
+                    exact = False
+                    break
+        rows.append((iid, np.int32(w), np.int32(h), np.int64(len(data)), bool(exact)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "w", "h", "n_bmp_bytes", "exact"]
+    ).astype({"w": "int32", "h": "int32", "n_bmp_bytes": "int64"})
+
+
+def expected_img_transcode_bmp(quality: int = 90) -> pd.DataFrame:
+    """img_transcode_bmp_jpeg twin: BMP and JPEG bytes from the engine's
+    encoders (DATA), both decode legs re-run with the independent scalar
+    decoders (scripts/bmp_twin.py + scripts/jpeg_twin.py), sse/psnr40
+    restated with scalar integer arithmetic against the original pixels."""
+    from rcspark.bmp import encode_bmp
+    from rcspark.datapipe.multimodal import _bmp_fixture_pixels
+    from rcspark.jpeg import encode_jpeg
+    from scripts.bmp_twin import twin_decode_bmp
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = _bmp_fixture_pixels(iid)
+        bdata = encode_bmp(pix)
+        dec_b = twin_decode_bmp(bdata)
+        h, w = len(dec_b), len(dec_b[0])
+        bmp_exact = h == pix.shape[0] and w == pix.shape[1]
+        for y in range(h):
+            if not bmp_exact:
+                break
+            for x in range(w):
+                if tuple(int(v) for v in pix[y, x]) != dec_b[y][x]:
+                    bmp_exact = False
+                    break
+        arr = np.array(dec_b, dtype=np.uint8)
+        jdata = encode_jpeg(arr, quality=quality)
+        dec_j = twin_decode_jpeg(jdata)
+        sse = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    d = int(dec_j[y][x][c]) - int(pix[y, x, c])
+                    sse += d * d
+        npx = h * w * 3
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int64(len(bdata)),
+             np.int64(len(jdata)), bool(bmp_exact), np.int64(sse),
+             bool(sse * 10_000 <= npx * 65_025))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "n_bmp_bytes", "n_jpeg_bytes",
+                 "bmp_exact", "sse", "psnr40_ok"],
+    ).astype({"w": "int32", "h": "int32", "n_bmp_bytes": "int64",
+              "n_jpeg_bytes": "int64", "sse": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1090,6 +1170,8 @@ def main() -> None:
         ("img_exif_orient", expected_img_exif_orient),
         ("img_thumbs", expected_img_thumbs),
         ("video_keyframes", expected_video_keyframes),
+        ("img_bmp", expected_img_bmp),
+        ("img_transcode_bmp", expected_img_transcode_bmp),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

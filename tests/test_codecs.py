@@ -757,3 +757,108 @@ def test_idna_host_quarantines_bad_hosts(spark):
     vals = [r["a"] for r in rows]
     assert vals[0] == "xn--mnchen-3ya.example"
     assert vals[1] is None and vals[2] is None and vals[3] is None
+
+
+# --------------------------------------------------------------------------
+# BMP (batch 22)
+# --------------------------------------------------------------------------
+
+def test_bmp_roundtrip_all_padding_residues():
+    import numpy as np
+
+    from rcspark.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(22)
+    for w in (13, 14, 15, 16, 17, 64):
+        pix = rng.integers(0, 256, (9, w, 3), dtype=np.uint8)
+        data = encode_bmp(pix)
+        assert data[:2] == b"BM"
+        assert len(data) == 54 + ((w * 3 + 3) & ~3) * 9
+        assert np.array_equal(decode_bmp(data), pix)
+
+
+def test_bmp_top_down_decode():
+    import struct
+
+    import numpy as np
+
+    from rcspark.bmp import decode_bmp, encode_bmp
+
+    pix = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    data = bytearray(encode_bmp(pix))
+    # flip to top-down: negate height, reverse the stored row order
+    struct.pack_into("<i", data, 22, -5)
+    stride = (4 * 3 + 3) & ~3
+    body = data[54:]
+    rows = [bytes(body[i * stride:(i + 1) * stride]) for i in range(5)]
+    data[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(data)), pix)
+
+
+def test_bmp_8bpp_palette_decode():
+    import struct
+
+    import numpy as np
+
+    from rcspark.bmp import decode_bmp
+    from scripts.bmp_twin import twin_decode_bmp
+
+    w, h, n_pal = 5, 3, 4
+    pal = [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200)]  # RGB
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1], [1, 1, 2, 2, 3]], dtype=np.uint8)
+    stride = (w + 3) & ~3
+    off = 14 + 40 + 4 * n_pal
+    body = b"".join(
+        bytes(idx[h - 1 - y].tolist()) + b"\x00" * (stride - w) for y in range(h)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, n_pal, 0)
+    pal_bytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    data = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off) + info + pal_bytes + body
+    want = np.array([[pal[v] for v in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(decode_bmp(data), want)
+    assert np.array_equal(np.array(twin_decode_bmp(data), dtype=np.uint8), want)
+
+
+def test_bmp_hostile_bytes_raise():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rcspark.bmp import decode_bmp, encode_bmp
+
+    pix = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_bmp(pix)
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOPE" + good[4:])
+    with pytest.raises(ValueError):
+        decode_bmp(good[:40])  # truncated header
+    trunc = bytearray(good)
+    struct.pack_into("<i", trunc, 18, 10_000)  # width claims beyond the data
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(trunc))
+    huge = bytearray(good)
+    struct.pack_into("<i", huge, 18, 1 << 20)  # dimension guard
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(huge))
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8 unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(rle))
+
+
+def test_bmp_engine_twin_agree_on_fixture_crops():
+    import numpy as np
+
+    from rcspark.bmp import decode_bmp, encode_bmp
+    from rcspark.datapipe.multimodal import _bmp_fixture_pixels
+    from scripts.bmp_twin import twin_decode_bmp
+
+    crops_seen = set()
+    for k in range(0, 400, 40):
+        pix = _bmp_fixture_pixels(f"img{k}")
+        crops_seen.add(pix.shape[1] % 4)
+        data = encode_bmp(pix)
+        assert np.array_equal(decode_bmp(data), pix)
+        assert np.array_equal(np.array(twin_decode_bmp(data), dtype=np.uint8), pix)
+    assert len(crops_seen) >= 2  # the crop really varies the stride residue
