@@ -237,6 +237,13 @@ BENCH_QUERIES = [
     "crawl_charset_detect",
     "img_bmp_roundtrip",
     "img_transcode_bmp_jpeg",
+    "crawl_content_decode",
+    "img_tile_phash",
+    "doc_fasttext_quality",
+    "warehouse_partition_evolution",
+    "warehouse_schema_evolution",
+    "warehouse_hidden_partitioning",
+    "crawl_cookie_jar",
 ]
 
 

@@ -1806,3 +1806,78 @@ def bmp_to_jpeg_transcode(ids: DataFrame, quality: int = 90) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in BMP_TRANSCODE_SCHEMA.fields])
 
     return ids.select("image_id").mapInPandas(run, BMP_TRANSCODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Tile (quadrant) perceptual hashing (batch 22): the watermark/crop-resistant
+# near-dup tier — a quarter-region logo overlay flips enough global-phash
+# bits to escape img_phash_neardup's radius, but three of four quadrant
+# hashes stay identical. [U scrapy/pipelines/images.py dupe filter is
+# checksum-exact; this is the perceptual tier curation pipelines add.]
+# --------------------------------------------------------------------------
+
+TILE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("qham0", T.LongType(), False),
+        T.StructField("qham1", T.LongType(), False),
+        T.StructField("qham2", T.LongType(), False),
+        T.StructField("qham3", T.LongType(), False),
+        T.StructField("n_quad_match", T.LongType(), False),
+        T.StructField("global_hamming", T.LongType(), False),
+        T.StructField("tile_dup", T.BooleanType(), False),
+        T.StructField("global_dup", T.BooleanType(), False),
+    ]
+)
+
+TILE_MAX_HAMMING = 6     # per-quadrant (and global) phash radius
+TILE_MIN_QUADS = 3       # quadrants that must match for a tile-level dup
+
+
+def quadrant_phashes(pix: np.ndarray) -> list[int]:
+    """[q0, q1, q2, q3] row-major quadrant phash64 values (h, w even in
+    the fixture tier; odd dims would put the extra row/col in the
+    second half via the h//2 split)."""
+    from ..codecs import phash64
+
+    h, w = pix.shape[:2]
+    hh, hw = h // 2, w // 2
+    return [
+        phash64(pix[:hh, :hw]),
+        phash64(pix[:hh, hw:]),
+        phash64(pix[hh:, :hw]),
+        phash64(pix[hh:, hw:]),
+    ]
+
+
+def tile_phash_audit(ids: DataFrame) -> DataFrame:
+    """Per image: hamming between the original and its watermarked variant
+    (shared generator rcspark.fixtures.make_watermarked) at the global and
+    per-quadrant level, plus the two dedup verdicts. COMPUTED columns only;
+    the expected parquet twin re-derives the quadrant split + phash with
+    the independent scalar implementation (scripts/gen_media_expected.py
+    twin_phash), so a slip in either hash or the split breaks the driver
+    hash. At corpus scale the quadrant hashes feed the same banded-bucket
+    join as img_phash_neardup (4× rows, identical shape) — this query pins
+    the hash tier itself."""
+    from ..codecs import phash64
+    from ..fixtures import make_smooth_image, make_watermarked
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                base = make_smooth_image(iid)
+                var = make_watermarked(iid)
+                qa, qb = quadrant_phashes(base), quadrant_phashes(var)
+                qham = [bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                        for a, b in zip(qa, qb)]
+                gham = bin((phash64(base) ^ phash64(var)) & ((1 << 64) - 1)).count("1")
+                n_match = sum(1 for hmm in qham if hmm <= TILE_MAX_HAMMING)
+                out.append(
+                    (iid, qham[0], qham[1], qham[2], qham[3], n_match, gham,
+                     n_match >= TILE_MIN_QUADS, gham <= TILE_MAX_HAMMING)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_PHASH_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, TILE_PHASH_SCHEMA)

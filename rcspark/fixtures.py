@@ -334,3 +334,18 @@ def make_speech_samples(audio_id: str, rate: int = 8000, frame: int = 160) -> np
         out.append(np.clip(w * 32767, -32768, 32767).astype(np.int16))
         pos += n
     return np.concatenate(out)
+
+
+def make_watermarked(image_id: str) -> "np.ndarray":
+    """Shared data GENERATOR (batch 22, like make_smooth_image): the smooth
+    fixture with a deterministic solid watermark stamped into the
+    bottom-right quadrant's inner half — the classic vendor-logo overlay
+    that breaks exact/global-perceptual dedup while leaving three
+    quadrants untouched. Color derives from the id hash so watermarks
+    vary across images."""
+    pix = make_smooth_image(image_id).copy()
+    h, w = pix.shape[:2]
+    h64 = xxh64(image_id.encode())
+    color = ((h64 >> 32) & 255, (h64 >> 40) & 255, (h64 >> 48) & 255)
+    pix[h - h // 4:, w - w // 4:] = color
+    return pix

@@ -251,3 +251,35 @@ def sql_charset(header_expr: str, body_expr: str) -> dict[str, str]:
         WHEN 'xmldecl' THEN {_sql_norm(xml)}
         ELSE 'utf-8' END"""
     return {"encoding": enc, "source": source}
+
+
+# --------------------------------------------------------------------------
+# Content-Encoding decode ([U scrapy/downloadermiddlewares/httpcompression.py
+# HttpCompressionMiddleware]): gzip + deflate (zlib-wrapped with the raw
+# fallback scrapy ships) with a hard decoded-size bound — the
+# decompression-bomb guard DOWNLOAD_MAXSIZE applies to the DECODED body.
+# Python-side on purpose (zlib is not a SQL surface); callers wrap it in a
+# mapInPandas batch, and the driver oracle re-derives the expected
+# plaintext by formula, so the whole decode path sits under the hash gate.
+# --------------------------------------------------------------------------
+
+def decode_body(data: bytes, encoding: str, max_size: int) -> tuple[bytes, bool]:
+    """(decoded_prefix, bomb): decode up to max_size bytes; bomb=True when
+    the full decoded body would exceed max_size (output is the exact
+    max_size-byte prefix — deterministic, so it can be hash-gated)."""
+    import zlib
+
+    if encoding == "identity" or encoding == "":
+        return data[:max_size], len(data) > max_size
+    if encoding == "gzip":
+        d = zlib.decompressobj(wbits=31)
+    elif encoding == "deflate":
+        try:
+            out = zlib.decompressobj(wbits=15).decompress(data, max_size + 1)
+            return out[:max_size], len(out) > max_size
+        except zlib.error:
+            d = zlib.decompressobj(wbits=-15)  # raw-deflate fallback [U scrapy]
+    else:
+        raise ValueError(f"unsupported Content-Encoding {encoding!r}")
+    out = d.decompress(data, max_size + 1)
+    return out[:max_size], len(out) > max_size

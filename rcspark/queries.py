@@ -10891,6 +10891,534 @@ def img_transcode_bmp_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_to_jpeg_transcode(ids)
 
 
+# -- A10 back half: Content-Encoding decode + decompression-bomb guard ---------
+# [U scrapy/downloadermiddlewares/httpcompression.py]: gzip / zlib-deflate /
+# raw-deflate bodies decoded through rcspark.middleware.decode_body with the
+# DOWNLOAD_MAXSIZE bound applied to the DECODED size. The compressed bytes
+# are produced in the same Arrow batch (bytes are DATA, the codec-twin
+# pattern); the ORACLE re-derives the plaintext by formula and hashes the
+# exact max_size-byte prefix — the engine can only match by actually
+# inflating the real gzip/deflate streams to the same truncation point.
+
+_CD_MAX = 4096  # decoded-size bound (DOWNLOAD_MAXSIZE analogue)
+_CD_PT_SQL = """'o:' || o_orderkey || ':' || o_orderpriority || ':' || o_orderstatus || ':'
+               || repeat('xy', CASE WHEN o_orderkey % 23 = 0 THEN 4000
+                                    ELSE CAST(o_orderkey % 5 AS INT) END)"""
+
+
+@register(
+    "crawl_content_decode",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'identity'
+                  WHEN o_orderkey % 4 = 1 THEN 'gzip'
+                  ELSE 'deflate' END AS encoding,
+             {_CD_PT_SQL} AS pt
+      FROM orders)
+    SELECT o_orderkey, encoding,
+           len(pt) > {_CD_MAX} AS bomb,
+           CAST(least(len(pt), {_CD_MAX}) AS BIGINT) AS decoded_len,
+           {sql_digest60(f"substr(pt, 1, {_CD_MAX})")} AS decoded_digest
+    FROM t
+    """,
+)
+def crawl_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-Encoding decode (rcspark.middleware.decode_body): inflate
+    gzip / zlib-deflate / raw-deflate bodies under the decoded-size bound.
+    One Arrow-batched mapInPandas over the fetch rows — stdlib zlib inflates
+    at memory speed; the bound caps worst-case amplification per row, so a
+    hostile 10⁶× bomb costs max_size bytes, not an executor OOM."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .middleware import decode_body
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pt = F.expr(_CD_PT_SQL.replace("\n", " "))
+    enc = (
+        F.when(k % 4 == 0, F.lit("identity"))
+        .when(k % 4 == 1, F.lit("gzip"))
+        .otherwise(F.lit("deflate"))
+    )
+    src = orders.select(
+        "o_orderkey", enc.alias("encoding"), (k % 4).alias("variant"), pt.alias("pt")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("encoding", T.StringType(), False),
+            T.StructField("bomb", T.BooleanType(), False),
+            T.StructField("decoded", T.StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import gzip as _gzip
+        import zlib as _zlib
+
+        for pdf in batches:
+            rows = []
+            for key, e, v, p in zip(
+                pdf["o_orderkey"], pdf["encoding"], pdf["variant"], pdf["pt"]
+            ):
+                raw = p.encode()
+                if e == "identity":
+                    data = raw
+                elif e == "gzip":
+                    data = _gzip.compress(raw, mtime=0)
+                elif v == 3:  # raw-deflate wire variant (same header-less label)
+                    co = _zlib.compressobj(wbits=-15)
+                    data = co.compress(raw) + co.flush()
+                else:
+                    data = _zlib.compress(raw)
+                out, bomb = decode_body(data, e, _CD_MAX)
+                rows.append((int(key), e, bomb, out.decode()))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    dec = src.mapInPandas(run, schema)
+    return dec.select(
+        "o_orderkey", "encoding", "bomb",
+        F.length("decoded").cast("long").alias("decoded_len"),
+        digest60(F.col("decoded")).alias("decoded_digest"),
+    )
+
+
+# -- A17 perceptual tier 2: quadrant (tile) phash — watermark resistance -------
+# A quarter-region logo overlay (shared generator make_watermarked) flips
+# enough global-phash bits that ~half the variants escape the
+# img_phash_neardup radius, but three of four quadrant hashes stay within
+# it — the tile tier catches what the global tier misses. Per-image map
+# work; at corpus scale the quadrant hashes feed the same banded-bucket
+# join as img_phash_neardup (4× rows, identical shape).
+
+@register(
+    "img_tile_phash",
+    oracle=f"""
+    SELECT e.image_id, e.qham0, e.qham1, e.qham2, e.qham3,
+           e.n_quad_match, e.global_hamming, e.tile_dup, e.global_dup
+    FROM '{_MEDIA_EXPECTED}/img_tile_phash.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_tile_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import tile_phash_audit
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return tile_phash_audit(ids)
+
+
+# -- LLM-pipeline: hashed-ngram linear quality classifier -----------------------
+# The fastText/CCNet-style quality gate ([U fastText supervised model;
+# CCNet's LM/classifier filter stage]): token unigrams + bigrams hashed
+# into K buckets, scored against a bucket-weight table, keep iff the sum is
+# non-negative. The weights here are DATA derived arithmetically from the
+# bucket id (w[b] = (b·2654435761) mod 1001 − 500), so the DuckDB oracle
+# re-derives the entire model — in production the same expression shape
+# consumes a broadcast weight array. All exact int64; one HOF fold per doc,
+# zero shuffles (scan-rate at any corpus size).
+
+_FT_K = 4096
+_FT_W = f"""(CAST('0x' || substr(md5(__T__), 1, 15) AS BIGINT) % {_FT_K})
+            * 2654435761 % 1001 - 500"""
+
+
+@register(
+    "doc_fasttext_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             list_concat(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               list_transform(
+                 range(1, len(list_filter(string_split(text, ' '), w -> w <> ''))),
+                 i -> list_filter(string_split(text, ' '), w -> w <> '')[i]
+                      || ' ' ||
+                      list_filter(string_split(text, ' '), w -> w <> '')[i + 1])
+             ) AS f
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(f) AS BIGINT) AS n_feats,
+           CAST(list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")}))
+                AS BIGINT) AS score,
+           list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")})) >= 0
+             AS keep
+    FROM feats
+    """,
+)
+def doc_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-ngram linear quality score: unigram+bigram features hashed by
+    digest60 into 4096 buckets, integer weights derived from the bucket id,
+    per-doc fold. The words array is materialized as a projection column
+    FIRST (the HOF-recompute gotcha — inlining split() into the lambda
+    would re-split per element), then one zip_with + one aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    spark_w = (
+        f"(CAST(conv(substr(md5(__T__), 1, 15), 16, 10) AS BIGINT) % {_FT_K})"
+        " * 2654435761 % 1001 - 500"
+    )
+    withwords = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws")
+    )
+    feats = withwords.select(
+        "doc_id",
+        F.expr(
+            "concat(ws, filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL))"
+        ).alias("f"),
+    )
+    return feats.select(
+        "doc_id",
+        F.size("f").cast("long").alias("n_feats"),
+        F.expr(
+            "aggregate(f, 0L, (acc, t) -> acc + "
+            + spark_w.replace("__T__", "t")
+            + ")"
+        ).cast("long").alias("score"),
+        (
+            F.expr(
+                "aggregate(f, 0L, (acc, t) -> acc + "
+                + spark_w.replace("__T__", "t")
+                + ")"
+            )
+            >= 0
+        ).alias("keep"),
+    )
+
+
+# -- A19 sibling: partition-spec evolution --------------------------------------
+# Iceberg evolves a table's partition spec WITHOUT rewriting history: old
+# waves keep their old directory layout, new waves land under the new
+# spec, and a spec-aware read prunes each wave by its own spec. Waves 0-1
+# here are laid out by shard only (spec v1); wave 2 adds host (spec v2).
+# A host-pruned read must then touch EVERY shard dir of the v1 waves (the
+# pre-evolution penalty) but only the matching host leaves of the v2 wave
+# — n_dirs_scanned is the pruning evidence, n_rows the correctness, and
+# the oracle re-derives both from the wave/shard/host arithmetic.
+
+@register(
+    "warehouse_partition_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey % 3 AS wave,
+             CAST(o_orderkey % 4 AS INT) AS shard,
+             'h' || (o_custkey % 5) AS host
+      FROM orders)
+    SELECT wave,
+           CASE WHEN wave < 2 THEN 'shard' ELSE 'shard,host' END AS spec,
+           CAST(count(*) FILTER (WHERE host = 'h3') AS BIGINT) AS n_rows,
+           CAST(CASE WHEN wave < 2 THEN count(DISTINCT shard)
+                     ELSE count(DISTINCT shard) FILTER (WHERE host = 'h3')
+                END AS BIGINT) AS n_dirs_scanned
+    FROM src GROUP BY wave
+    """,
+)
+def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-evolution read path (rcspark.tables.SpecWarehouse): per-wave
+    _spec sidecars, directory-level pruning for keys the wave's spec
+    covers, post-scan filter for pre-evolution waves — the Iceberg
+    spec_id-per-manifest behavior on the fallback layer."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .tables import SpecWarehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+        (F.col("o_orderkey") % 4).cast("int").alias("shard"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 5).cast("string")).alias("host"),
+    )
+    wh = SpecWarehouse(spark, tempfile.mkdtemp(prefix="rcspark_spec_"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("shard", T.IntegerType(), True),
+            T.StructField("host", T.StringType(), True),
+        ]
+    )
+    specs = {0: ["shard"], 1: ["shard"], 2: ["shard", "host"]}
+    for w, spec in specs.items():
+        wh.write_wave_spec(
+            "evo", src.filter(F.col("wave") == w).select("k", "shard", "host"), w, spec
+        )
+        wh.commit(w, {})
+    reads = []
+    for w, spec in specs.items():
+        df, n_dirs = wh.read_wave_pruned("evo", w, schema, {"host": "h3"})
+        reads.append(
+            df.agg(F.count("*").alias("n_rows")).select(
+                F.lit(w).cast("long").alias("wave"),
+                F.lit(",".join(spec)).alias("spec"),
+                F.col("n_rows").cast("long"),
+                F.lit(n_dirs).cast("long").alias("n_dirs_scanned"),
+            )
+        )
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# -- A19 sibling 2: schema evolution by field id --------------------------------
+# Iceberg renames/adds columns by FIELD ID — old data files keep their old
+# column names; reads project every wave to the latest schema through the
+# shared ids and NULL-fill added fields. Waves 0-1 here carry (k, cents);
+# wave 2 RENAMES cents→price_cents (same id) and ADDS host. The oracle
+# restates the projection arithmetic per wave.
+
+@register(
+    "warehouse_schema_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey % 3 AS wave,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 3 = 2 THEN 'h' || (o_custkey % 4) END AS host
+      FROM orders)
+    SELECT wave, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_price_cents,
+           CAST(count(*) FILTER (WHERE host IS NULL) AS BIGINT) AS n_null_host
+    FROM src GROUP BY wave
+    """,
+)
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution (rcspark.tables.EvoWarehouse): per-wave
+    _schema sidecars record {column: field_id}; the read maps old columns
+    to the latest names by id (renames are metadata-only, NO data rewrite
+    — at 10^10 rows that is the entire point) and NULL-fills post-hoc
+    columns."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .tables import EvoWarehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 4).cast("string")).alias("host"),
+    )
+    wh = EvoWarehouse(spark, tempfile.mkdtemp(prefix="rcspark_evo_"))
+    v1_ids = {"k": 1, "cents": 2}
+    v2_ids = {"k": 1, "price_cents": 2, "host": 3}
+    for w in (0, 1):
+        wh.write_wave_ids(
+            "evo", src.filter(F.col("wave") == w).select("k", "cents"), w, v1_ids
+        )
+    wh.write_wave_ids(
+        "evo",
+        src.filter(F.col("wave") == 2).select(
+            "k", F.col("cents").alias("price_cents"), "host"
+        ),
+        2,
+        v2_ids,
+    )
+    latest = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("price_cents", T.LongType(), True),
+            T.StructField("host", T.StringType(), True),
+        ]
+    )
+    reads = []
+    for w in (0, 1, 2):
+        df = wh.read_wave_evolved("evo", w, latest, v2_ids)
+        reads.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("price_cents").cast("long").alias("sum_price_cents"),
+                F.count(F.when(F.col("host").isNull(), 1)).cast("long").alias(
+                    "n_null_host"
+                ),
+            ).select(F.lit(w).cast("long").alias("wave"), "*")
+        )
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# -- A19 sibling 3: hidden partitioning (transform specs) -----------------------
+# Iceberg partitions by TRANSFORMS — bucket(8, digest), days(ts) — and a
+# predicate on the SOURCE column prunes directories through the transform;
+# the user never sees the partition column. A day-only read must list one
+# day dir under EVERY bucket; a digest+day read lists exactly one leaf.
+# Transforms are lossy, so the source predicate is re-applied as a row
+# filter (Iceberg's pruning/filter split); the oracle restates both the
+# dir arithmetic and the row counts.
+
+_HP_DIGEST = sql_digest60("'u' || o_orderkey")
+
+
+@register(
+    "warehouse_hidden_partitioning",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_HP_DIGEST} AS digest,
+             '1995-01-0' || (o_orderkey % 5 + 1) AS day
+      FROM orders)
+    SELECT 'day' AS read_kind,
+           CAST((SELECT count(DISTINCT digest % 8) FROM src
+                 WHERE day = '1995-01-03') AS BIGINT) AS n_dirs_scanned,
+           CAST((SELECT count(*) FROM src WHERE day = '1995-01-03') AS BIGINT)
+             AS n_rows,
+           CAST((SELECT sum(cents) FROM src WHERE day = '1995-01-03') AS BIGINT)
+             AS sum_cents
+    UNION ALL
+    SELECT 'digest_day',
+           CAST((SELECT count(DISTINCT digest % 8) FROM src
+                 WHERE digest = {sql_digest60("'u7'")}
+                   AND day = '1995-01-03') AS BIGINT),
+           CAST((SELECT count(*) FROM src
+                 WHERE digest = {sql_digest60("'u7'")}
+                   AND day = '1995-01-03') AS BIGINT),
+           CAST((SELECT sum(cents) FROM src
+                 WHERE digest = {sql_digest60("'u7'")}
+                   AND day = '1995-01-03') AS BIGINT)
+    """,
+)
+def warehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioning reads (rcspark.tables.HiddenPartWarehouse):
+    bucket(8, digest) × days(ts) transform spec, source-column predicates
+    pruned to leaf dirs through the transforms. n_dirs_scanned is the
+    pruning evidence — at 10^10 rows the digest+day read touches ONE
+    directory instead of the wave."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .datapipe.hashing import digest60_py
+    from .tables import HiddenPartWarehouse
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(
+        k.alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        digest60(F.concat(F.lit("u"), k.cast("string"))).alias("digest"),
+        F.to_timestamp(
+            F.concat(F.lit("1995-01-0"), (k % 5 + 1).cast("string"), F.lit(" 12:00:00"))
+        ).alias("ts"),
+    )
+    wh = HiddenPartWarehouse(spark, tempfile.mkdtemp(prefix="rcspark_hp_"))
+    hspec = [
+        {"name": "db", "transform": "bucket", "col": "digest", "n": 8},
+        {"name": "day", "transform": "days", "col": "ts"},
+    ]
+    wh.write_wave_hidden("hp", src, 0, hspec)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("digest", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    reads = []
+    for kind, prune in (
+        ("day", {"ts": "1995-01-03"}),
+        ("digest_day", {"digest": digest60_py("u7"), "ts": "1995-01-03"}),
+    ):
+        df, n_dirs = wh.read_wave_hidden_pruned("hp", 0, schema, prune)
+        reads.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).select(
+                F.lit(kind).alias("read_kind"),
+                F.lit(n_dirs).cast("long").alias("n_dirs_scanned"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    return reads[0].unionByName(reads[1])
+
+
+# -- A10/A12 seam: cookie jar across a redirect hop -----------------------------
+# [U scrapy/downloadermiddlewares/cookies.py CookiesMiddleware; RFC 6265
+# §5.3-5.4]: hop 1 sets a cookie (host-only when Set-Cookie carries no
+# Domain attribute; domain-cookie when it does), the redirect target at
+# hop 2 receives it iff it domain-matches — host-only needs the EXACT
+# host, a Domain= cookie also covers subdomains, a different registrable
+# host never matches. All four classes occur; one CASE, zero shuffles.
+
+@register(
+    "crawl_cookie_jar",
+    oracle="""
+    WITH hops AS (
+      SELECT o_orderkey,
+             'h' || (o_custkey % 20) || '.example' AS set_host,
+             o_orderkey % 4 = 2 AS domain_cookie,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'h' || (o_custkey % 20) || '.example'
+               WHEN 1 THEN 'sub.h' || (o_custkey % 20) || '.example'
+               WHEN 2 THEN 'sub.h' || (o_custkey % 20) || '.example'
+               ELSE 'other' || (o_orderkey % 6) || '.example'
+             END AS hop2_host,
+             'sid=' || o_orderkey AS cookie
+      FROM orders)
+    SELECT o_orderkey, set_host, hop2_host, domain_cookie,
+           CASE WHEN hop2_host = set_host THEN TRUE
+                WHEN domain_cookie AND hop2_host LIKE '%.' || set_host THEN TRUE
+                ELSE FALSE END AS sent,
+           CASE WHEN hop2_host = set_host
+                  OR (domain_cookie AND hop2_host LIKE '%.' || set_host)
+                THEN cookie END AS cookie_header
+    FROM hops
+    """,
+)
+def crawl_cookie_jar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cookie propagation across a redirect hop: host-only cookies match
+    the exact set-host; Domain= cookies also match subdomains (suffix
+    match on '.set_host'); foreign hosts never receive the cookie. The
+    per-row verdict the downloader consults before attaching the Cookie
+    header — scan-rate column work at any frontier size."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    set_host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 20).cast("string"), F.lit(".example")
+    )
+    domain_cookie = (k % 4 == 2).alias("domain_cookie")
+    hop2 = (
+        F.when(k % 4 == 0, set_host)
+        .when(
+            (k % 4 == 1) | (k % 4 == 2),
+            F.concat(F.lit("sub."), set_host),
+        )
+        .otherwise(
+            F.concat(F.lit("other"), (k % 6).cast("string"), F.lit(".example"))
+        )
+    )
+    hops = orders.select(
+        "o_orderkey",
+        set_host.alias("set_host"),
+        (k % 4 == 2).alias("domain_cookie"),
+        hop2.alias("hop2_host"),
+        F.concat(F.lit("sid="), k.cast("string")).alias("cookie"),
+    )
+    match = (F.col("hop2_host") == F.col("set_host")) | (
+        F.col("domain_cookie")
+        & F.col("hop2_host").endswith(F.concat(F.lit("."), F.col("set_host")))
+    )
+    return hops.select(
+        "o_orderkey", "set_host", "hop2_host", "domain_cookie",
+        match.alias("sent"),
+        F.when(match, F.col("cookie")).alias("cookie_header"),
+    )
+
+
 # =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
@@ -10910,6 +11438,10 @@ _CHANGED_THIS_ROUND = [
     # new in the round-4 batch-22 session (middleware semantics + BMP legs)
     "img_bmp_roundtrip",
     "img_transcode_bmp_jpeg",
+    "crawl_content_decode",
+    "img_tile_phash",
+    "doc_fasttext_quality",
+    "warehouse_partition_evolution",
     "crawl_meta_refresh",
     "crawl_nofollow_gate",
     "crawl_referer_policy",

@@ -387,3 +387,259 @@ class Warehouse:
                 (self._read_dir(table, d, schema) for d in dirs),
             )
         return self.spark.read.schema(schema).parquet(*dirs)
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (batch 22) — the Iceberg behavior the fallback
+# layer was missing a visible surface for: a table's partition layout can
+# CHANGE mid-history (spec v1 → v2); old waves keep their old directory
+# layout, new waves are written under the new spec, and a spec-aware read
+# prunes each wave by ITS OWN spec (Iceberg records spec_id per manifest;
+# here a _spec.json sidecar per wave dir — Spark ignores underscore files).
+# ---------------------------------------------------------------------------
+
+def _spec_path(wave_dir: str) -> str:
+    return os.path.join(wave_dir, "_spec.json")
+
+
+class SpecWarehouse(Warehouse):
+    """Warehouse + per-wave partition specs. Kept as a subclass so the
+    engine's committed Warehouse behavior (compact/gc/tombstones) stays
+    byte-pinned by the existing e2e tests."""
+
+    def write_wave_spec(
+        self, table: str, df: DataFrame, wave: int, spec_cols: list[str]
+    ) -> None:
+        """Write one wave under an explicit partition spec, recording the
+        spec beside the data (atomic dir rename, same crash discipline as
+        write_wave)."""
+        final = self._wave_dir(table, wave)
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        (
+            df.repartition(*spec_cols)
+            .write.mode("overwrite")
+            .partitionBy(*spec_cols)
+            .parquet(tmp)
+        )
+        with open(_spec_path(tmp), "w") as f:
+            json.dump({"spec": spec_cols}, f)
+        os.rename(tmp, final)
+
+    def wave_spec(self, table: str, wave: int) -> list[str]:
+        with open(_spec_path(self._wave_dir(table, wave))) as f:
+            return list(json.load(f)["spec"])
+
+    def read_wave_pruned(
+        self,
+        table: str,
+        wave: int,
+        schema: T.StructType,
+        prune: dict[str, str],
+    ) -> tuple[DataFrame, int]:
+        """(rows matching `prune`, leaf dirs scanned) for one wave.
+
+        Prune keys present in THIS wave's spec prune at the directory
+        level (the planner never lists the excluded subtrees — at 10^10
+        rows that is the difference between touching one host's files and
+        touching the wave); keys not in the spec fall back to a post-scan
+        filter over the full wave dir, exactly how Iceberg reads pre-
+        evolution data files."""
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        d = self._wave_dir(table, wave)
+        spec = self.wave_spec(table, wave)
+        # leaf-dir glob under the wave dir: spec col k is dir level i
+        parts = [
+            (f"{c}={prune[c]}" if c in prune else "*") for c in spec
+        ]
+        pattern = os.path.join(d, *parts) if parts else d
+        leaf_dirs = sorted(
+            p
+            for p in _glob.glob(pattern)
+            if os.path.isdir(p)
+            and (not spec or os.path.basename(p).startswith(f"{spec[-1]}="))
+        )
+        residual = {k: v for k, v in prune.items() if k not in spec}
+        if not leaf_dirs:  # fully pruned wave: zero dirs touched
+            return self.spark.createDataFrame([], schema), 0
+        df = (
+            self.spark.read.option("basePath", d)
+            .schema(schema)
+            .parquet(*leaf_dirs)
+        )
+        for k, v in residual.items():
+            df = df.filter(F.col(k) == v)
+        return df, len(leaf_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (batch 22): Iceberg renames/adds columns by FIELD ID —
+# old data files keep their old column names; the reader maps each wave's
+# columns to the latest schema through the shared ids and NULL-fills
+# added fields. Fallback: a _schema.json sidecar per wave recording
+# {column_name: field_id}.
+# ---------------------------------------------------------------------------
+
+def _schema_sidecar(wave_dir: str) -> str:
+    return os.path.join(wave_dir, "_schema.json")
+
+
+class EvoWarehouse(SpecWarehouse):
+    def write_wave_ids(
+        self, table: str, df: DataFrame, wave: int, field_ids: dict[str, int]
+    ) -> None:
+        """write_wave + a field-id sidecar. `field_ids` maps every column
+        of df to its stable Iceberg-style field id."""
+        missing = set(df.columns) - set(field_ids)
+        if missing:
+            raise ValueError(f"field_ids missing for {sorted(missing)}")
+        self.write_wave(table, df, wave)
+        with open(_schema_sidecar(self._wave_dir(table, wave)), "w") as f:
+            json.dump({"field_ids": field_ids}, f)
+
+    def read_wave_evolved(
+        self,
+        table: str,
+        wave: int,
+        latest_schema: T.StructType,
+        latest_ids: dict[str, int],
+    ) -> DataFrame:
+        """One wave's rows projected to the LATEST schema: columns are
+        matched by field id (so renames are free), fields with no id in
+        the wave (added after it was written) come back NULL — exactly
+        Iceberg's read-time projection semantics."""
+        from pyspark.sql import functions as F
+
+        d = self._wave_dir(table, wave)
+        with open(_schema_sidecar(d)) as f:
+            wave_ids: dict[str, int] = json.load(f)["field_ids"]
+        by_id = {v: k for k, v in wave_ids.items()}
+        raw = self.spark.read.parquet(d)
+        cols = []
+        for field in latest_schema.fields:
+            old = by_id.get(latest_ids[field.name])
+            if old is not None and old in raw.columns:
+                cols.append(F.col(old).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        return raw.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (batch 22): Iceberg partitions by TRANSFORMS of
+# source columns (bucket(n, col), days(ts), truncate(w, col)) — the user
+# never materializes or filters the partition column; predicates on the
+# SOURCE column prune directories through the transform. Fallback: the
+# transform spec lives in the _spec.json sidecar, the transformed column
+# is written as the hive dir level and dropped on read.
+# ---------------------------------------------------------------------------
+
+class HiddenPartWarehouse(EvoWarehouse):
+    _DAY_FMT = "yyyy-MM-dd"
+
+    def _hidden_expr(self, entry: dict):
+        from pyspark.sql import functions as F
+
+        t, col = entry["transform"], entry["col"]
+        if t == "bucket":
+            return F.pmod(F.col(col), F.lit(int(entry["n"]))).cast("int")
+        if t == "days":
+            return F.date_format(F.col(col), self._DAY_FMT)
+        if t == "truncate":
+            return F.substring(F.col(col), 1, int(entry["n"]))
+        raise ValueError(f"unknown transform {t!r}")
+
+    def _hidden_value(self, entry: dict, source_value) -> str:
+        """Driver-side twin of _hidden_expr for pruning: the partition-dir
+        string a source-column predicate value lands in."""
+        t = entry["transform"]
+        if t == "bucket":
+            return str(int(source_value) % int(entry["n"]))
+        if t == "days":
+            return str(source_value)  # callers pass the day string itself
+        if t == "truncate":
+            return str(source_value)[: int(entry["n"])]
+        raise ValueError(f"unknown transform {t!r}")
+
+    def write_wave_hidden(
+        self, table: str, df: DataFrame, wave: int, hspec: list[dict]
+    ) -> None:
+        final = self._wave_dir(table, wave)
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        out = df
+        names = []
+        for e in hspec:
+            out = out.withColumn(e["name"], self._hidden_expr(e))
+            names.append(e["name"])
+        (
+            out.repartition(*names)
+            .write.mode("overwrite")
+            .partitionBy(*names)
+            .parquet(tmp)
+        )
+        with open(_spec_path(tmp), "w") as f:
+            json.dump({"hidden": hspec}, f)
+        os.rename(tmp, final)
+
+    def read_wave_hidden_pruned(
+        self,
+        table: str,
+        wave: int,
+        schema: T.StructType,
+        prune: dict[str, object],
+    ) -> tuple[DataFrame, int]:
+        """(rows whose SOURCE columns satisfy `prune`, leaf dirs scanned).
+
+        Directory pruning goes through each spec entry's transform (the
+        hidden-partitioning contract); transforms are lossy, so the source
+        predicate is ALSO applied as a row filter — prune decides what is
+        LISTED, the filter decides what is returned, exactly Iceberg's
+        partition-pruning + row-filter split."""
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        d = self._wave_dir(table, wave)
+        with open(_spec_path(d)) as f:
+            hspec = json.load(f)["hidden"]
+        parts = []
+        for e in hspec:
+            if e["col"] in prune:
+                parts.append(f"{e['name']}={self._hidden_value(e, prune[e['col']])}")
+            else:
+                parts.append("*")
+        leaf = hspec[-1]["name"]
+        leaf_dirs = sorted(
+            p
+            for p in _glob.glob(os.path.join(d, *parts))
+            if os.path.isdir(p) and os.path.basename(p).startswith(f"{leaf}=")
+        )
+        if not leaf_dirs:
+            return self.spark.createDataFrame([], schema), 0
+        read_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(e["name"], T.StringType(), True) for e in hspec]
+        )
+        df = (
+            self.spark.read.option("basePath", d)
+            .schema(read_schema)
+            .parquet(*leaf_dirs)
+            .drop(*[e["name"] for e in hspec])
+        )
+        for e in hspec:
+            if e["col"] not in prune:
+                continue
+            v = prune[e["col"]]
+            if e["transform"] == "days":
+                df = df.filter(F.date_format(F.col(e["col"]), self._DAY_FMT) == v)
+            else:
+                df = df.filter(F.col(e["col"]) == v)
+        return df, len(leaf_dirs)

@@ -1141,6 +1141,45 @@ def expected_img_transcode_bmp(quality: int = 90) -> pd.DataFrame:
               "n_jpeg_bytes": "int64", "sse": "int64"})
 
 
+def expected_img_tile_phash() -> pd.DataFrame:
+    """img_tile_phash twin: original + watermarked pixels from the shared
+    generators (make_smooth_image / make_watermarked — DATA), quadrant
+    split + perceptual hash + hamming re-derived with the INDEPENDENT
+    twin_phash (reduceat block sums) and scalar popcounts."""
+    from rcspark.fixtures import make_smooth_image, make_watermarked
+
+    def qhashes(pix):
+        h, w = pix.shape[:2]
+        hh, hw = h // 2, w // 2
+        return [
+            twin_phash(pix[:hh, :hw]), twin_phash(pix[:hh, hw:]),
+            twin_phash(pix[hh:, :hw]), twin_phash(pix[hh:, hw:]),
+        ]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        base, var = make_smooth_image(iid), make_watermarked(iid)
+        qh = [ham(a, b) for a, b in zip(qhashes(base), qhashes(var))]
+        gh = ham(twin_phash(base), twin_phash(var))
+        nm = sum(1 for x in qh if x <= 6)
+        rows.append(
+            (iid, np.int64(qh[0]), np.int64(qh[1]), np.int64(qh[2]),
+             np.int64(qh[3]), np.int64(nm), np.int64(gh), bool(nm >= 3),
+             bool(gh <= 6))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "qham0", "qham1", "qham2", "qham3",
+                 "n_quad_match", "global_hamming", "tile_dup", "global_dup"],
+    ).astype({c: "int64" for c in
+              ["qham0", "qham1", "qham2", "qham3", "n_quad_match",
+               "global_hamming"]})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1172,6 +1211,7 @@ def main() -> None:
         ("video_keyframes", expected_video_keyframes),
         ("img_bmp", expected_img_bmp),
         ("img_transcode_bmp", expected_img_transcode_bmp),
+        ("img_tile_phash", expected_img_tile_phash),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -144,3 +144,175 @@ def test_nofollow_gate_query(spark):
     clean = out[~out.page_nofollow]
     assert not clean[clean.rel_nofollow].followed.any()
     assert clean[~clean.rel_nofollow].followed.all()
+
+
+def test_decode_body_variants_and_bomb():
+    import gzip
+    import zlib
+
+    import pytest
+
+    from rcspark.middleware import decode_body
+
+    pt = b"the quick brown fox " * 20
+    assert decode_body(gzip.compress(pt), "gzip", 4096) == (pt, False)
+    assert decode_body(zlib.compress(pt), "deflate", 4096) == (pt, False)
+    co = zlib.compressobj(wbits=-15)
+    assert decode_body(co.compress(pt) + co.flush(), "deflate", 4096) == (pt, False)
+    assert decode_body(pt, "identity", 4096) == (pt, False)
+    big = b"z" * 50_000
+    out, bomb = decode_body(gzip.compress(big), "gzip", 4096)
+    assert bomb and out == big[:4096]
+    out, bomb = decode_body(big, "identity", 4096)
+    assert bomb and out == big[:4096]
+    # exact boundary is NOT a bomb
+    exact = b"e" * 4096
+    assert decode_body(gzip.compress(exact), "gzip", 4096) == (exact, False)
+    with pytest.raises(ValueError):
+        decode_body(b"xx", "br", 4096)
+
+
+def test_spec_warehouse_prunes_by_each_waves_own_spec(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from rcspark.tables import SpecWarehouse
+
+    rows = [(i, i % 3, f"h{i % 4}") for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, shard int, host string")
+    wh = SpecWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_wave_spec("t", df.filter("k < 60"), 0, ["shard"])
+    wh.write_wave_spec("t", df.filter("k >= 60"), 1, ["shard", "host"])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("shard", T.IntegerType(), True),
+            T.StructField("host", T.StringType(), True),
+        ]
+    )
+    # v1 wave: host not in spec -> every shard dir scanned, residual filter
+    d0, n0 = wh.read_wave_pruned("t", 0, schema, {"host": "h2"})
+    assert n0 == 3
+    got0 = {r["k"] for r in d0.collect()}
+    assert got0 == {i for i in range(60) if i % 4 == 2}
+    # v2 wave: host in spec -> only host=h2 leaves under each shard
+    d1, n1 = wh.read_wave_pruned("t", 1, schema, {"host": "h2"})
+    assert n1 == 3  # one h2 leaf per shard dir
+    got1 = {r["k"] for r in d1.collect()}
+    assert got1 == {i for i in range(60, 120) if i % 4 == 2}
+    # fully-pruned value: zero dirs, empty frame
+    d2, n2 = wh.read_wave_pruned("t", 1, schema, {"host": "h9"})
+    assert n2 == 0 and d2.count() == 0
+    # spec sidecars readable
+    assert wh.wave_spec("t", 0) == ["shard"]
+    assert wh.wave_spec("t", 1) == ["shard", "host"]
+
+
+def test_tile_phash_watermark_signal():
+    from rcspark.codecs import phash64
+    from rcspark.datapipe.multimodal import quadrant_phashes
+    from rcspark.fixtures import make_smooth_image, make_watermarked
+
+    tile_hits = global_misses = 0
+    for k in range(0, 800, 40):
+        iid = f"img{k}"
+        base, var = make_smooth_image(iid), make_watermarked(iid)
+        qh = [
+            bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            for a, b in zip(quadrant_phashes(base), quadrant_phashes(var))
+        ]
+        g = bin((phash64(base) ^ phash64(var)) & ((1 << 64) - 1)).count("1")
+        # untouched quadrants hash identically
+        assert qh[0] == 0 and qh[1] == 0 and qh[2] == 0
+        tile_hits += sum(1 for x in qh if x <= 6) >= 3
+        global_misses += g > 6
+    assert tile_hits == 20          # the tile tier catches every variant
+    assert global_misses >= 5       # ...including ones global phash misses
+
+
+def test_evo_warehouse_maps_columns_by_field_id(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from rcspark.tables import EvoWarehouse
+
+    wh = EvoWarehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, 100), (2, 200)], "k long, cents long")
+    v2 = spark.createDataFrame([(3, 300, "a")], "k long, price_cents long, host string")
+    wh.write_wave_ids("t", v1, 0, {"k": 1, "cents": 2})
+    wh.write_wave_ids("t", v2, 1, {"k": 1, "price_cents": 2, "host": 3})
+    latest = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("price_cents", T.LongType(), True),
+            T.StructField("host", T.StringType(), True),
+        ]
+    )
+    ids = {"k": 1, "price_cents": 2, "host": 3}
+    old = {r["k"]: r for r in wh.read_wave_evolved("t", 0, latest, ids).collect()}
+    # rename resolved through the shared field id; added column NULL-filled
+    assert old[1]["price_cents"] == 100 and old[1]["host"] is None
+    new = wh.read_wave_evolved("t", 1, latest, ids).collect()[0]
+    assert new["price_cents"] == 300 and new["host"] == "a"
+    with pytest.raises(ValueError):
+        wh.write_wave_ids("t", v1, 2, {"k": 1})  # cents has no field id
+
+
+def test_hidden_partitioning_prunes_through_transforms(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from rcspark.tables import HiddenPartWarehouse
+
+    wh = HiddenPartWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7919 % 1000).alias("digest"),
+        F.to_timestamp(
+            F.concat(F.lit("2001-02-0"), (F.col("id") % 3 + 1).cast("string"),
+                     F.lit(" 08:00:00"))
+        ).alias("ts"),
+    )
+    hspec = [
+        {"name": "b", "transform": "bucket", "col": "digest", "n": 4},
+        {"name": "d", "transform": "days", "col": "ts"},
+    ]
+    wh.write_wave_hidden("t", df, 0, hspec)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("digest", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    # day-only: one day leaf under each of the 4 bucket dirs
+    got, n_dirs = wh.read_wave_hidden_pruned("t", 0, schema, {"ts": "2001-02-02"})
+    assert n_dirs == 4
+    assert {r["k"] for r in got.collect()} == {i for i in range(200) if i % 3 == 1}
+    # digest+day: exactly one leaf, and the lossy bucket is row-filtered
+    d42 = 42 * 7919 % 1000
+    got2, n2 = wh.read_wave_hidden_pruned(
+        "t", 0, schema, {"digest": d42, "ts": "2001-02-01"}
+    )
+    rows = got2.collect()
+    assert n2 == 1
+    assert all(r["digest"] == d42 for r in rows)
+    assert {r["k"] for r in rows} == {
+        i for i in range(200) if i * 7919 % 1000 == d42 and i % 3 == 0
+    }
+    # no matching day -> zero dirs, empty result
+    got3, n3 = wh.read_wave_hidden_pruned("t", 0, schema, {"ts": "1999-01-01"})
+    assert n3 == 0 and got3.count() == 0
+
+
+def test_cookie_jar_query_classes(spark):
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_cookie_jar"](spark, "/root/testdata/sf0.001").toPandas()
+    k4 = out.o_orderkey % 4
+    assert out[k4 == 0].sent.all()            # exact host: host-only cookie sent
+    assert not out[k4 == 1].sent.any()        # subdomain, host-only: NOT sent
+    assert out[k4 == 2].sent.all()            # subdomain, Domain= cookie: sent
+    assert not out[k4 == 3].sent.any()        # foreign host: never
+    assert out[out.sent].cookie_header.notna().all()
+    assert out[~out.sent].cookie_header.isna().all()
