@@ -1725,14 +1725,15 @@ BMP_RT_SCHEMA = T.StructType(
 
 def _bmp_fixture_pixels(image_id: str) -> np.ndarray:
     """Shared data generator (like make_smooth_image itself): the smooth
-    fixture cropped by xxh64(id)%3 columns, so row strides hit every
-    4-byte padding residue — the BMP-specific failure surface the stock
+    fixture cropped by xxh64(id)%4 columns, so row strides hit every
+    4-byte padding residue (widths 16/32/64 are all ≡0 mod 4; crops 0-3
+    reach residues 0/3/2/1) — the BMP-specific failure surface the stock
     16/32/64 widths (all ≡0 mod 4) would never exercise."""
     from ..fixtures import make_smooth_image
     from ..xxh import xxh64
 
     pix = make_smooth_image(image_id)
-    crop = (xxh64(image_id.encode()) >> 24) % 3
+    crop = (xxh64(image_id.encode()) >> 24) % 4
     return pix[:, : pix.shape[1] - crop] if crop else pix
 
 

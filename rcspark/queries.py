@@ -11045,9 +11045,9 @@ _FT_W = f"""(CAST('0x' || substr(md5(__T__), 1, 15) AS BIGINT) % {_FT_K})
       FROM documents)
     SELECT doc_id,
            CAST(len(f) AS BIGINT) AS n_feats,
-           CAST(list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")}))
+           CAST(coalesce(list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")})), 0)
                 AS BIGINT) AS score,
-           list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")})) >= 0
+           coalesce(list_sum(list_transform(f, t -> {_FT_W.replace("__T__", "t")})), 0) >= 0
              AS keep
     FROM feats
     """,
@@ -11390,7 +11390,6 @@ def crawl_cookie_jar(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_host = F.concat(
         F.lit("h"), (F.col("o_custkey") % 20).cast("string"), F.lit(".example")
     )
-    domain_cookie = (k % 4 == 2).alias("domain_cookie")
     hop2 = (
         F.when(k % 4 == 0, set_host)
         .when(
@@ -11442,6 +11441,9 @@ _CHANGED_THIS_ROUND = [
     "img_tile_phash",
     "doc_fasttext_quality",
     "warehouse_partition_evolution",
+    "warehouse_schema_evolution",
+    "warehouse_hidden_partitioning",
+    "crawl_cookie_jar",
     "crawl_meta_refresh",
     "crawl_nofollow_gate",
     "crawl_referer_policy",

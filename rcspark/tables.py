@@ -493,14 +493,23 @@ class EvoWarehouse(SpecWarehouse):
     def write_wave_ids(
         self, table: str, df: DataFrame, wave: int, field_ids: dict[str, int]
     ) -> None:
-        """write_wave + a field-id sidecar. `field_ids` maps every column
-        of df to its stable Iceberg-style field id."""
+        """Atomic wave write + field-id sidecar. `field_ids` maps every
+        column of df to its stable Iceberg-style field id. The sidecar is
+        written INTO the tmp dir before the rename (write_wave_spec's
+        crash discipline) — a kill can never leave a committed-looking
+        wave dir without its schema metadata."""
         missing = set(df.columns) - set(field_ids)
         if missing:
             raise ValueError(f"field_ids missing for {sorted(missing)}")
-        self.write_wave(table, df, wave)
-        with open(_schema_sidecar(self._wave_dir(table, wave)), "w") as f:
+        final = self._wave_dir(table, wave)
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        df.write.mode("overwrite").parquet(tmp)
+        with open(_schema_sidecar(tmp), "w") as f:
             json.dump({"field_ids": field_ids}, f)
+        os.rename(tmp, final)
 
     def read_wave_evolved(
         self,

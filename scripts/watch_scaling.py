@@ -22,6 +22,18 @@ Each attempt stamps pre/post supply and appends a JSON line to
 /tmp/scaling_PASS and exits. Alongside the raw eff it reports the
 supply-normalized eff = (r4/r1 speedup) / min(supply_speedup, 4) — how
 much of the window's OFFERED parallelism the job converted.
+
+Round-4 continuation finding (118 probes): the 4-proc AGGREGATE burn
+never exceeded ~700/s (about 2 healthy cores' worth) while r1>=350 —
+i.e. the hypervisor currently never offers 4 healthy cores at once, so
+the primary gate (r1>=R1_MIN AND speedup>=2.5, jointly implying
+r4>=875/s) may be unsatisfiable for the whole session. A SECONDARY
+best-available gate therefore fires at r1>=SEC_R1_MIN and
+speedup>=SEC_SPEEDUP_MIN (rate-limited to one attempt per
+SEC_COOLDOWN_S): the pair still runs the identical 1->4 job, the raw
+efficiency is reported honestly (it will read low when only ~2 cores
+exist), and eff_supply_norm says how much of the OFFERED parallelism the
+job converted. PASS still requires raw >= 0.8.
 """
 
 from __future__ import annotations
@@ -39,9 +51,13 @@ BUSY_FLAG = "/tmp/rcspark_busy"
 PASS_MARK = "/tmp/scaling_PASS"
 RESULTS = "/tmp/scaling_results.jsonl"
 LOG = "/tmp/supply_watch4.log"
-PROBE_EVERY = float(os.environ.get("WATCH_PROBE_EVERY", 390))
+PROBE_EVERY = float(os.environ.get("WATCH_PROBE_EVERY", 180))
 R1_MIN = 350.0  # burst-credit floor for a believable 1-proc baseline
 SPEEDUP_MIN = 2.5
+# secondary best-available gate (see module docstring)
+SEC_R1_MIN = float(os.environ.get("WATCH_SEC_R1_MIN", 300))
+SEC_SPEEDUP_MIN = float(os.environ.get("WATCH_SEC_SPEEDUP_MIN", 2.0))
+SEC_COOLDOWN_S = float(os.environ.get("WATCH_SEC_COOLDOWN_S", 2400))
 
 
 def log(msg: str) -> None:
@@ -78,16 +94,33 @@ def run_pair(n_urls: int) -> dict:
 
 def main() -> None:
     k = 0
+    last_secondary = 0.0
     while not os.path.exists(PASS_MARK):
         k += 1
         pre = probe()
         busy = os.path.exists(BUSY_FLAG)
         log(f"probe {k}: r1={pre[0]}/s r4={pre[1]}/s speedup={pre[2]} busy={busy}")
         healthy = pre[0] >= R1_MIN and pre[2] >= SPEEDUP_MIN
-        if healthy and not busy:
-            log(f"HEALTHY window — launching 1->4 pair (2M then 20M)")
-            for n_urls in (2_000_000, 20_000_000):
-                attempt = {"ts": time.strftime("%H:%M:%S"), "pre_supply": pre}
+        secondary = (
+            not healthy
+            and pre[0] >= SEC_R1_MIN
+            and pre[2] >= SEC_SPEEDUP_MIN
+            and time.time() - last_secondary >= SEC_COOLDOWN_S
+        )
+        if (healthy or secondary) and not busy:
+            sizes = (2_000_000, 20_000_000) if healthy else (2_000_000,)
+            if secondary:
+                last_secondary = time.time()
+            log(
+                ("HEALTHY" if healthy else "SECONDARY (best-available)")
+                + f" window — launching 1->4 pair {sizes}"
+            )
+            for n_urls in sizes:
+                attempt = {
+                    "ts": time.strftime("%H:%M:%S"),
+                    "gate": "healthy" if healthy else "secondary",
+                    "pre_supply": pre,
+                }
                 attempt.update(run_pair(n_urls))
                 post = probe()
                 attempt["post_supply"] = post

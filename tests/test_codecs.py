@@ -855,10 +855,10 @@ def test_bmp_engine_twin_agree_on_fixture_crops():
     from scripts.bmp_twin import twin_decode_bmp
 
     crops_seen = set()
-    for k in range(0, 400, 40):
+    for k in range(0, 1600, 40):
         pix = _bmp_fixture_pixels(f"img{k}")
         crops_seen.add(pix.shape[1] % 4)
         data = encode_bmp(pix)
         assert np.array_equal(decode_bmp(data), pix)
         assert np.array_equal(np.array(twin_decode_bmp(data), dtype=np.uint8), pix)
-    assert len(crops_seen) >= 2  # the crop really varies the stride residue
+    assert crops_seen == {0, 1, 2, 3}  # every 4-byte stride residue occurs

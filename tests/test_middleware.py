@@ -316,3 +316,35 @@ def test_cookie_jar_query_classes(spark):
     assert not out[k4 == 3].sent.any()        # foreign host: never
     assert out[out.sent].cookie_header.notna().all()
     assert out[~out.sent].cookie_header.isna().all()
+
+
+def test_fasttext_quality_empty_doc_parity(spark, tmp_path):
+    """Zero-word documents: Spark's aggregate(f, 0L, ...) returns 0 while
+    DuckDB's list_sum([]) is NULL — the oracle coalesces to 0 so both
+    engines agree (review finding, batch 22)."""
+    import duckdb
+
+    from rcspark.queries import ORACLE, QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "   ", "en", "s", 3),
+         (3, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(sf + "/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_fasttext_quality"](spark, sf).collect()
+    }
+    assert got[1]["score"] == 0 and got[1]["keep"] is True
+    assert got[2]["score"] == 0 and got[2]["n_feats"] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = {r[0]: r for r in con.execute(ORACLE["doc_fasttext_quality"]).fetchall()}
+    for d in (1, 2, 3):
+        assert ora[d][1] == got[d]["n_feats"]
+        assert ora[d][2] == got[d]["score"]
+        assert bool(ora[d][3]) == got[d]["keep"]
