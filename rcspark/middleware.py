@@ -263,6 +263,194 @@ def sql_charset(header_expr: str, body_expr: str) -> dict[str, str]:
 # plaintext by formula, so the whole decode path sits under the hash gate.
 # --------------------------------------------------------------------------
 
+RETRY_AFTER_MAX = 3600  # cap honored wait (RFC 9110 permits any; we clamp)
+
+_RA_DATE_RE = (
+    "^[A-Za-z]{3}, ([0-9]{2}) ([A-Za-z]{3}) ([0-9]{4})"
+    " ([0-9]{2}):([0-9]{2}):([0-9]{2}) GMT$"
+)
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def _civil_epoch_cols(day, month, year, hh, mi, ss):
+    """Seconds-since-1970 from split IMF-fixdate fields, in pure integer
+    arithmetic (Howard Hinnant's days_from_civil) — no timestamp types, so
+    both engines agree bit-for-bit regardless of session timezone. All
+    intermediates < 2^53; years are AD so floor==trunc division is safe."""
+    yadj = year - F.when(month <= 2, 1).otherwise(0)
+    era = F.floor(yadj / 400).cast("long")
+    yoe = yadj - era * 400
+    mp = (month + 9) % 12
+    doy = F.floor((mp * 153 + 2) / 5).cast("long") + day - 1
+    doe = (
+        yoe * 365
+        + F.floor(yoe / 4).cast("long")
+        - F.floor(yoe / 100).cast("long")
+        + doy
+    )
+    days = era * 146097 + doe - 719468
+    return days * 86400 + hh * 3600 + mi * 60 + ss
+
+
+def retry_after_cols(
+    header: Column, resp_epoch: Column, max_wait: int = RETRY_AFTER_MAX
+) -> dict[str, Column]:
+    """Retry-After parse ([U RFC 9110 §10.2.3]; scrapy's RetryMiddleware
+    ignores the header — honoring it on 429/503 is the production
+    extension every polite crawler ships). Two grammars: delta-seconds
+    and IMF-fixdate; wait is clamped to [0, max_wait]; anything else
+    parses to NULL with mode='none'."""
+    h = F.trim(header)
+    is_delta = h.rlike("^[0-9]{1,7}$")
+    g = [F.regexp_extract(h, _RA_DATE_RE, i) for i in range(7)]
+    is_date = g[0] != ""
+    month = F.lit(None).cast("long")
+    for i, name in enumerate(_MONTHS):
+        month = F.when(g[2] == name, F.lit(i + 1).cast("long")).otherwise(month)
+    epoch = _civil_epoch_cols(
+        g[1].cast("long"), month, g[3].cast("long"),
+        g[4].cast("long"), g[5].cast("long"), g[6].cast("long"),
+    )
+    cap = F.lit(max_wait).cast("long")
+    # clamp INSIDE the branches: least(NULL, k) drops the NULL in Spark
+    # (and only in newer DuckDB), so clamping a NULL wait would fabricate
+    # a wait for unparseable headers
+    wait = (
+        F.when(is_delta, F.least(h.cast("long"), cap))
+        .when(is_date & month.isNotNull(),
+              F.least(F.greatest(epoch - resp_epoch, F.lit(0).cast("long")), cap))
+    )
+    mode = (
+        F.when(is_delta, F.lit("delta"))
+        .when(is_date & month.isNotNull(), F.lit("date"))
+        .otherwise(F.lit("none"))
+    )
+    return {"wait_s": wait, "mode": mode}
+
+
+def sql_retry_after(
+    header: str, resp_epoch: str, max_wait: int = RETRY_AFTER_MAX
+) -> dict[str, str]:
+    h = f"trim({header})"
+    is_delta = f"regexp_matches({h}, '^[0-9]{{1,7}}$')"
+    g = [f"regexp_extract({h}, '{_RA_DATE_RE}', {i})" for i in range(7)]
+    is_date = f"({g[0]} <> '')"
+    month = "CASE " + " ".join(
+        f"WHEN {g[2]} = '{n}' THEN {i + 1}" for i, n in enumerate(_MONTHS)
+    ) + " END"
+    yadj = f"(CAST({g[3]} AS BIGINT) - CASE WHEN ({month}) <= 2 THEN 1 ELSE 0 END)"
+    era = f"({yadj} // 400)"
+    yoe = f"({yadj} - {era} * 400)"
+    mp = f"((({month}) + 9) % 12)"
+    doy = f"(({mp} * 153 + 2) // 5 + CAST({g[1]} AS BIGINT) - 1)"
+    doe = f"({yoe} * 365 + {yoe} // 4 - {yoe} // 100 + {doy})"
+    days = f"({era} * 146097 + {doe} - 719468)"
+    epoch = (
+        f"({days} * 86400 + CAST({g[4]} AS BIGINT) * 3600"
+        f" + CAST({g[5]} AS BIGINT) * 60 + CAST({g[6]} AS BIGINT))"
+    )
+    wait = f"""CASE
+        WHEN {is_delta} THEN least(CAST({h} AS BIGINT), {max_wait})
+        WHEN {is_date} AND ({month}) IS NOT NULL
+          THEN least(greatest({epoch} - {resp_epoch}, 0), {max_wait}) END"""
+    mode = f"""CASE
+        WHEN {is_delta} THEN 'delta'
+        WHEN {is_date} AND ({month}) IS NOT NULL THEN 'date'
+        ELSE 'none' END"""
+    return {"wait_s": wait, "mode": mode}
+
+
+# --------------------------------------------------------------------------
+# AJAX-crawlable URLs ([U scrapy/downloadermiddlewares/ajaxcrawl.py;
+# w3lib/url.py; Google's AJAX crawling scheme]): a '#!' fragment — or a
+# fragment-free page declaring <meta name="fragment" content="!"> — maps to
+# the '_escaped_fragment_' fetch URL the origin serves a snapshot at.
+# Percent-encoding is pinned to the reserved subset fixtures can produce
+# (% # & = + space), applied '%' first so the escapes never double-encode.
+# --------------------------------------------------------------------------
+
+_AJAX_META = '(?i)<meta[^>]*name="fragment"[^>]*content="!"'
+_PCT = (("%", "%25"), ("#", "%23"), ("&", "%26"),
+        ("=", "%3D"), ("+", "%2B"), (" ", "%20"))
+
+
+def _pct_encode(c: Column) -> Column:
+    for lit, esc in _PCT:
+        c = F.replace(c, F.lit(lit), F.lit(esc))
+    return c
+
+
+def ajaxcrawl_cols(url: Column, body: Column) -> dict[str, Column]:
+    has_hb = url.contains("#!")
+    frag = F.regexp_extract(url, "#!(.*)$", 1)
+    base = F.regexp_replace(url, "#.*$", "")
+    sep = F.when(base.contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    has_meta = body.rlike(_AJAX_META)
+    ef = F.concat(base, sep, F.lit("_escaped_fragment_="))
+    fetch = (
+        F.when(has_hb, F.concat(ef, _pct_encode(frag)))
+        .when(has_meta, ef)
+        .otherwise(url)
+    )
+    return {"crawlable": (has_hb | has_meta), "fetch_url": fetch}
+
+
+def sql_ajaxcrawl(url: str, body: str) -> dict[str, str]:
+    has_hb = f"(position('#!' IN {url}) > 0)"
+    frag = f"regexp_extract({url}, '#!(.*)$', 1)"
+    base = f"regexp_replace({url}, '#.*$', '')"
+    sep = f"CASE WHEN position('?' IN {base}) > 0 THEN '&' ELSE '?' END"
+    enc = frag
+    for lit, esc in _PCT:
+        enc = f"replace({enc}, '{lit}', '{esc}')"
+    has_meta = f"regexp_matches({body}, '{_AJAX_META}')"
+    ef = f"({base} || ({sep}) || '_escaped_fragment_=')"
+    fetch = f"""CASE
+        WHEN {has_hb} THEN {ef} || {enc}
+        WHEN {has_meta} THEN {ef}
+        ELSE {url} END"""
+    return {"crawlable": f"({has_hb} OR {has_meta})", "fetch_url": fetch}
+
+
+# --------------------------------------------------------------------------
+# Robots META / X-Robots-Tag directives ([U Google robots-meta spec;
+# scrapy honors neither natively — page-level noindex/nofollow is the
+# corpus-hygiene extension]): meta tag and header UNION (a directive from
+# either source applies); 'none' == 'noindex, nofollow'.
+# --------------------------------------------------------------------------
+
+_ROBOTS_META = '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+
+
+def robots_meta_cols(header_tag: Column, body: Column) -> dict[str, Column]:
+    meta = F.regexp_extract(body, _ROBOTS_META, 1)
+    combined = F.concat(
+        F.lit(","),
+        F.replace(F.lower(meta), F.lit(" "), F.lit("")),
+        F.lit(","),
+        F.replace(F.lower(header_tag), F.lit(" "), F.lit("")),
+        F.lit(","),
+    )
+    noindex = combined.contains(",noindex,") | combined.contains(",none,")
+    nofollow = combined.contains(",nofollow,") | combined.contains(",none,")
+    return {"noindex": noindex, "nofollow": nofollow}
+
+
+def sql_robots_meta(header_tag: str, body: str) -> dict[str, str]:
+    meta = f"regexp_extract({body}, '{_ROBOTS_META}', 1)"
+    combined = (
+        f"(',' || replace(lower({meta}), ' ', '') || ','"
+        f" || replace(lower({header_tag}), ' ', '') || ',')"
+    )
+    return {
+        "noindex": f"(position(',noindex,' IN {combined}) > 0"
+                   f" OR position(',none,' IN {combined}) > 0)",
+        "nofollow": f"(position(',nofollow,' IN {combined}) > 0"
+                    f" OR position(',none,' IN {combined}) > 0)",
+    }
+
+
 def decode_body(data: bytes, encoding: str, max_size: int) -> tuple[bytes, bool]:
     """(decoded_prefix, bomb): decode up to max_size bytes; bomb=True when
     the full decoded body would exceed max_size (output is the exact

@@ -10529,12 +10529,18 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .middleware import (  # noqa: E402
     REFERRER_POLICIES as _REF_POLICIES,
+    ajaxcrawl_cols as _ajaxcrawl_cols,
     charset_cols as _charset_cols,
     meta_refresh_cols as _mr_cols,
     referer_value as _referer_value,
+    retry_after_cols as _retry_after_cols,
+    robots_meta_cols as _robots_meta_cols,
+    sql_ajaxcrawl as _sql_ajaxcrawl,
     sql_charset as _sql_charset,
     sql_meta_refresh as _sql_mr,
     sql_referer_value as _sql_referer,
+    sql_retry_after as _sql_retry_after,
+    sql_robots_meta as _sql_robots_meta,
 )
 
 _MR_PAGE_SQL = """
@@ -11419,6 +11425,493 @@ def crawl_cookie_jar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 23 (round-4 third continuation): retry-after, ajax-crawl,
+# request gates, feed discovery, robots-meta — five more middleware-plane
+# operators, all zero-shuffle column expressions with handwritten twins.
+# =============================================================================
+
+# -- A11 adjunct: Retry-After honoring ------------------------------------------
+# [U RFC 9110 §10.2.3]; scrapy's RetryMiddleware retries 429/503 but
+# ignores the header — honoring it is the polite-crawler extension. Both
+# grammars (delta-seconds, IMF-fixdate) are parsed with PURE INTEGER date
+# arithmetic (days_from_civil), so no timestamp type ever exists and both
+# engines agree bit-for-bit under any session timezone. Fixture headers
+# are rendered from the same integer clock (base Wed, 21 Oct 2015
+# 07:28:00 GMT = epoch 1445412480), crossing delta / clamped-delta /
+# future-date / past-date / next-day-date / missing / junk forms with
+# retry_count exhaustion.
+
+_RA_RESP_EPOCH = 1445412480
+_RA_BASE_SOD = 26880  # 07:28:00 as seconds-of-day
+
+
+def _ra_date_header(off):
+    """Spark columns: render 'Wed, 21 Oct 2015 HH:MM:SS GMT' for base+off."""
+    t = F.lit(_RA_BASE_SOD).cast("long") + off
+    dd = F.lit(21).cast("long") + F.floor(t / 86400).cast("long")
+    wd = F.when(dd == 21, F.lit("Wed")).otherwise(F.lit("Thu"))
+    sod = t % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return F.concat(
+        wd, F.lit(", "), dd.cast("string"), F.lit(" Oct 2015 "),
+        two(F.floor(sod / 3600).cast("long")), F.lit(":"),
+        two(F.floor((sod % 3600) / 60).cast("long")), F.lit(":"),
+        two(sod % 60), F.lit(" GMT"),
+    )
+
+
+def _sql_ra_date_header(off: str) -> str:
+    t = f"({_RA_BASE_SOD} + {off})"
+    dd = f"(21 + {t} // 86400)"
+    wd = f"CASE WHEN {dd} = 21 THEN 'Wed' ELSE 'Thu' END"
+    sod = f"({t} % 86400)"
+    return (
+        f"({wd} || ', ' || {dd} || ' Oct 2015 '"
+        f" || lpad(CAST({sod} // 3600 AS VARCHAR), 2, '0') || ':'"
+        f" || lpad(CAST(({sod} % 3600) // 60 AS VARCHAR), 2, '0') || ':'"
+        f" || lpad(CAST({sod} % 60 AS VARCHAR), 2, '0') || ' GMT')"
+    )
+
+
+_RA_FIX_SQL = f"""
+      SELECT o_orderkey,
+             CASE o_orderkey % 4 WHEN 0 THEN 200 WHEN 1 THEN 429
+                                 WHEN 2 THEN 503 ELSE 500 END AS status,
+             CAST(o_orderkey % 3 AS BIGINT) AS retry_count,
+             CAST(o_orderkey % 5 AS BIGINT) AS wave,
+             CASE o_orderkey % 7
+               WHEN 0 THEN '120'
+               WHEN 1 THEN ' 7 '
+               WHEN 2 THEN '99999'
+               WHEN 3 THEN {_sql_ra_date_header('900')}
+               WHEN 4 THEN {_sql_ra_date_header(
+                   "CASE WHEN o_orderkey % 2 = 0 THEN -900 ELSE 80000 END")}
+               WHEN 5 THEN ''
+               ELSE 'soon' END AS header
+      FROM orders"""
+
+_RA_TWIN = _sql_retry_after("header", str(_RA_RESP_EPOCH))
+
+
+@register(
+    "crawl_retry_after",
+    oracle=f"""
+    WITH resp AS ({_RA_FIX_SQL}),
+    parsed AS (
+      SELECT o_orderkey, status, retry_count, wave, header,
+             {_RA_TWIN["mode"]} AS mode,
+             {_RA_TWIN["wait_s"]} AS wait_s
+      FROM resp),
+    acted AS (
+      SELECT *,
+             CASE WHEN status = 200 THEN 'ok'
+                  WHEN retry_count + 1 <= {C.RETRY_TIMES} THEN 'retry'
+                  ELSE 'give_up' END AS action,
+             CASE WHEN status IN (429, 503) THEN wait_s END AS honored_s
+      FROM parsed)
+    SELECT o_orderkey, status, header, mode,
+           CAST(wait_s AS BIGINT) AS wait_s, action,
+           CAST(CASE WHEN action = 'retry'
+                THEN wave + 1 + coalesce(honored_s, 0) // 30 END AS BIGINT)
+             AS eligible_wave
+    FROM acted
+    """,
+)
+def crawl_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After scheduling (rcspark.middleware.retry_after_cols): parse
+    the header under both RFC 9110 grammars, clamp, and place the retry in
+    the first wave whose clock has passed the wait (WAVE_SECONDS=30 is the
+    shared engine/oracle clock quantum). Whole-stage-codegen CASE + regex
+    arithmetic; at 100 TB this rides the post-fetch classify projection
+    for free."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    off4 = F.when(k % 2 == 0, F.lit(-900)).otherwise(F.lit(80000)).cast("long")
+    header = (
+        F.when(k % 7 == 0, F.lit("120"))
+        .when(k % 7 == 1, F.lit(" 7 "))
+        .when(k % 7 == 2, F.lit("99999"))
+        .when(k % 7 == 3, _ra_date_header(F.lit(900).cast("long")))
+        .when(k % 7 == 4, _ra_date_header(off4))
+        .when(k % 7 == 5, F.lit(""))
+        .otherwise(F.lit("soon"))
+    )
+    status = (
+        F.when(k % 4 == 0, F.lit(200)).when(k % 4 == 1, F.lit(429))
+        .when(k % 4 == 2, F.lit(503)).otherwise(F.lit(500))
+    )
+    resp = orders.select(
+        "o_orderkey", status.alias("status"),
+        (k % 3).cast("long").alias("retry_count"),
+        (k % 5).cast("long").alias("wave"),
+        header.alias("header"),
+    )
+    ra = _retry_after_cols(F.col("header"), F.lit(_RA_RESP_EPOCH).cast("long"))
+    parsed = resp.select(
+        "*", ra["mode"].alias("mode"), ra["wait_s"].alias("wait_s")
+    )
+    action = (
+        F.when(F.col("status") == 200, F.lit("ok"))
+        .when(F.col("retry_count") + 1 <= C.RETRY_TIMES, F.lit("retry"))
+        .otherwise(F.lit("give_up"))
+    )
+    honored = F.when(F.col("status").isin(429, 503), F.col("wait_s"))
+    acted = parsed.select("*", action.alias("action"), honored.alias("honored_s"))
+    eligible = F.when(
+        F.col("action") == "retry",
+        F.col("wave") + 1
+        + F.floor(F.coalesce(F.col("honored_s"), F.lit(0)) / 30).cast("long"),
+    )
+    return acted.select(
+        "o_orderkey", "status", "header", "mode",
+        F.col("wait_s").cast("long").alias("wait_s"), "action",
+        eligible.cast("long").alias("eligible_wave"),
+    )
+
+
+# -- A12 adjunct: AJAX-crawlable URLs -------------------------------------------
+# [U scrapy/downloadermiddlewares/ajaxcrawl.py; Google AJAX crawling
+# scheme]: '#!' fragments (and fragment-free pages declaring
+# <meta name="fragment" content="!">) fetch through the
+# '_escaped_fragment_' snapshot URL; the percent-encoding subset is pinned
+# in rcspark.middleware._PCT.
+
+_AJ_TWIN = _sql_ajaxcrawl("url", "body")
+
+
+@register(
+    "crawl_ajax_crawlable",
+    oracle=f"""
+    WITH pages AS (
+      SELECT p_partkey,
+             'http://h' || (p_partkey % 10) || '.example/p/' || p_partkey
+               || CASE p_partkey % 5
+                    WHEN 1 THEN '#!s=1&f=a+b'
+                    WHEN 2 THEN '?q=2#!x=y'
+                    WHEN 3 THEN '#plain'
+                    ELSE '' END AS url,
+             CASE WHEN p_partkey % 5 = 4
+               THEN '<html><head><meta name="fragment" content="!"></head></html>'
+               ELSE '<html><body>x</body></html>' END AS body
+      FROM part)
+    SELECT p_partkey, url,
+           {_AJ_TWIN["crawlable"]} AS crawlable,
+           {_AJ_TWIN["fetch_url"]} AS fetch_url
+    FROM pages
+    """,
+)
+def crawl_ajax_crawlable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AJAX-crawl rewrite (rcspark.middleware.ajaxcrawl_cols): '#!' URLs
+    and meta-fragment pages map to their '_escaped_fragment_' fetch URL
+    (which then re-enters canonicalize→dedup as a normal discovery); plain
+    '#anchor' fragments are left for canon_col to strip. Pure projection."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    url = F.concat(
+        F.lit("http://h"), (k % 10).cast("string"), F.lit(".example/p/"),
+        k.cast("string"),
+        F.when(k % 5 == 1, F.lit("#!s=1&f=a+b"))
+        .when(k % 5 == 2, F.lit("?q=2#!x=y"))
+        .when(k % 5 == 3, F.lit("#plain"))
+        .otherwise(F.lit("")),
+    )
+    body = F.when(
+        k % 5 == 4,
+        F.lit('<html><head><meta name="fragment" content="!"></head></html>'),
+    ).otherwise(F.lit("<html><body>x</body></html>"))
+    pages = part.select("p_partkey", url.alias("url"), body.alias("body"))
+    aj = _ajaxcrawl_cols(F.col("url"), F.col("body"))
+    return pages.select(
+        "p_partkey", "url",
+        aj["crawlable"].alias("crawlable"),
+        aj["fetch_url"].alias("fetch_url"),
+    )
+
+
+# -- A8/A14 adjunct: request gates ----------------------------------------------
+# [U scrapy/spidermiddlewares/urllength.py URLLENGTH_LIMIT=2083;
+# scrapy/linkextractors/__init__.py IGNORED_EXTENSIONS; LinkExtractor
+# accepts only http(s) schemes]. Media requests (ImagesPipeline arrivals)
+# bypass the extension gate — deny_extensions applies to FOLLOWED links.
+# Precedence: scheme > length > extension.
+
+URLLENGTH_LIMIT = 2083
+_GATE_EXTS = (".pdf", ".exe", ".jpg")  # pinned IGNORED_EXTENSIONS subset
+
+
+@register(
+    "crawl_request_gates",
+    oracle=f"""
+    WITH urls AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 7 = 0 THEN 'media' ELSE 'page' END AS kind,
+             CASE p_partkey % 6
+               WHEN 2 THEN 'mailto:user' || p_partkey || '@example.com'
+               WHEN 3 THEN 'javascript:void(' || p_partkey || ')'
+               WHEN 4 THEN 'ftp://h' || (p_partkey % 10) || '.example/f/' || p_partkey
+               WHEN 5 THEN 'data:text/plain,payload' || p_partkey
+               ELSE (CASE WHEN p_partkey % 6 = 0 THEN 'http' ELSE 'https' END)
+                 || '://h' || (p_partkey % 10) || '.example/f/' || p_partkey
+                 || (CASE p_partkey % 5 WHEN 0 THEN '.html' WHEN 2 THEN '.pdf'
+                       WHEN 3 THEN '.exe' WHEN 4 THEN '.jpg' ELSE '' END)
+                 || (CASE WHEN p_partkey % 11 = 0
+                       THEN '?pad=' || repeat('x', 2100) ELSE '' END)
+             END AS url
+      FROM part),
+    feats AS (
+      SELECT p_partkey, kind, url,
+             split_part(url, ':', 1) AS scheme,
+             CAST(len(url) AS BIGINT) AS url_len,
+             CASE WHEN split_part(url, ':', 1) IN ('http', 'https')
+               THEN regexp_extract(url, '([.][a-z0-9]+)([?][^/]*)?$', 1)
+               ELSE '' END AS ext
+      FROM urls)
+    SELECT p_partkey, scheme, ext, kind, url_len,
+           CASE WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+                WHEN url_len > {URLLENGTH_LIMIT} THEN 'length'
+                WHEN kind = 'page' AND ext IN {_GATE_EXTS} THEN 'extension'
+                ELSE 'none' END AS drop_reason
+    FROM feats
+    """,
+)
+def crawl_request_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-time request gates: non-http(s) schemes, URLLENGTH_LIMIT,
+    and IGNORED_EXTENSIONS for followed links (media arrivals bypass the
+    extension gate). One CASE ladder over scan-side features — the gate
+    runs inside the discovery projection at any scale."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    http_url = F.concat(
+        F.when(k % 6 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://h"), (k % 10).cast("string"), F.lit(".example/f/"),
+        k.cast("string"),
+        F.when(k % 5 == 0, F.lit(".html")).when(k % 5 == 2, F.lit(".pdf"))
+        .when(k % 5 == 3, F.lit(".exe")).when(k % 5 == 4, F.lit(".jpg"))
+        .otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.concat(F.lit("?pad="), F.repeat(F.lit("x"), 2100)))
+        .otherwise(F.lit("")),
+    )
+    url = (
+        F.when(k % 6 == 2, F.concat(F.lit("mailto:user"), k.cast("string"),
+                                    F.lit("@example.com")))
+        .when(k % 6 == 3, F.concat(F.lit("javascript:void("), k.cast("string"),
+                                   F.lit(")")))
+        .when(k % 6 == 4, F.concat(F.lit("ftp://h"), (k % 10).cast("string"),
+                                   F.lit(".example/f/"), k.cast("string")))
+        .when(k % 6 == 5, F.concat(F.lit("data:text/plain,payload"),
+                                   k.cast("string")))
+        .otherwise(http_url)
+    )
+    urls = part.select(
+        "p_partkey",
+        F.when(k % 7 == 0, F.lit("media")).otherwise(F.lit("page")).alias("kind"),
+        url.alias("url"),
+    )
+    scheme = F.substring_index(F.col("url"), ":", 1)
+    ext = F.when(
+        scheme.isin("http", "https"),
+        F.regexp_extract(F.col("url"), "([.][a-z0-9]+)([?][^/]*)?$", 1),
+    ).otherwise(F.lit(""))
+    feats = urls.select(
+        "p_partkey", "kind",
+        scheme.alias("scheme"),
+        F.length("url").cast("long").alias("url_len"),
+        ext.alias("ext"),
+    )
+    reason = (
+        F.when(~F.col("scheme").isin("http", "https"), F.lit("scheme"))
+        .when(F.col("url_len") > URLLENGTH_LIMIT, F.lit("length"))
+        .when((F.col("kind") == "page") & F.col("ext").isin(*_GATE_EXTS),
+              F.lit("extension"))
+        .otherwise(F.lit("none"))
+    )
+    return feats.select(
+        "p_partkey", "scheme", "ext", "kind", "url_len",
+        reason.alias("drop_reason"),
+    )
+
+
+# -- A1/A14 adjunct: RSS/Atom feed discovery ------------------------------------
+# Feed documents are the highest-yield discovery source a crawler polls;
+# per-host feeds are assembled deterministically (sorted string_agg — the
+# crawl_anchor_extract pattern), the parse side detects the dialect from
+# the root element and extracts (link, title) per entry with the
+# dialect-appropriate regex pair.
+
+_RSS_LINK = "<link>([^<]*)</link>"
+_ATOM_LINK = '<link href="([^"]*)"'
+_FEED_TITLE = "<title>([^<]*)</title>"
+
+
+@register(
+    "crawl_feed_extract",
+    oracle=f"""
+    WITH entries AS (
+      SELECT o_custkey % 16 AS hn,
+             CASE WHEN (o_custkey % 16) % 2 = 0
+               THEN '<item><title>Order ' || o_orderkey || '</title><link>http://h'
+                 || (o_custkey % 16) || '.example/o/' || o_orderkey
+                 || '</link></item>'
+               ELSE '<entry><title>Order ' || o_orderkey
+                 || '</title><link href="http://h' || (o_custkey % 16)
+                 || '.example/o/' || o_orderkey || '"/></entry>'
+             END AS e
+      FROM orders),
+    feeds AS (
+      SELECT 'h' || hn AS host,
+             CASE WHEN hn % 2 = 0
+               THEN '<rss version="2.0"><channel>'
+                 || string_agg(e, '' ORDER BY e) || '</channel></rss>'
+               ELSE '<feed xmlns="http://www.w3.org/2005/Atom">'
+                 || string_agg(e, '' ORDER BY e) || '</feed>'
+             END AS body
+      FROM entries GROUP BY hn),
+    parsed AS (
+      SELECT host,
+             CASE WHEN starts_with(body, '<rss') THEN 'rss' ELSE 'atom' END
+               AS feed_type,
+             CASE WHEN starts_with(body, '<rss')
+               THEN regexp_extract_all(body, '{_RSS_LINK}', 1)
+               ELSE regexp_extract_all(body, '{_ATOM_LINK}', 1) END AS links,
+             regexp_extract_all(body, '{_FEED_TITLE}', 1) AS titles
+      FROM feeds),
+    sel AS (
+      SELECT host, feed_type,
+             unnest(list_transform(range(1, len(links) + 1), i ->
+               {{'seq': CAST(i AS BIGINT), 'link': links[i],
+                 'title': titles[i]}})) AS u
+      FROM parsed)
+    SELECT host, feed_type, struct_extract(u, 'seq') AS seq,
+           struct_extract(u, 'link') AS link,
+           struct_extract(u, 'title') AS title
+    FROM sel
+    """,
+)
+def crawl_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 / Atom feed entry extraction: detect the dialect from the
+    root element, pull (link, title) per entry, keep document order. The
+    per-host groupBy exists only to ASSEMBLE fixture feeds; at web scale
+    feeds arrive pre-assembled from fetch and the parse is a zero-shuffle
+    projection + posexplode."""
+    orders = load(spark, sf_dir, "orders")
+    hn = F.col("o_custkey") % 16
+    okey = F.col("o_orderkey").cast("string")
+    hs = hn.cast("string")
+    rss_e = F.concat(
+        F.lit("<item><title>Order "), okey, F.lit("</title><link>http://h"),
+        hs, F.lit(".example/o/"), okey, F.lit("</link></item>"),
+    )
+    atom_e = F.concat(
+        F.lit("<entry><title>Order "), okey,
+        F.lit('</title><link href="http://h'), hs, F.lit(".example/o/"),
+        okey, F.lit('"/></entry>'),
+    )
+    entries = orders.select(
+        hn.alias("hn"), F.when(hn % 2 == 0, rss_e).otherwise(atom_e).alias("e")
+    )
+    joined = F.array_join(F.array_sort(F.collect_list("e")), "")
+    feeds = entries.groupBy("hn").agg(
+        F.when(
+            F.col("hn") % 2 == 0,
+            F.concat(F.lit('<rss version="2.0"><channel>'), joined,
+                     F.lit("</channel></rss>")),
+        ).otherwise(
+            F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                     joined, F.lit("</feed>"))
+        ).alias("body")
+    ).select(F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"), "body")
+    is_rss = F.col("body").startswith("<rss")
+    parsed = feeds.select(
+        "host",
+        F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom")).alias("feed_type"),
+        F.when(is_rss, F.regexp_extract_all(F.col("body"), F.lit(_RSS_LINK), 1))
+        .otherwise(F.regexp_extract_all(F.col("body"), F.lit(_ATOM_LINK), 1))
+        .alias("links"),
+        F.regexp_extract_all(F.col("body"), F.lit(_FEED_TITLE), 1).alias("titles"),
+    )
+    ex = parsed.select(
+        "host", "feed_type",
+        F.posexplode(F.arrays_zip("links", "titles")).alias("pos", "u"),
+    )
+    return ex.select(
+        "host", "feed_type",
+        (F.col("pos") + 1).cast("long").alias("seq"),
+        F.col("u.links").alias("link"),
+        F.col("u.titles").alias("title"),
+    )
+
+
+# -- A7/A16 adjunct: robots META / X-Robots-Tag ---------------------------------
+# Page-level noindex/nofollow directives from the meta tag and the
+# X-Robots-Tag response header, UNION semantics, 'none' == both
+# ([U Google robots-meta spec]). Distinct from crawl_nofollow_gate (that
+# one gates individual rel=nofollow anchors); this decides corpus
+# admission and whole-page link following.
+
+_RM_TWIN = _sql_robots_meta("header_tag", "body")
+
+
+@register(
+    "crawl_robots_meta",
+    oracle=f"""
+    WITH pages AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'noindex'
+                                 WHEN 2 THEN 'nofollow, noarchive'
+                                 ELSE 'none' END AS header_tag,
+             CASE o_orderkey % 3
+               WHEN 0 THEN '<html><body>x</body></html>'
+               WHEN 1 THEN '<html><head><meta name="robots" content="NOINDEX"></head></html>'
+               ELSE '<html><head><meta name="robots" content="noindex, nofollow"></head></html>'
+             END AS body
+      FROM orders),
+    d AS (
+      SELECT o_orderkey, header_tag,
+             {_RM_TWIN["noindex"]} AS noindex,
+             {_RM_TWIN["nofollow"]} AS nofollow
+      FROM pages)
+    SELECT o_orderkey, header_tag, noindex, nofollow,
+           CASE WHEN noindex THEN 'skip' ELSE 'keep' END AS corpus_action,
+           CASE WHEN nofollow THEN 'drop_links' ELSE 'follow' END AS link_action
+    FROM d
+    """,
+)
+def crawl_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots META / X-Robots-Tag gate (rcspark.middleware
+    .robots_meta_cols): union of tag and header directives decides corpus
+    admission (noindex) and page-level link following (nofollow). Pure
+    projection; rides the post-fetch stage free at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    header_tag = (
+        F.when(k % 4 == 0, F.lit("")).when(k % 4 == 1, F.lit("noindex"))
+        .when(k % 4 == 2, F.lit("nofollow, noarchive")).otherwise(F.lit("none"))
+    )
+    body = (
+        F.when(k % 3 == 0, F.lit("<html><body>x</body></html>"))
+        .when(k % 3 == 1, F.lit(
+            '<html><head><meta name="robots" content="NOINDEX"></head></html>'))
+        .otherwise(F.lit(
+            '<html><head><meta name="robots" content="noindex, nofollow"></head></html>'))
+    )
+    pages = orders.select(
+        "o_orderkey", header_tag.alias("header_tag"), body.alias("body")
+    )
+    rm = _robots_meta_cols(F.col("header_tag"), F.col("body"))
+    d = pages.select(
+        "o_orderkey", "header_tag",
+        rm["noindex"].alias("noindex"), rm["nofollow"].alias("nofollow"),
+    )
+    return d.select(
+        "o_orderkey", "header_tag", "noindex", "nofollow",
+        F.when(F.col("noindex"), F.lit("skip")).otherwise(F.lit("keep"))
+        .alias("corpus_action"),
+        F.when(F.col("nofollow"), F.lit("drop_links")).otherwise(F.lit("follow"))
+        .alias("link_action"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -11434,6 +11927,13 @@ def crawl_cookie_jar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-23 session (retry-after, ajax-crawl, gates,
+    # feeds, robots-meta)
+    "crawl_retry_after",
+    "crawl_ajax_crawlable",
+    "crawl_request_gates",
+    "crawl_feed_extract",
+    "crawl_robots_meta",
     # new in the round-4 batch-22 session (middleware semantics + BMP legs)
     "img_bmp_roundtrip",
     "img_transcode_bmp_jpeg",

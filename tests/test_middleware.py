@@ -348,3 +348,156 @@ def test_fasttext_quality_empty_doc_parity(spark, tmp_path):
         assert ora[d][1] == got[d]["n_feats"]
         assert ora[d][2] == got[d]["score"]
         assert bool(ora[d][3]) == got[d]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# Batch 23: Retry-After, AJAX-crawl, robots META, request gates, feeds
+# ---------------------------------------------------------------------------
+
+
+def test_retry_after_forms(spark):
+    """RFC 9110 grammars: delta (trimmed), clamped delta, future date,
+    past date floors at 0, junk/missing parse to NULL with mode='none'."""
+    from rcspark.middleware import retry_after_cols
+
+    base = 1445412480  # Wed, 21 Oct 2015 07:28:00 GMT
+    rows = [
+        ("d", "120"),
+        ("d_trim", "  7 "),
+        ("d_clamp", "99999"),
+        ("date_future", "Wed, 21 Oct 2015 07:43:00 GMT"),   # +900
+        ("date_past", "Wed, 21 Oct 2015 07:13:00 GMT"),     # -900 -> 0
+        ("date_nextday", "Thu, 22 Oct 2015 05:41:20 GMT"),  # +80000 -> clamp
+        ("date_badmonth", "Wed, 21 Foo 2015 07:43:00 GMT"),
+        ("missing", ""),
+        ("junk", "soon"),
+    ]
+    df = spark.createDataFrame(rows, "kind string, header string")
+    cols = retry_after_cols(F.col("header"), F.lit(base).cast("long"))
+    got = {
+        r["kind"]: (r["wait_s"], r["mode"])
+        for r in df.select(
+            "kind", cols["wait_s"].alias("wait_s"), cols["mode"].alias("mode")
+        ).collect()
+    }
+    assert got["d"] == (120, "delta")
+    assert got["d_trim"] == (7, "delta")
+    assert got["d_clamp"] == (3600, "delta")
+    assert got["date_future"] == (900, "date")
+    assert got["date_past"] == (0, "date")
+    assert got["date_nextday"] == (3600, "date")
+    assert got["date_badmonth"] == (None, "none")
+    assert got["missing"] == (None, "none")
+    assert got["junk"] == (None, "none")
+
+
+def test_ajaxcrawl_rewrite(spark):
+    """'#!' fragments rewrite to _escaped_fragment_ (pct-encoded, & when a
+    query exists); meta-fragment pages get the empty-value form; plain
+    '#anchor' is left alone."""
+    from rcspark.middleware import ajaxcrawl_cols
+
+    plain = "<html><body>x</body></html>"
+    meta = '<html><head><meta name="fragment" content="!"></head></html>'
+    rows = [
+        ("hb", "http://h.example/p#!s=1&f=a+b", plain),
+        ("hb_query", "http://h.example/p?q=2#!x=y", plain),
+        ("anchor", "http://h.example/p#plain", plain),
+        ("meta", "http://h.example/p", meta),
+        ("none", "http://h.example/p", plain),
+    ]
+    df = spark.createDataFrame(rows, "kind string, url string, body string")
+    cols = ajaxcrawl_cols(F.col("url"), F.col("body"))
+    got = {
+        r["kind"]: (r["crawlable"], r["fetch_url"])
+        for r in df.select(
+            "kind",
+            cols["crawlable"].alias("crawlable"),
+            cols["fetch_url"].alias("fetch_url"),
+        ).collect()
+    }
+    assert got["hb"] == (
+        True, "http://h.example/p?_escaped_fragment_=s%3D1%26f%3Da%2Bb"
+    )
+    assert got["hb_query"] == (
+        True, "http://h.example/p?q=2&_escaped_fragment_=x%3Dy"
+    )
+    assert got["anchor"] == (False, "http://h.example/p#plain")
+    assert got["meta"] == (True, "http://h.example/p?_escaped_fragment_=")
+    assert got["none"] == (False, "http://h.example/p")
+
+
+def test_robots_meta_union(spark):
+    """Directives union across meta tag and X-Robots-Tag header; 'none'
+    implies both; matching is case- and whitespace-insensitive."""
+    from rcspark.middleware import robots_meta_cols
+
+    tag = lambda c: f'<html><head><meta name="robots" content="{c}"></head></html>'  # noqa: E731
+    rows = [
+        ("clean", "", "<html/>"),
+        ("hdr_only", "noindex", "<html/>"),
+        ("meta_only", "", tag("NOFOLLOW")),
+        ("both_union", "noindex", tag("nofollow")),
+        ("none_kw", "", tag("none")),
+        ("spaced", " noindex , nofollow ", "<html/>"),
+        ("noarchive_only", "noarchive", "<html/>"),
+    ]
+    df = spark.createDataFrame(rows, "kind string, header_tag string, body string")
+    cols = robots_meta_cols(F.col("header_tag"), F.col("body"))
+    got = {
+        r["kind"]: (r["noindex"], r["nofollow"])
+        for r in df.select(
+            "kind",
+            cols["noindex"].alias("noindex"),
+            cols["nofollow"].alias("nofollow"),
+        ).collect()
+    }
+    assert got["clean"] == (False, False)
+    assert got["hdr_only"] == (True, False)
+    assert got["meta_only"] == (False, True)
+    assert got["both_union"] == (True, True)
+    assert got["none_kw"] == (True, True)
+    assert got["spaced"] == (True, True)
+    assert got["noarchive_only"] == (False, False)
+
+
+def test_request_gates_precedence(spark):
+    """scheme > length > extension; media arrivals bypass the extension
+    gate (deny_extensions applies to FOLLOWED links only)."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_request_gates"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas().set_index("p_partkey")
+    # k%6==2 -> mailto (scheme gate wins even at k%11==0 lengths)
+    mailto = out[out.scheme == "mailto"]
+    assert (mailto.drop_reason == "scheme").all()
+    # long http URLs -> length
+    longs = out[(out.url_len > 2083) & out.scheme.isin(["http", "https"])]
+    assert len(longs) and (longs.drop_reason == "length").all()
+    # page + .pdf/.exe/.jpg -> extension; media with same ext -> none
+    page_ext = out[(out.kind == "page") & out.ext.isin([".pdf", ".exe", ".jpg"])
+                   & (out.url_len <= 2083)]
+    assert len(page_ext) and (page_ext.drop_reason == "extension").all()
+    media_ext = out[(out.kind == "media") & out.ext.isin([".pdf", ".exe", ".jpg"])
+                    & (out.url_len <= 2083)]
+    assert len(media_ext) and (media_ext.drop_reason == "none").all()
+
+
+def test_feed_extract_dialects(spark):
+    """RSS <link> text vs Atom <link href=>; per-entry titles line up."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_feed_extract"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert set(out.feed_type) == {"rss", "atom"}
+    assert (out.link.str.startswith("http://h")).all()
+    assert (out.title.str.startswith("Order ")).all()
+    # link and title carry the SAME order key per row
+    keys_from_link = out.link.str.extract(r"/o/(\d+)$")[0]
+    keys_from_title = out.title.str.extract(r"Order (\d+)$")[0]
+    assert (keys_from_link == keys_from_title).all()
+    # hosts h0..h15, even hosts rss / odd atom
+    hn = out.host.str.lstrip("h").astype(int)
+    assert ((hn % 2 == 0) == (out.feed_type == "rss")).all()
