@@ -244,6 +244,13 @@ BENCH_QUERIES = [
     "warehouse_schema_evolution",
     "warehouse_hidden_partitioning",
     "crawl_cookie_jar",
+    # round-4 batch 23: middleware-plane gates + exact-integer SSIM
+    "crawl_retry_after",
+    "crawl_ajax_crawlable",
+    "crawl_request_gates",
+    "crawl_feed_extract",
+    "crawl_robots_meta",
+    "img_ssim",
 ]
 
 

@@ -230,6 +230,95 @@ def jpeg_roundtrip(ids: DataFrame, quality: int = 90) -> DataFrame:
     return ids.select("image_id").mapInPandas(run, JPEG_RT_SCHEMA)
 
 
+SSIM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("quality", T.IntegerType(), False),
+        T.StructField("n_blocks", T.LongType(), False),
+        T.StructField("ssim_ppm", T.LongType(), False),
+        T.StructField("ssim_ok", T.BooleanType(), False),
+    ]
+)
+
+SSIM_MIN_PPM = 990_000  # curation floor (fixture spread 969k-999k)
+
+# Exact-integer SSIM contract (the twin re-derives it scalar-wise; any
+# independent implementation following these rules is bit-equal):
+#   luma   y = (77 R + 150 G + 29 B) >> 8               (BT.601 integer)
+#   blocks non-overlapping 8x8 over the luma plane (fixture dims are
+#          multiples of 8; a general image crops the ragged edge)
+#   per block, n = 64, with integer sums Sx Sy Sxx Syy Sxy and the SSIM
+#   constants C1 = (0.01*255)^2, C2 = (0.03*255)^2 cleared to integers by
+#   S = 10^4 (C1*S = 65025, C2*S = 585225):
+#     N1 = S*2*Sx*Sy + 65025*n^2       D1 = S*(Sx^2 + Sy^2) + 65025*n^2
+#     N2 = S*2*(n*Sxy - Sx*Sy) + 585225*n^2
+#     D2 = S*((n*Sxx - Sx^2) + (n*Syy - Sy^2)) + 585225*n^2
+#     block_ppm = (10^6 * N1 * N2) // (D1 * D2)   (Python big-int floor —
+#                  covariance can be negative, floor is toward -inf)
+#   ssim_ppm = sum(block_ppm) // n_blocks
+# The products reach ~10^25, so the per-block finish runs on PYTHON ints
+# over the numpy-reduced block sums (5 ints per block — not a per-pixel
+# loop; the per-image block count is bounded by the thumbnail-scale gate
+# input, and at corpus scale this is Arrow-batched inside mapInPandas).
+
+
+def _ssim_ppm_exact(orig: np.ndarray, dec: np.ndarray) -> tuple[int, int]:
+    def luma(p: np.ndarray) -> np.ndarray:
+        q = p.astype(np.int64)
+        return (77 * q[..., 0] + 150 * q[..., 1] + 29 * q[..., 2]) >> 8
+
+    x, y = luma(orig), luma(dec)
+    h, w = x.shape
+    bh, bw = h // 8, w // 8
+
+    def bsum(a: np.ndarray) -> np.ndarray:
+        return a[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8).sum(axis=(1, 3))
+
+    sums = map(bsum, (x, y, x * x, y * y, x * y))
+    n, c1, c2, s = 64, 65025, 585225, 10_000
+    total = 0
+    for sx, sy, sxx, syy, sxy in zip(*(a.flat for a in sums)):
+        sx, sy, sxx, syy, sxy = (int(v) for v in (sx, sy, sxx, syy, sxy))
+        n1 = s * 2 * sx * sy + c1 * n * n
+        d1 = s * (sx * sx + sy * sy) + c1 * n * n
+        n2 = s * 2 * (n * sxy - sx * sy) + c2 * n * n
+        d2 = s * ((n * sxx - sx * sx) + (n * syy - sy * sy)) + c2 * n * n
+        total += (1_000_000 * n1 * n2) // (d1 * d2)
+    return total // (bh * bw), bh * bw
+
+
+def ssim_gate(ids: DataFrame, min_ppm: int = SSIM_MIN_PPM) -> DataFrame:
+    """A16 perceptual-fidelity curation gate: SSIM (Wang et al. 2004)
+    between the original pixels and their store-as-JPEG roundtrip, under
+    the exact-integer contract above — PSNR (img_jpeg_roundtrip) measures
+    pointwise error, SSIM adds the luminance/contrast/structure terms
+    curation pipelines actually gate on. Per-id quality
+    30 + (xxh64 >> 24) % 61 spans the fixture spread so both verdict
+    classes occur at min_ppm."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import decode_jpeg, encode_jpeg
+    from ..xxh import xxh64
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                q = 30 + ((xxh64(iid.encode()) >> 24) % 61)
+                pix = make_smooth_image(iid)
+                dec = decode_jpeg(encode_jpeg(pix, quality=q))
+                ppm, nb = _ssim_ppm_exact(pix, dec)
+                out.append(
+                    (iid, pix.shape[1], pix.shape[0], q, nb, ppm, ppm >= min_ppm)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in SSIM_SCHEMA.fields])
+
+    return ids.select("image_id").mapInPandas(run, SSIM_SCHEMA)
+
+
 JPEG_QUALITY_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -2087,6 +2087,33 @@ def img_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip(ids)
 
 
+# A16 perceptual-fidelity gate (batch 23): SSIM between original pixels
+# and the store-as-JPEG roundtrip under the exact-integer contract in
+# rcspark.datapipe.multimodal (big-int rational per 8x8 block, ppm floor)
+# — the structural complement to img_jpeg_roundtrip's pointwise PSNR gate.
+# Per-id quality 30..90 spans both verdict classes at SSIM_MIN_PPM. Twin:
+# scripts/gen_media_expected.expected_img_ssim re-derives luma/blocks/
+# rationals SCALAR-wise over the independent jpeg_twin decode.
+
+@register(
+    "img_ssim",
+    oracle=f"""
+    SELECT e.image_id, e.w, e.h, e.quality, e.n_blocks, e.ssim_ppm, e.ssim_ok
+    FROM '{_MEDIA_EXPECTED}/img_ssim.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import ssim_gate
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return ssim_gate(ids)
+
+
 # A17 dupe-media filter beyond exact bytes: perceptual-hash near-dup pairs
 # over originals ∪ their lossy re-encodes (genuine planted near-dups:
 # quantization shifts the phash by 0-4 bits) — banded Hamming LSH with
@@ -11928,7 +11955,8 @@ def crawl_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # new in the round-4 batch-23 session (retry-after, ajax-crawl, gates,
-    # feeds, robots-meta)
+    # feeds, robots-meta, exact-integer SSIM)
+    "img_ssim",
     "crawl_retry_after",
     "crawl_ajax_crawlable",
     "crawl_request_gates",

@@ -548,6 +548,61 @@ def expected_img_jpeg(quality: int = 90) -> pd.DataFrame:
     ).astype({"w": "int32", "h": "int32", "n_jpeg_bytes": "int64", "sse": "int64"})
 
 
+def expected_img_ssim(min_ppm: int = 990_000) -> pd.DataFrame:
+    """img_ssim twin: the smooth image is encoded with the engine's
+    encoder at the id-derived quality (bytes are DATA), decoded with the
+    INDEPENDENT scalar decoder (scripts/jpeg_twin.py), and the
+    exact-integer SSIM contract (multimodal.SSIM_SCHEMA comment block) is
+    re-derived with SCALAR per-pixel luma and per-block sums — no numpy
+    reductions — so a defect in either side's reduction breaks the hash."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        q = 30 + ((xxh64(iid.encode()) >> 24) % 61)
+        pix = make_smooth_image(iid)
+        dec = twin_decode_jpeg(encode_jpeg(pix, quality=q))
+        h, w = len(dec), len(dec[0])
+        lx = [[(77 * int(pix[y, x, 0]) + 150 * int(pix[y, x, 1])
+                + 29 * int(pix[y, x, 2])) // 256 for x in range(w)]
+              for y in range(h)]
+        ly = [[(77 * dec[y][x][0] + 150 * dec[y][x][1]
+                + 29 * dec[y][x][2]) // 256 for x in range(w)]
+              for y in range(h)]
+        n, c1, c2, s = 64, 65025, 585225, 10_000
+        total = 0
+        nb = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                sx = sy = sxx = syy = sxy = 0
+                for dy in range(8):
+                    for dx in range(8):
+                        a = lx[by * 8 + dy][bx * 8 + dx]
+                        b = ly[by * 8 + dy][bx * 8 + dx]
+                        sx += a; sy += b
+                        sxx += a * a; syy += b * b; sxy += a * b
+                n1 = s * 2 * sx * sy + c1 * n * n
+                d1 = s * (sx * sx + sy * sy) + c1 * n * n
+                n2 = s * 2 * (n * sxy - sx * sy) + c2 * n * n
+                d2 = s * ((n * sxx - sx * sx) + (n * syy - sy * sy)) + c2 * n * n
+                total += (1_000_000 * n1 * n2) // (d1 * d2)
+                nb += 1
+        ppm = total // nb
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int32(q), np.int64(nb),
+             np.int64(ppm), bool(ppm >= min_ppm))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w", "h", "quality", "n_blocks", "ssim_ppm",
+                 "ssim_ok"],
+    ).astype({"w": "int32", "h": "int32", "quality": "int32",
+              "n_blocks": "int64", "ssim_ppm": "int64"})
+
+
 def expected_img_webp() -> pd.DataFrame:
     """img_webp_roundtrip twin: the smooth image (shared generator) is
     encoded with the engine's deterministic VP8L encoder — the bytes are
@@ -1212,6 +1267,7 @@ def main() -> None:
         ("img_bmp", expected_img_bmp),
         ("img_transcode_bmp", expected_img_transcode_bmp),
         ("img_tile_phash", expected_img_tile_phash),
+        ("img_ssim", expected_img_ssim),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

@@ -862,3 +862,70 @@ def test_bmp_engine_twin_agree_on_fixture_crops():
         assert np.array_equal(decode_bmp(data), pix)
         assert np.array_equal(np.array(twin_decode_bmp(data), dtype=np.uint8), pix)
     assert crops_seen == {0, 1, 2, 3}  # every 4-byte stride residue occurs
+
+
+def test_ssim_exact_contract_properties():
+    """Exact-integer SSIM: identity is exactly 1e6 ppm, a constant
+    brightness shift lowers it through the luminance term only, and noise
+    lowers it further; engine block-reduction equals the scalar twin."""
+    import numpy as np
+
+    from rcspark.datapipe.multimodal import _ssim_ppm_exact
+    from rcspark.fixtures import make_smooth_image
+
+    pix = make_smooth_image("img0")
+    assert _ssim_ppm_exact(pix, pix) == (1_000_000, 64)
+
+    shifted = np.clip(pix.astype(np.int64) + 12, 0, 255).astype(np.uint8)
+    s_shift, _ = _ssim_ppm_exact(pix, shifted)
+    assert s_shift < 1_000_000
+
+    rng = np.random.default_rng(7)
+    noisy = np.clip(
+        pix.astype(np.int64) + rng.integers(-25, 26, pix.shape), 0, 255
+    ).astype(np.uint8)
+    s_noise, _ = _ssim_ppm_exact(pix, noisy)
+    assert s_noise < s_shift
+
+
+def test_ssim_engine_equals_scalar_twin():
+    """The numpy block reduction and the twin's scalar per-pixel walk land
+    on identical ppm for real JPEG roundtrips (a handful of ids; the full
+    500-id pinning is the expected parquet the driver hashes)."""
+    from rcspark.datapipe.multimodal import _ssim_ppm_exact
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import decode_jpeg, encode_jpeg
+    from rcspark.xxh import xxh64
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    for k in (0, 40, 80, 120):
+        iid = f"img{k}"
+        q = 30 + ((xxh64(iid.encode()) >> 24) % 61)
+        pix = make_smooth_image(iid)
+        data = encode_jpeg(pix, quality=q)
+        ppm_engine, nb = _ssim_ppm_exact(pix, decode_jpeg(data))
+
+        dec = twin_decode_jpeg(data)
+        h, w = len(dec), len(dec[0])
+        ly = [[(77 * dec[y][x][0] + 150 * dec[y][x][1] + 29 * dec[y][x][2])
+               // 256 for x in range(w)] for y in range(h)]
+        lx = [[(77 * int(pix[y, x, 0]) + 150 * int(pix[y, x, 1])
+                + 29 * int(pix[y, x, 2])) // 256 for x in range(w)]
+              for y in range(h)]
+        n, c1, c2, s = 64, 65025, 585225, 10_000
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                sx = sy = sxx = syy = sxy = 0
+                for dy in range(8):
+                    for dx in range(8):
+                        a = lx[by * 8 + dy][bx * 8 + dx]
+                        b = ly[by * 8 + dy][bx * 8 + dx]
+                        sx += a; sy += b
+                        sxx += a * a; syy += b * b; sxy += a * b
+                n1 = s * 2 * sx * sy + c1 * n * n
+                d1 = s * (sx * sx + sy * sy) + c1 * n * n
+                n2 = s * 2 * (n * sxy - sx * sy) + c2 * n * n
+                d2 = s * ((n * sxx - sx * sx) + (n * syy - sy * sy)) + c2 * n * n
+                total += (1_000_000 * n1 * n2) // (d1 * d2)
+        assert ppm_engine == total // nb
