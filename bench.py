@@ -251,6 +251,12 @@ BENCH_QUERIES = [
     "crawl_feed_extract",
     "crawl_robots_meta",
     "img_ssim",
+    # round-4 batch 24: image+caption acquisition plane
+    "crawl_opengraph_extract",
+    "crawl_srcset_select",
+    "crawl_hsts_upgrade",
+    "crawl_soft404_detect",
+    "crawl_hreflang_groups",
 ]
 
 

@@ -10557,6 +10557,8 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .middleware import (  # noqa: E402
     REFERRER_POLICIES as _REF_POLICIES,
     ajaxcrawl_cols as _ajaxcrawl_cols,
+    resolve_url as _resolve_url,
+    sql_resolve_url as _sql_resolve_url,
     charset_cols as _charset_cols,
     meta_refresh_cols as _mr_cols,
     referer_value as _referer_value,
@@ -11939,6 +11941,673 @@ def crawl_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 24: image+caption acquisition plane (the north-star payload)
+# =============================================================================
+# [U scrapy/pipelines/images.py + OGP spec] a LAION-shaped image+caption
+# corpus is mined from page metadata: og:image/og:title/og:description with
+# twitter:card and <title> fallbacks, and <img srcset> best-resolution
+# variant election. Both are pure codegen regexp projections (og) plus one
+# bounded per-page candidate explode (srcset) — zero wide shuffles at any
+# scale; the srcset window partitions by page key with fanout <= the
+# candidate count per tag.
+
+
+def _b24_nz(e: F.Column) -> F.Column:
+    """'' -> NULL (Spark regexp_extract returns '' on no match, like DuckDB)."""
+    return F.when(e != F.lit(""), e)
+
+
+_OG_IMG = '<meta property="og:image" content="([^"]*)"'
+_TW_IMG = '<meta name="twitter:image" content="([^"]*)"'
+_OG_TITLE = '<meta property="og:title" content="([^"]*)"'
+_OG_DESC = '<meta property="og:description" content="([^"]*)"'
+_TW_TITLE = '<meta name="twitter:title" content="([^"]*)"'
+_TITLE_TAG = "<title>([^<]*)</title>"
+
+_OG_PAGE_SQL = """
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+               || '/index.html' AS page_url,
+             CASE o_orderkey % 6
+               WHEN 0 THEN '<head><meta property="og:image" content="/img/'
+                 || o_orderkey || '.jpg"><meta property="og:title" content="Part '
+                 || (o_orderkey % 500)
+                 || '"><meta property="og:description" content="Spec sheet '
+                 || (o_orderkey % 7) || '"><title>fb ' || o_orderkey
+                 || '</title></head>'
+               WHEN 1 THEN '<head><meta property="og:image" content="http://cdn'
+                 || (o_orderkey % 5) || '.example/i/' || o_orderkey
+                 || '.png"><meta property="og:title" content="Kit '
+                 || (o_orderkey % 300) || '"></head>'
+               WHEN 2 THEN '<head><meta name="twitter:image" content="//cdn.example/t/'
+                 || o_orderkey || '.webp"><meta name="twitter:title" content="Card '
+                 || (o_orderkey % 100) || '"><title>T ' || o_orderkey
+                 || '</title></head>'
+               WHEN 3 THEN '<head><title>Doc ' || o_orderkey || '</title></head>'
+               WHEN 4 THEN '<head><meta property="og:image" content="gallery/'
+                 || o_orderkey || '.jpg"><title>G ' || o_orderkey
+                 || '</title></head>'
+               ELSE '<head></head>'
+             END AS body
+      FROM orders"""
+
+
+@register(
+    "crawl_opengraph_extract",
+    oracle=f"""
+    WITH pages AS ({_OG_PAGE_SQL}),
+    ex AS (
+      SELECT o_orderkey, page_url,
+             nullif(regexp_extract(body, '{_OG_IMG}', 1), '') AS og_img,
+             nullif(regexp_extract(body, '{_TW_IMG}', 1), '') AS tw_img,
+             nullif(regexp_extract(body, '{_OG_TITLE}', 1), '') AS og_title,
+             nullif(regexp_extract(body, '{_OG_DESC}', 1), '') AS og_desc,
+             nullif(regexp_extract(body, '{_TW_TITLE}', 1), '') AS tw_title,
+             nullif(regexp_extract(body, '{_TITLE_TAG}', 1), '') AS tl
+      FROM pages),
+    cap AS (
+      SELECT o_orderkey, page_url,
+             coalesce(og_img, tw_img) AS img_ref,
+             CASE WHEN og_title IS NOT NULL
+                    THEN concat_ws(' - ', og_title, og_desc)
+                  WHEN tw_title IS NOT NULL THEN tw_title
+                  ELSE tl END AS caption,
+             CASE WHEN og_title IS NOT NULL THEN 'og'
+                  WHEN tw_title IS NOT NULL THEN 'twitter'
+                  WHEN tl IS NOT NULL THEN 'title'
+                  ELSE 'none' END AS caption_source
+      FROM ex)
+    SELECT o_orderkey, page_url,
+           CASE WHEN img_ref IS NOT NULL
+                THEN {_sql_resolve_url("page_url", "img_ref")} END AS image_url,
+           caption, caption_source,
+           (img_ref IS NOT NULL AND caption IS NOT NULL) AS has_pair
+    FROM cap
+    """,
+)
+def crawl_opengraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGP / twitter-card image+caption pair mining — the acquisition front
+    of the north-star corpus: og:image resolved against the page URL, the
+    caption elected og:title(+description) > twitter:title > <title>, and a
+    has_pair verdict feeding the ImagesPipeline tier. One regexp projection
+    per page; the six fixture variants cover absolute / root-relative /
+    protocol-relative / dir-relative image refs and every fallback rung."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    page_url = F.concat(
+        F.lit("http://h"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"), ks, F.lit("/index.html"),
+    )
+    body = (
+        F.when(k % 6 == 0, F.concat(
+            F.lit('<head><meta property="og:image" content="/img/'), ks,
+            F.lit('.jpg"><meta property="og:title" content="Part '),
+            (k % 500).cast("string"),
+            F.lit('"><meta property="og:description" content="Spec sheet '),
+            (k % 7).cast("string"),
+            F.lit('"><title>fb '), ks, F.lit("</title></head>")))
+        .when(k % 6 == 1, F.concat(
+            F.lit('<head><meta property="og:image" content="http://cdn'),
+            (k % 5).cast("string"), F.lit(".example/i/"), ks,
+            F.lit('.png"><meta property="og:title" content="Kit '),
+            (k % 300).cast("string"), F.lit('"></head>')))
+        .when(k % 6 == 2, F.concat(
+            F.lit('<head><meta name="twitter:image" content="//cdn.example/t/'),
+            ks, F.lit('.webp"><meta name="twitter:title" content="Card '),
+            (k % 100).cast("string"),
+            F.lit('"><title>T '), ks, F.lit("</title></head>")))
+        .when(k % 6 == 3, F.concat(
+            F.lit("<head><title>Doc "), ks, F.lit("</title></head>")))
+        .when(k % 6 == 4, F.concat(
+            F.lit('<head><meta property="og:image" content="gallery/'), ks,
+            F.lit('.jpg"><title>G '), ks, F.lit("</title></head>")))
+        .otherwise(F.lit("<head></head>"))
+    )
+    pages = orders.select(
+        "o_orderkey", page_url.alias("page_url"), body.alias("body")
+    )
+    b = F.col("body")
+    ex = pages.select(
+        "o_orderkey", "page_url",
+        _b24_nz(F.regexp_extract(b, _OG_IMG, 1)).alias("og_img"),
+        _b24_nz(F.regexp_extract(b, _TW_IMG, 1)).alias("tw_img"),
+        _b24_nz(F.regexp_extract(b, _OG_TITLE, 1)).alias("og_title"),
+        _b24_nz(F.regexp_extract(b, _OG_DESC, 1)).alias("og_desc"),
+        _b24_nz(F.regexp_extract(b, _TW_TITLE, 1)).alias("tw_title"),
+        _b24_nz(F.regexp_extract(b, _TITLE_TAG, 1)).alias("tl"),
+    )
+    cap = ex.select(
+        "o_orderkey", "page_url",
+        F.coalesce(F.col("og_img"), F.col("tw_img")).alias("img_ref"),
+        F.when(F.col("og_title").isNotNull(),
+               F.concat_ws(" - ", F.col("og_title"), F.col("og_desc")))
+        .when(F.col("tw_title").isNotNull(), F.col("tw_title"))
+        .otherwise(F.col("tl")).alias("caption"),
+        F.when(F.col("og_title").isNotNull(), F.lit("og"))
+        .when(F.col("tw_title").isNotNull(), F.lit("twitter"))
+        .when(F.col("tl").isNotNull(), F.lit("title"))
+        .otherwise(F.lit("none")).alias("caption_source"),
+    )
+    return cap.select(
+        "o_orderkey", "page_url",
+        F.when(F.col("img_ref").isNotNull(),
+               _resolve_url(F.col("page_url"), F.col("img_ref")))
+        .alias("image_url"),
+        "caption", "caption_source",
+        (F.col("img_ref").isNotNull() & F.col("caption").isNotNull())
+        .alias("has_pair"),
+    )
+
+
+# [U WHATWG html spec srcset + scrapy IMAGES_MIN_WIDTH] best-resolution
+# variant election, pinned rules: w-descriptors beat x-descriptors; among
+# w, the smallest width >= SRCSET_TARGET_W wins, else the largest; among
+# x, the highest density; src joins the candidate list only when srcset is
+# absent; final tie-break is the candidate URL.
+
+SRCSET_TARGET_W = 800
+
+_SRCSET_PAGE_SQL = """
+      SELECT o_orderkey,
+             'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+               || '/index.html' AS page_url,
+             CASE o_orderkey % 4
+               WHEN 0 THEN '<img src="/img/' || o_orderkey || '.jpg" alt="a'
+                 || o_orderkey || '">'
+               WHEN 1 THEN '<img src="/img/' || o_orderkey
+                 || '.jpg" srcset="/img/a' || o_orderkey || '_480.jpg 480w, /img/a'
+                 || o_orderkey || '_800.jpg 800w, /img/a' || o_orderkey
+                 || '_1200.jpg 1200w">'
+               WHEN 2 THEN '<img src="b' || o_orderkey || '.jpg" srcset="b'
+                 || o_orderkey || '_320.jpg 320w, b' || o_orderkey
+                 || '_640.jpg 640w">'
+               ELSE '<img src="c' || o_orderkey || '.jpg" srcset="c'
+                 || o_orderkey || '.jpg 1x, c' || o_orderkey || '@2x.jpg 2x">'
+             END AS tag
+      FROM orders"""
+
+
+@register(
+    "crawl_srcset_select",
+    oracle=f"""
+    WITH pages AS ({_SRCSET_PAGE_SQL}),
+    px AS (
+      SELECT o_orderkey, page_url,
+             nullif(regexp_extract(tag, 'srcset="([^"]*)"', 1), '') AS srcset,
+             regexp_extract(tag, ' src="([^"]*)"', 1) AS src
+      FROM pages),
+    raw AS (
+      SELECT o_orderkey, page_url,
+             unnest(CASE WHEN srcset IS NOT NULL THEN str_split(srcset, ',')
+                         ELSE [src] END) AS cand0
+      FROM px),
+    c2 AS (SELECT o_orderkey, page_url, trim(cand0) AS cand FROM raw),
+    c3 AS (
+      SELECT o_orderkey, page_url,
+             regexp_extract(cand, '^([^ ]+)', 1) AS curl,
+             CAST(nullif(regexp_extract(cand, ' ([0-9]+)[wx]$', 1), '')
+                  AS BIGINT) AS v,
+             nullif(regexp_extract(cand, ' [0-9]+([wx])$', 1), '') AS unit
+      FROM c2),
+    scored AS (
+      SELECT *,
+             CASE unit WHEN 'w' THEN 0 WHEN 'x' THEN 1 ELSE 2 END AS kind_rank,
+             CASE WHEN unit = 'w' AND v >= {SRCSET_TARGET_W} THEN 0
+                  WHEN unit = 'w' THEN 1 ELSE 0 END AS ge_flag,
+             CASE WHEN unit = 'w' AND v >= {SRCSET_TARGET_W} THEN v
+                  WHEN unit = 'w' THEN 1000000 - v
+                  WHEN unit = 'x' THEN 1000 - v ELSE 0 END AS adj
+      FROM c3),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY kind_rank, ge_flag, adj, curl) AS rn,
+             count(*) OVER (PARTITION BY o_orderkey) AS n_candidates
+      FROM scored)
+    SELECT o_orderkey, page_url,
+           {_sql_resolve_url("page_url", "curl")} AS chosen_url,
+           coalesce(unit, 'src') AS kind,
+           v AS width_or_density,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def crawl_srcset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<img srcset> best-resolution variant election (rules in the section
+    comment): parse candidates, score (kind, >=target, size) and take the
+    per-page winner — the fetch tier then downloads ONE url per image slot
+    instead of every variant. The window partitions by page key with fanout
+    bounded by the tag's candidate count, so no skew at corpus scale."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    page_url = F.concat(
+        F.lit("http://h"), (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"), ks, F.lit("/index.html"),
+    )
+    tag = (
+        F.when(k % 4 == 0, F.concat(
+            F.lit('<img src="/img/'), ks, F.lit('.jpg" alt="a'), ks,
+            F.lit('">')))
+        .when(k % 4 == 1, F.concat(
+            F.lit('<img src="/img/'), ks, F.lit('.jpg" srcset="/img/a'), ks,
+            F.lit("_480.jpg 480w, /img/a"), ks, F.lit("_800.jpg 800w, /img/a"),
+            ks, F.lit('_1200.jpg 1200w">')))
+        .when(k % 4 == 2, F.concat(
+            F.lit('<img src="b'), ks, F.lit('.jpg" srcset="b'), ks,
+            F.lit("_320.jpg 320w, b"), ks, F.lit('_640.jpg 640w">')))
+        .otherwise(F.concat(
+            F.lit('<img src="c'), ks, F.lit('.jpg" srcset="c'), ks,
+            F.lit(".jpg 1x, c"), ks, F.lit('@2x.jpg 2x">')))
+    )
+    pages = orders.select(
+        "o_orderkey", page_url.alias("page_url"), tag.alias("tag")
+    )
+    srcset = _b24_nz(F.regexp_extract(F.col("tag"), 'srcset="([^"]*)"', 1))
+    src = F.regexp_extract(F.col("tag"), ' src="([^"]*)"', 1)
+    cands = F.when(
+        srcset.isNotNull(),
+        # explicit 1-arg lambda: F.transform arity-sniffs the callable, and
+        # F.trim's optional second parameter would receive the element INDEX
+        F.transform(F.split(srcset, ","), lambda x: F.trim(x)),
+    ).otherwise(F.array(src))
+    sel = pages.select(
+        "o_orderkey", "page_url", F.explode(cands).alias("cand")
+    )
+    c3 = sel.select(
+        "o_orderkey", "page_url",
+        F.regexp_extract(F.col("cand"), "^([^ ]+)", 1).alias("curl"),
+        _b24_nz(F.regexp_extract(F.col("cand"), " ([0-9]+)[wx]$", 1))
+        .cast("long").alias("v"),
+        _b24_nz(F.regexp_extract(F.col("cand"), " [0-9]+([wx])$", 1))
+        .alias("unit"),
+    )
+    u, v = F.col("unit"), F.col("v")
+    scored = c3.select(
+        "*",
+        F.when(u == "w", F.lit(0)).when(u == "x", F.lit(1))
+        .otherwise(F.lit(2)).alias("kind_rank"),
+        F.when((u == "w") & (v >= SRCSET_TARGET_W), F.lit(0))
+        .when(u == "w", F.lit(1)).otherwise(F.lit(0)).alias("ge_flag"),
+        F.when((u == "w") & (v >= SRCSET_TARGET_W), v)
+        .when(u == "w", F.lit(1000000) - v)
+        .when(u == "x", F.lit(1000) - v)
+        .otherwise(F.lit(0)).alias("adj"),
+    )
+    w = Window.partitionBy("o_orderkey")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(
+            w.orderBy("kind_rank", "ge_flag", "adj", "curl")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_candidates"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "o_orderkey", "page_url",
+        _resolve_url(F.col("page_url"), F.col("curl")).alias("chosen_url"),
+        F.coalesce(u, F.lit("src")).alias("kind"),
+        v.alias("width_or_density"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+# [U RFC 6797 HSTS] Strict-Transport-Security policies harvested from
+# response headers upgrade later http:// frontier entries to https://:
+# exact-host match always applies; a parent-domain policy applies only with
+# includeSubDomains; max-age=0 withdraws the host's own policy but leaves a
+# parent policy in force. The policy table is tiny (one row per host that
+# ever sent the header) — broadcast join, no wide shuffle at any scale.
+
+_HSTS_POLICY_SQL = """
+      SELECT hn, 'h' || hn || '.example' AS phost,
+             CASE hn % 4
+               WHEN 0 THEN 'max-age=31536000; includeSubDomains'
+               WHEN 1 THEN 'max-age=31536000'
+               ELSE 'max-age=0'
+             END AS header
+      FROM (SELECT DISTINCT s_suppkey % 40 AS hn FROM supplier)
+      WHERE hn % 4 < 3"""
+
+
+@register(
+    "crawl_hsts_upgrade",
+    oracle=f"""
+    WITH pol AS (
+      SELECT phost,
+             CAST(regexp_extract(header, 'max-age=([0-9]+)', 1) AS BIGINT)
+               AS max_age,
+             contains(lower(header), 'includesubdomains') AS inc_sub
+      FROM ({_HSTS_POLICY_SQL})),
+    fr AS (
+      -- sub-ness keyed on k % 3 (coprime with the k % 40 host number, so
+      -- every host occurs in both forms)
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 1
+                  THEN 'sub.h' || (o_orderkey % 40) || '.example'
+                  ELSE 'h' || (o_orderkey % 40) || '.example' END AS host
+      FROM orders),
+    fr2 AS (
+      SELECT o_orderkey, host,
+             'http://' || host || '/p/' || o_orderkey AS url,
+             regexp_replace(host, '^[^.]*\\.', '') AS parent_host
+      FROM fr),
+    j AS (
+      SELECT f.*, p1.max_age AS ex_age,
+             p2.max_age AS par_age, p2.inc_sub AS par_sub
+      FROM fr2 f
+      LEFT JOIN pol p1 ON f.host = p1.phost
+      LEFT JOIN pol p2 ON f.parent_host = p2.phost),
+    v AS (
+      SELECT *,
+             CASE WHEN coalesce(ex_age, 0) > 0 THEN 'exact'
+                  WHEN coalesce(par_age, 0) > 0 AND par_sub THEN 'parent'
+                  ELSE 'none' END AS matched_via
+      FROM j)
+    SELECT o_orderkey, url, host, matched_via,
+           (matched_via <> 'none') AS upgraded,
+           CASE WHEN matched_via <> 'none'
+                THEN regexp_replace(url, '^http:', 'https:')
+                ELSE url END AS upgraded_url
+    FROM v
+    """,
+)
+def crawl_hsts_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HSTS scheme upgrade of the frontier (rules in the section comment).
+    Policies parse out of the raw header text; the frontier left-joins the
+    broadcast policy table on exact host and on the first-label-stripped
+    parent host."""
+    supplier = load(spark, sf_dir, "supplier")
+    hn = F.col("hn")
+    pol_hosts = supplier.select(
+        (F.col("s_suppkey") % 40).alias("hn")
+    ).distinct().filter(hn % 4 < 3)
+    header = (
+        F.when(hn % 4 == 0, F.lit("max-age=31536000; includeSubDomains"))
+        .when(hn % 4 == 1, F.lit("max-age=31536000"))
+        .otherwise(F.lit("max-age=0"))
+    )
+    pol = pol_hosts.select(
+        F.concat(F.lit("h"), hn.cast("string"), F.lit(".example"))
+        .alias("phost"),
+        header.alias("header"),
+    ).select(
+        "phost",
+        F.regexp_extract(F.col("header"), "max-age=([0-9]+)", 1)
+        .cast("long").alias("max_age"),
+        F.lower(F.col("header")).contains("includesubdomains").alias("inc_sub"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.when(
+        k % 3 == 1,
+        F.concat(F.lit("sub.h"), (k % 40).cast("string"), F.lit(".example")),
+    ).otherwise(
+        F.concat(F.lit("h"), (k % 40).cast("string"), F.lit(".example"))
+    )
+    fr = orders.select("o_orderkey", host.alias("host")).select(
+        "o_orderkey", "host",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"),
+                 k.cast("string")).alias("url"),
+        F.regexp_replace(F.col("host"), r"^[^.]*\.", "").alias("parent_host"),
+    )
+    p1 = F.broadcast(pol.select(
+        F.col("phost"), F.col("max_age").alias("ex_age")))
+    p2 = F.broadcast(pol.select(
+        F.col("phost").alias("pphost"), F.col("max_age").alias("par_age"),
+        F.col("inc_sub").alias("par_sub")))
+    j = (
+        fr.join(p1, fr["host"] == p1["phost"], "left").drop("phost")
+        .join(p2, F.col("parent_host") == F.col("pphost"), "left")
+        .drop("pphost")
+    )
+    matched = (
+        F.when(F.coalesce(F.col("ex_age"), F.lit(0)) > 0, F.lit("exact"))
+        .when((F.coalesce(F.col("par_age"), F.lit(0)) > 0) & F.col("par_sub"),
+              F.lit("parent"))
+        .otherwise(F.lit("none"))
+    )
+    v = j.select("o_orderkey", "url", "host", matched.alias("matched_via"))
+    return v.select(
+        "o_orderkey", "url", "host", "matched_via",
+        (F.col("matched_via") != "none").alias("upgraded"),
+        F.when(F.col("matched_via") != "none",
+               F.regexp_replace(F.col("url"), "^http:", "https:"))
+        .otherwise(F.col("url")).alias("upgraded_url"),
+    )
+
+
+# [U scrapy docs HttpErrorMiddleware + soft-404 literature] soft-404
+# detection over 200-status pages: a not-found-ish <title>, or membership
+# in a per-host same-length short-body cluster (an error template served
+# with status 200). Pinned thresholds: cluster size >= SOFT404_MIN_CLUSTER
+# at body length < SOFT404_MAX_TEMPLATE_LEN. One window partitioned by
+# (host, body length) — fine-grained keys, no skew at corpus scale.
+
+SOFT404_MIN_CLUSTER = 5
+SOFT404_MAX_TEMPLATE_LEN = 200
+_SOFT404_TITLE_RE = "(not found|404)"
+
+_SOFT404_PAGE_SQL = """
+      SELECT o_orderkey,
+             'h' || (o_custkey % 20) || '.example' AS host,
+             'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey
+               AS page_url,
+             '<title>' ||
+             CASE o_orderkey % 11
+               WHEN 0 THEN '404 Not Found'
+               WHEN 1 THEN 'Item list'
+               ELSE 'Item ' || o_orderkey
+             END || '</title>' ||
+             repeat('b', CASE o_orderkey % 11
+               WHEN 0 THEN 40 + (o_orderkey % 37)
+               WHEN 1 THEN 100 + (o_custkey % 20)
+               ELSE 200 + ((o_orderkey * 7) % 300)
+             END) AS body
+      FROM orders"""
+
+
+@register(
+    "crawl_soft404_detect",
+    oracle=f"""
+    WITH pages AS ({_SOFT404_PAGE_SQL}),
+    m AS (
+      SELECT o_orderkey, host, page_url,
+             CAST(length(body) AS BIGINT) AS body_len,
+             regexp_matches(lower(regexp_extract(body, '{_TITLE_TAG}', 1)),
+                            '{_SOFT404_TITLE_RE}') AS title_hit
+      FROM pages),
+    c AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY host, body_len) AS cluster_n
+      FROM m)
+    SELECT o_orderkey, host, page_url, body_len, title_hit,
+           (cluster_n >= {SOFT404_MIN_CLUSTER}
+            AND body_len < {SOFT404_MAX_TEMPLATE_LEN}
+            AND NOT title_hit) AS cluster_hit,
+           (title_hit OR (cluster_n >= {SOFT404_MIN_CLUSTER}
+            AND body_len < {SOFT404_MAX_TEMPLATE_LEN}
+            AND NOT title_hit)) AS soft404
+    FROM c
+    """,
+)
+def crawl_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 verdicts (rules in the section comment): drop corpus pages
+    that SAY 200 but ARE error templates — title heuristic plus the
+    per-(host, body-length) template cluster. cluster_hit excludes
+    title-hit rows so the two signals stay readable independently."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    hn = (F.col("o_custkey") % 20).cast("string")
+    title = (
+        F.when(k % 11 == 0, F.lit("404 Not Found"))
+        .when(k % 11 == 1, F.lit("Item list"))
+        .otherwise(F.concat(F.lit("Item "), k.cast("string")))
+    )
+    pad = (
+        F.when(k % 11 == 0, 40 + (k % 37))
+        .when(k % 11 == 1, 100 + (F.col("o_custkey") % 20))
+        .otherwise(200 + ((k * 7) % 300))
+    )
+    body = F.concat(
+        F.lit("<title>"), title, F.lit("</title>"),
+        F.repeat(F.lit("b"), pad.cast("int")),
+    )
+    pages = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("h"), hn, F.lit(".example")).alias("host"),
+        F.concat(F.lit("http://h"), hn, F.lit(".example/o/"),
+                 k.cast("string")).alias("page_url"),
+        body.alias("body"),
+    )
+    m = pages.select(
+        "o_orderkey", "host", "page_url",
+        F.length("body").cast("long").alias("body_len"),
+        F.lower(F.regexp_extract(F.col("body"), _TITLE_TAG, 1))
+        .rlike(_SOFT404_TITLE_RE).alias("title_hit"),
+    )
+    c = m.select(
+        "*",
+        F.count(F.lit(1)).over(Window.partitionBy("host", "body_len"))
+        .alias("cluster_n"),
+    )
+    cluster_hit = (
+        (F.col("cluster_n") >= SOFT404_MIN_CLUSTER)
+        & (F.col("body_len") < SOFT404_MAX_TEMPLATE_LEN)
+        & ~F.col("title_hit")
+    )
+    return c.select(
+        "o_orderkey", "host", "page_url", "body_len", "title_hit",
+        cluster_hit.alias("cluster_hit"),
+        (F.col("title_hit") | cluster_hit).alias("soft404"),
+    )
+
+
+# [U Google hreflang guidance] multilingual variant clusters: every member
+# page lists the full alternate set, so the cluster key is digest60 of the
+# sorted extracted alternate hrefs — no join against a cluster table is
+# needed. Representative election: the page the x-default alternate points
+# at, else (lang, url) minimum. min(struct) winner election, one groupBy on
+# the cluster digest.
+
+_HREFLANG_LANGS = ["en", "de", "fr", "ja", "es", "pt"]
+_HREFLANG_HREF_RE = '<link rel="alternate" hreflang="[^"]*" href="([^"]*)">'
+_HREFLANG_XDEF_RE = 'hreflang="x-default" href="([^"]*)"'
+
+
+def _hreflang_page_sql() -> str:
+    # CAST before the concat: DuckDB's / is float division, and a DOUBLE
+    # would render as '3.0' inside the URL string
+    base = (
+        "'http://h' || (CAST((o_orderkey - o_orderkey % 6) / 6 AS BIGINT)"
+        " % 20) || '.example/'"
+    )
+    tail = "'/p/' || CAST((o_orderkey - o_orderkey % 6) / 6 AS BIGINT)"
+    links = "".join(
+        f" || '<link rel=\"alternate\" hreflang=\"{lang}\" href=\"'"
+        f" || {base} || '{lang}' || {tail} || '\">'"
+        for lang in _HREFLANG_LANGS
+    )
+    xdef = (
+        f" || '<link rel=\"alternate\" hreflang=\"x-default\" href=\"'"
+        f" || {base} || 'en' || {tail} || '\">'"
+    )
+    lang_case = "CASE o_orderkey % 6 " + " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(_HREFLANG_LANGS)
+    ) + " END"
+    return f"""
+      SELECT o_orderkey,
+             {lang_case} AS lang,
+             {base} || {lang_case} || {tail} AS url,
+             ''{links}{xdef} AS body
+      FROM orders"""
+
+
+@register(
+    "crawl_hreflang_groups",
+    oracle=f"""
+    WITH pages AS ({_hreflang_page_sql()}),
+    ex AS (
+      SELECT o_orderkey, lang, url,
+             {sql_digest60("array_to_string(list_sort(regexp_extract_all(body, '" + _HREFLANG_HREF_RE + "', 1)), '|')")}
+               AS cluster_digest,
+             regexp_extract(body, '{_HREFLANG_XDEF_RE}', 1) AS xdef
+      FROM pages),
+    scored AS (
+      SELECT cluster_digest, lang, url,
+             CASE WHEN url = xdef THEN 0 ELSE 1 END AS pref
+      FROM ex),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_digest
+                                   ORDER BY pref, lang, url) AS rn
+      FROM scored)
+    SELECT cluster_digest,
+           count(*) AS n_variants,
+           string_agg(lang, ',' ORDER BY lang) AS langs_csv,
+           max(CASE WHEN rn = 1 THEN lang END) AS rep_lang,
+           max(CASE WHEN rn = 1 THEN url END) AS rep_url
+    FROM ranked GROUP BY cluster_digest
+    """,
+)
+def crawl_hreflang_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-cluster grouping (rules in the section comment):
+    dedup multilingual page variants down to one representative per
+    cluster before corpus admission — the text-dedup tier then never sees
+    five translations of the same page as five documents."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = ((k - k % 6) / 6).cast("long")
+    base = F.concat(
+        F.lit("http://h"), (c % 20).cast("string"), F.lit(".example/")
+    )
+    tail = F.concat(F.lit("/p/"), c.cast("string"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _HREFLANG_LANGS]), (k % 6).cast("int") + 1
+    )
+    link_parts = []
+    for lg in _HREFLANG_LANGS:
+        link_parts += [
+            F.lit(f'<link rel="alternate" hreflang="{lg}" href="'),
+            base, F.lit(lg), tail, F.lit('">'),
+        ]
+    link_parts += [
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        base, F.lit("en"), tail, F.lit('">'),
+    ]
+    pages = orders.select(
+        "o_orderkey",
+        lang.alias("lang"),
+        F.concat(base, lang, tail).alias("url"),
+        F.concat(*link_parts).alias("body"),
+    )
+    hrefs = F.regexp_extract_all(
+        F.col("body"), F.lit(_HREFLANG_HREF_RE), 1
+    )
+    ex = pages.select(
+        "lang", "url",
+        digest60(F.array_join(F.array_sort(hrefs), "|"))
+        .alias("cluster_digest"),
+        F.regexp_extract(F.col("body"), _HREFLANG_XDEF_RE, 1).alias("xdef"),
+    )
+    scored = ex.select(
+        "cluster_digest", "lang", "url",
+        F.when(F.col("url") == F.col("xdef"), F.lit(0))
+        .otherwise(F.lit(1)).alias("pref"),
+    )
+    agg = scored.groupBy("cluster_digest").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.array_join(F.array_sort(F.collect_list("lang")), ",")
+        .alias("langs_csv"),
+        F.min(F.struct("pref", "lang", "url")).alias("rep"),
+    )
+    return agg.select(
+        "cluster_digest", "n_variants", "langs_csv",
+        F.col("rep.lang").alias("rep_lang"),
+        F.col("rep.url").alias("rep_url"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -11954,6 +12623,12 @@ def crawl_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-24 session (image+caption acquisition plane)
+    "crawl_opengraph_extract",
+    "crawl_srcset_select",
+    "crawl_hsts_upgrade",
+    "crawl_soft404_detect",
+    "crawl_hreflang_groups",
     # new in the round-4 batch-23 session (retry-after, ajax-crawl, gates,
     # feeds, robots-meta, exact-integer SSIM)
     "img_ssim",

@@ -501,3 +501,134 @@ def test_feed_extract_dialects(spark):
     # hosts h0..h15, even hosts rss / odd atom
     hn = out.host.str.lstrip("h").astype(int)
     assert ((hn % 2 == 0) == (out.feed_type == "rss")).all()
+
+
+# ---------------------------------------------------------------------------
+# Batch 24: image+caption acquisition plane
+# ---------------------------------------------------------------------------
+
+
+def test_opengraph_precedence_and_resolution(spark):
+    """og > twitter > <title> caption rungs; image refs resolve per RFC 3986
+    (absolute / protocol-relative / root-relative / dir-relative)."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_opengraph_extract"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    m = out.o_orderkey % 6
+    og_full = out[m == 0]
+    assert (og_full.caption_source == "og").all()
+    assert og_full.caption.str.match(r"Part \d+ - Spec sheet \d+").all()
+    assert og_full.image_url.str.match(r"http://h\d+\.example/img/\d+\.jpg").all()
+    assert og_full.has_pair.all()
+    og_abs = out[m == 1]
+    assert og_abs.image_url.str.match(r"http://cdn\d\.example/i/\d+\.png").all()
+    assert (~og_abs.caption.str.contains(" - ")).all()  # no description rung
+    tw = out[m == 2]
+    assert (tw.caption_source == "twitter").all()
+    # protocol-relative ref inherits the page scheme
+    assert tw.image_url.str.startswith("http://cdn.example/t/").all()
+    title_only = out[m == 3]
+    assert (title_only.caption_source == "title").all()
+    assert title_only.image_url.isna().all() and (~title_only.has_pair).all()
+    rel = out[m == 4]
+    # dir-relative resolves into the page's directory
+    assert rel.image_url.str.match(
+        r"http://h\d+\.example/o/\d+/gallery/\d+\.jpg"
+    ).all()
+    none = out[m == 5]
+    assert (none.caption_source == "none").all()
+    assert none.caption.isna().all() and (~none.has_pair).all()
+
+
+def test_srcset_election_rules(spark):
+    """w beats x; smallest width >= target, else largest; highest density;
+    src only when srcset is absent."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_srcset_select"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    m = out.o_orderkey % 4
+    assert (out[m == 0].kind == "src").all()
+    assert (out[m == 0].n_candidates == 1).all()
+    assert (out[m == 1].width_or_density == 800).all()  # smallest >= 800
+    assert (out[m == 2].width_or_density == 640).all()  # largest below
+    x = out[m == 3]
+    assert (x.kind == "x").all() and (x.width_or_density == 2).all()
+    assert x.chosen_url.str.contains("@2x").all()
+    # every chosen_url is absolute after resolution
+    assert out.chosen_url.str.startswith("http://").all()
+
+
+def test_hsts_upgrade_rules(spark):
+    """exact always; parent only with includeSubDomains; max-age=0 and
+    absent policies never upgrade; scheme flips only on upgrade."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_hsts_upgrade"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    hn = out.host.str.extract(r"h(\d+)\.example")[0].astype(int)
+    assert (out.upgraded == (out.matched_via != "none")).all()
+    assert (
+        out.upgraded_url.str.startswith("https://") == out.upgraded
+    ).all()
+    ex = out[out.matched_via == "exact"]
+    assert len(ex) and (~ex.host.str.startswith("sub.")).all()
+    assert (hn[ex.index] % 4 < 2).all()
+    par = out[out.matched_via == "parent"]
+    assert len(par) and par.host.str.startswith("sub.").all()
+    assert (hn[par.index] % 4 == 0).all()
+    # includeSubDomains missing: sub hosts of an hn%4==1 policy stay http
+    ex1 = set(hn[ex.index][hn[ex.index] % 4 == 1])
+    sub1 = out[out.host.str.startswith("sub.") & hn.isin(ex1)]
+    assert len(sub1) and (sub1.matched_via == "none").all()
+    # max-age=0 or no policy at all
+    assert (out[(hn % 4 >= 2)].matched_via == "none").all()
+
+
+def test_soft404_classes(spark):
+    """title heuristic and per-(host, length) template cluster fire on
+    their planted classes and not on normal pages."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_soft404_detect"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    m = out.o_orderkey % 11
+    assert out[m == 0].title_hit.all() and out[m == 0].soft404.all()
+    tpl = out[m == 1]
+    # cluster fires exactly where the per-host template count clears the
+    # threshold (small hosts at sf0.001 legitimately stay under it)
+    host_n = tpl.groupby("host").o_orderkey.transform("size")
+    assert (tpl.cluster_hit == (host_n >= 5)).all()
+    assert tpl.cluster_hit.sum() > len(tpl) * 0.7
+    assert (tpl.soft404 == tpl.cluster_hit).all()
+    assert (~tpl.title_hit).all()
+    normal = out[(m > 1) & ~out.o_orderkey.astype(str).str.contains("404")]
+    assert len(normal) and (~normal.soft404).all()
+    assert (normal.body_len >= 200 + len("<title>Item </title>")).all()
+
+
+def test_hreflang_representative_election(spark):
+    """x-default target (en) wins when present; partial clusters fall back
+    to the (lang, url) minimum; langs_csv is the sorted member set."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_hreflang_groups"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (out.n_variants == out.langs_csv.str.split(",").str.len()).all()
+    with_en = out[out.langs_csv.str.split(",").apply(lambda L: "en" in L)]
+    assert len(with_en) and (with_en.rep_lang == "en").all()
+    without_en = out[~out.langs_csv.str.split(",").apply(lambda L: "en" in L)]
+    if len(without_en):
+        assert (
+            without_en.rep_lang
+            == without_en.langs_csv.str.split(",").str[0]
+        ).all()
+    full = out[out.n_variants == 6]
+    assert len(full) and (full.langs_csv == "de,en,es,fr,ja,pt").all()
+    assert out.rep_url.str.contains("/p/").all()
