@@ -257,6 +257,11 @@ BENCH_QUERIES = [
     "crawl_hsts_upgrade",
     "crawl_soft404_detect",
     "crawl_hreflang_groups",
+    # round-4 batch 25: pair-curation gates + pagination chains
+    "emb_pair_cosine_gate",
+    "img_caption_langid",
+    "crawl_pagination_chain",
+    "img_exif_gps_scrub",
 ]
 
 

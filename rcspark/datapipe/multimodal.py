@@ -1971,3 +1971,61 @@ def tile_phash_audit(ids: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in TILE_PHASH_SCHEMA.fields])
 
     return ids.select("image_id").mapInPandas(run, TILE_PHASH_SCHEMA)
+
+
+EXIF_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("orientation", T.IntegerType(), False),
+        T.StructField("had_gps", T.BooleanType(), False),
+        T.StructField("n_before", T.LongType(), False),
+        T.StructField("n_after", T.LongType(), False),
+        T.StructField("clean_md5", T.StringType(), False),
+    ]
+)
+
+
+def exif_scrub_gate(ids: DataFrame) -> DataFrame:
+    """A15/A16 privacy pass: whitelist-scrub Exif before the corpus stores
+    image bytes (rcspark.jpeg.scrub_exif_metadata — GPS, serials and every
+    other IFD0 tag drop; Orientation survives because auto-orient consumes
+    it). Fixture plants orientation 1..8 and, on ~2/3 of ids, a GPS IFD at
+    id-derived micro-degree coordinates; the twin re-derives the SCRUB with
+    its own marker walk + APP1 writer, so the planted bytes are data and
+    the scrub logic is what the hash pins."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import encode_jpeg, plant_exif, scrub_exif_metadata
+    from ..xxh import xxh64
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                hv = xxh64(iid.encode())
+                o = 1 + ((hv >> 16) % 8)
+                gps = (
+                    None
+                    if (hv >> 8) % 3 == 0
+                    else (
+                        ((hv >> 13) % 180_000_000) - 90_000_000,
+                        ((hv >> 17) % 360_000_000) - 180_000_000,
+                    )
+                )
+                planted = plant_exif(
+                    encode_jpeg(make_smooth_image(iid), quality=80), o, gps
+                )
+                clean, had_gps, o_read = scrub_exif_metadata(planted)
+                assert o_read == o
+                out.append(
+                    (iid, o, had_gps, len(planted), len(clean),
+                     hashlib.md5(clean).hexdigest())
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in EXIF_SCRUB_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, EXIF_SCRUB_SCHEMA)

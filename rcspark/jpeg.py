@@ -727,3 +727,136 @@ def _decode_scan(
         xx = (xs * c["h"]) // hmax
         full.append(plane[np.ix_(yy, xx)])
     return ycbcr_to_rgb_int(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
+# Exif metadata plant / whitelist scrub (privacy curation tier)
+# ---------------------------------------------------------------------------
+# Pinned APP1 byte layout (little-endian TIFF), so an independent scalar
+# twin can re-derive scrubbed bytes bit-for-bit:
+#   Exif\0\0  II*\0 <u32 8>
+#   IFD0 (offset 8): n entries, each 12 bytes, then u32 next=0
+#     with GPS:  n=2  (0x0112 SHORT orientation) (0x8825 LONG -> 38)
+#     without:   n=1  (0x0112 SHORT orientation)           [_exif_app1]
+#   GPS IFD (offset 38): n=4
+#     (0x0001 ASCII2 latref) (0x0002 RATIONAL*3 -> 92)
+#     (0x0003 ASCII2 lonref) (0x0004 RATIONAL*3 -> 116), next=0
+#   data (92..139): lat then lon as (deg,1)(min,1)(sec*1e4,10000)
+# Micro-degree split: deg = v // 1e6; min = (v % 1e6) * 60 // 1e6;
+# sec_num = ((v % 1e6) * 60 % 1e6) * 60 * 10000 // 1e6.
+
+
+def _exif_app1_gps(
+    orientation: int, lat_micro: int, lon_micro: int
+) -> bytes:
+    """APP1 payload with Orientation + a GPS IFD (layout pinned above);
+    negative micro-degrees map to the S/W hemisphere refs."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation {orientation} outside 1..8")
+
+    def dms(v: int) -> tuple[int, int, int]:
+        deg, rem = divmod(abs(v), 10**6)
+        mn, rem2 = divmod(rem * 60, 10**6)
+        return deg, mn, rem2 * 60 * 10000 // 10**6
+
+    tiff = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    tiff += struct.pack("<H", 2)
+    tiff += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+    tiff += struct.pack("<HHII", 0x8825, 4, 1, 38)
+    tiff += struct.pack("<I", 0)
+    assert len(tiff) == 38
+    latref = b"N\x00\x00\x00" if lat_micro >= 0 else b"S\x00\x00\x00"
+    lonref = b"E\x00\x00\x00" if lon_micro >= 0 else b"W\x00\x00\x00"
+    tiff += struct.pack("<H", 4)
+    tiff += struct.pack("<HHI4s", 0x0001, 2, 2, latref)
+    tiff += struct.pack("<HHII", 0x0002, 5, 3, 92)
+    tiff += struct.pack("<HHI4s", 0x0003, 2, 2, lonref)
+    tiff += struct.pack("<HHII", 0x0004, 5, 3, 116)
+    tiff += struct.pack("<I", 0)
+    assert len(tiff) == 92
+    for v in (lat_micro, lon_micro):
+        d, m, s4 = dms(v)
+        tiff += struct.pack("<IIIIII", d, 1, m, 1, s4, 10000)
+    assert len(tiff) == 140
+    return b"Exif\x00\x00" + bytes(tiff)
+
+
+def _find_exif_app1(data: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of the Exif APP1 segment, or None."""
+    if data[:2] != SOI:
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            break
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        marker = data[i + 1]
+        if marker in (0xDA, 0xD9):
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_end = i + 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+            return i, seg_end
+        i = seg_end
+    return None
+
+
+def plant_exif(
+    data: bytes,
+    orientation: int,
+    gps_micro: tuple[int, int] | None = None,
+) -> bytes:
+    """Replace (or insert, right after SOI+APP0 run) the Exif APP1 with the
+    pinned-layout payload; ``gps_micro`` = (lat, lon) in micro-degrees."""
+    payload = (
+        _exif_app1(orientation)
+        if gps_micro is None
+        else _exif_app1_gps(orientation, *gps_micro)
+    )
+    seg = _marker(0xE1, payload)
+    span = _find_exif_app1(data)
+    if span is not None:
+        return data[: span[0]] + seg + data[span[1] :]
+    # insert after any APP0 (JFIF) segments
+    i = 2
+    while i + 4 <= len(data) and data[i] == 0xFF and data[i + 1] == 0xE0:
+        i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return data[:i] + seg + data[i:]
+
+
+def scrub_exif_metadata(data: bytes) -> tuple[bytes, bool, int]:
+    """Whitelist Exif scrub ([U scrapy pipelines/images + PIL exif docs]
+    privacy pass a training corpus runs before storage): drop EVERYTHING in
+    the Exif APP1 except the Orientation tag — GPS, serials, maker notes —
+    by rebuilding the minimal orientation-only APP1 (removing the segment
+    entirely when IFD0 carries no Orientation). Returns
+    (scrubbed_bytes, had_gps, orientation). Idempotent by construction."""
+    span = _find_exif_app1(data)
+    if span is None:
+        return data, False, 1
+    i, seg_end = span
+    t = i + 10
+    bo = {b"II": "little", b"MM": "big"}.get(bytes(data[t : t + 2]))
+    had_gps = False
+    orientation = None
+    if bo is not None:
+        ifd = t + int.from_bytes(data[t + 4 : t + 8], bo)
+        if ifd + 2 <= seg_end:
+            n = int.from_bytes(data[ifd : ifd + 2], bo)
+            for e in range(n):
+                q = ifd + 2 + 12 * e
+                if q + 12 > seg_end:
+                    break
+                tag = int.from_bytes(data[q : q + 2], bo)
+                typ = int.from_bytes(data[q + 2 : q + 4], bo)
+                if tag == 0x0112 and typ == 3:
+                    v = int.from_bytes(data[q + 8 : q + 10], bo)
+                    if 1 <= v <= 8:
+                        orientation = v
+                elif tag == 0x8825:
+                    had_gps = True
+    repl = b"" if orientation is None else _marker(0xE1, _exif_app1(orientation))
+    return data[:i] + repl + data[seg_end:], had_gps, orientation or 1

@@ -1235,6 +1235,89 @@ def expected_img_tile_phash() -> pd.DataFrame:
                "global_hamming"]})
 
 
+
+def expected_img_exif_scrub() -> pd.DataFrame:
+    """img_exif_gps_scrub twin: the planted JPEG (engine encoder +
+    plant_exif) is DATA; the SCRUB is re-derived independently — own
+    marker walk, own IFD0 scan, own minimal orientation-only APP1 writer
+    from the pinned layout — so a defect in scrub_exif_metadata breaks the
+    md5 even though the input bytes are shared."""
+    import hashlib
+    import struct as st
+
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg, plant_exif
+
+    def twin_scrub(data: bytes):
+        # independent scalar walk (no rcspark.jpeg reuse past this point)
+        assert data[:2] == b"\xff\xd8"
+        i = 2
+        span = None
+        while i + 4 <= len(data) and data[i] == 0xFF:
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
+            m = data[i + 1]
+            if m in (0xDA, 0xD9):
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            end = i + 2 + st.unpack(">H", data[i + 2:i + 4])[0]
+            if m == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+                span = (i, end)
+                break
+            i = end
+        if span is None:
+            return data, False, 1
+        a, b = span
+        t = a + 10
+        order = data[t:t + 2]
+        lil = order == b"II"
+        def rd(o, n):
+            raw = data[o:o + n]
+            return int.from_bytes(raw, "little" if lil else "big")
+        had_gps, orient = False, None
+        ifd = t + rd(t + 4, 4)
+        cnt = rd(ifd, 2)
+        for e in range(cnt):
+            q = ifd + 2 + 12 * e
+            tag, typ = rd(q, 2), rd(q + 2, 2)
+            if tag == 0x0112 and typ == 3 and 1 <= rd(q + 8, 2) <= 8:
+                orient = rd(q + 8, 2)
+            elif tag == 0x8825:
+                had_gps = True
+        if orient is None:
+            repl = b""
+        else:
+            tiff = (b"II*\x00" + st.pack("<I", 8) + st.pack("<H", 1)
+                    + st.pack("<HHIHH", 0x0112, 3, 1, orient, 0)
+                    + st.pack("<I", 0))
+            payload = b"Exif\x00\x00" + tiff
+            repl = b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload
+        return data[:a] + repl + data[b:], had_gps, orient or 1
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 30):
+        iid = f"img{k}"
+        hv = xxh64(iid.encode())
+        o = 1 + ((hv >> 16) % 8)
+        gps = (None if (hv >> 8) % 3 == 0 else
+               (((hv >> 13) % 180_000_000) - 90_000_000,
+                ((hv >> 17) % 360_000_000) - 180_000_000))
+        planted = plant_exif(encode_jpeg(make_smooth_image(iid), quality=80),
+                             o, gps)
+        clean, had_gps, o_read = twin_scrub(planted)
+        assert o_read == o
+        rows.append((iid, np.int32(o), bool(had_gps),
+                     np.int64(len(planted)), np.int64(len(clean)),
+                     hashlib.md5(clean).hexdigest()))
+    return pd.DataFrame(
+        rows, columns=["image_id", "orientation", "had_gps", "n_before",
+                       "n_after", "clean_md5"],
+    ).astype({"orientation": "int32", "n_before": "int64",
+              "n_after": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1268,6 +1351,7 @@ def main() -> None:
         ("img_transcode_bmp", expected_img_transcode_bmp),
         ("img_tile_phash", expected_img_tile_phash),
         ("img_ssim", expected_img_ssim),
+        ("img_exif_scrub", expected_img_exif_scrub),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")

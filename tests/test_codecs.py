@@ -929,3 +929,59 @@ def test_ssim_engine_equals_scalar_twin():
                 d2 = s * ((n * sxx - sx * sx) + (n * syy - sy * sy)) + c2 * n * n
                 total += (1_000_000 * n1 * n2) // (d1 * d2)
         assert ppm_engine == total // nb
+
+
+def test_exif_plant_scrub_roundtrip():
+    """Whitelist scrub: GPS drops, orientation survives, idempotent, and
+    a JPEG with no Exif APP1 passes through byte-identical."""
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import (
+        encode_jpeg, plant_exif, read_exif_orientation, scrub_exif_metadata,
+    )
+
+    base = encode_jpeg(make_smooth_image("img0"), quality=80)
+    for o in (1, 6, 8):
+        planted = plant_exif(base, o, (37_774_900, -122_419_400))
+        assert read_exif_orientation(planted) == o
+        clean, had_gps, o_read = scrub_exif_metadata(planted)
+        assert had_gps and o_read == o
+        assert read_exif_orientation(clean) == o
+        assert len(clean) < len(planted)
+        again, g2, o2 = scrub_exif_metadata(clean)
+        assert again == clean and not g2 and o2 == o  # idempotent
+    # no-GPS plant: scrub keeps orientation, reports no GPS
+    p2 = plant_exif(base, 3, None)
+    c2, g, o = scrub_exif_metadata(p2)
+    assert not g and o == 3 and read_exif_orientation(c2) == 3
+    # no Exif at all
+    c3, g3, o3 = scrub_exif_metadata(base)
+    assert c3 == base and not g3 and o3 == 1
+
+
+def test_exif_scrub_engine_equals_scalar_twin():
+    """Engine scrub_exif_metadata lands on the twin's bytes (md5) for real
+    planted fixtures; the full 667-id pinning is the expected parquet."""
+    import hashlib
+
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg, plant_exif, scrub_exif_metadata
+    from rcspark.xxh import xxh64
+    from scripts.gen_media_expected import expected_img_exif_scrub
+
+    exp = expected_img_exif_scrub().set_index("image_id")
+    seen_gps = set()
+    for k in (0, 30, 60, 150, 180):  # 150/180 carry no GPS in the fixture
+        iid = f"img{k}"
+        hv = xxh64(iid.encode())
+        o = 1 + ((hv >> 16) % 8)
+        gps = (None if (hv >> 8) % 3 == 0 else
+               (((hv >> 13) % 180_000_000) - 90_000_000,
+                ((hv >> 17) % 360_000_000) - 180_000_000))
+        planted = plant_exif(
+            encode_jpeg(make_smooth_image(iid), quality=80), o, gps)
+        clean, had_gps, _ = scrub_exif_metadata(planted)
+        row = exp.loc[iid]
+        assert hashlib.md5(clean).hexdigest() == row.clean_md5
+        assert had_gps == row.had_gps and len(clean) == row.n_after
+        seen_gps.add(had_gps)
+    assert seen_gps == {True, False}

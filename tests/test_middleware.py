@@ -632,3 +632,44 @@ def test_hreflang_representative_election(spark):
     full = out[out.n_variants == 6]
     assert len(full) and (full.langs_csv == "de,en,es,fr,ja,pt").all()
     assert out.rep_url.str.contains("/p/").all()
+
+
+# ---------------------------------------------------------------------------
+# Batch 25: pair-curation gates + pagination chains
+# ---------------------------------------------------------------------------
+
+
+def test_pagination_chain_reconstruction(spark):
+    """Chains reassemble with contiguous positions from each head; a hole
+    in the crawl splits a chain (the orphaned tail elects its own head)."""
+    from rcspark.queries import QUERIES
+
+    out = QUERIES["crawl_pagination_chain"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    # every chain: positions are exactly 0..len-1
+    for cid, g in out.groupby("chain_id"):
+        assert sorted(g.pos) == list(range(len(g)))
+        assert (g.chain_len == len(g)).all()
+        # the head is the chain_id itself at pos 0
+        assert g[g.pos == 0].url.iloc[0] == cid
+    # multi-page chains exist, and every member shares the head's list id
+    multi = out[out.chain_len >= 3]
+    assert len(multi)
+    lid = multi.url.str.extract(r"/list/(\d+)/")[0]
+    lid_head = multi.chain_id.str.extract(r"/list/(\d+)/")[0]
+    assert (lid == lid_head).all()
+
+
+def test_pair_cosine_gate_verdicts(spark):
+    """keep == (clip_sim >= threshold); both classes occur; pairs are
+    (even, even^1)."""
+    from rcspark.queries import QUERIES, CLIP_GATE_MIN
+
+    out = QUERIES["emb_pair_cosine_gate"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (out.img_id % 2 == 0).all()
+    assert (out.txt_id == (out.img_id ^ 1)).all()
+    assert (out.keep == (out.clip_sim >= CLIP_GATE_MIN)).all()
+    assert out.keep.any() and (~out.keep).any()
