@@ -262,6 +262,11 @@ BENCH_QUERIES = [
     "img_caption_langid",
     "crawl_pagination_chain",
     "img_exif_gps_scrub",
+    # round-4 batch 26: crawl reliability plane
+    "crawl_dns_cache",
+    "crawl_circuit_breaker",
+    "events_cusum_drift",
+    "crawl_bandwidth_budget",
 ]
 
 

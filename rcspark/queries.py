@@ -12855,6 +12855,340 @@ def img_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 26: crawl reliability plane (DNS cache, circuit breaker, CUSUM,
+# byte budgets)
+# =============================================================================
+# [U scrapy DNSCACHE_ENABLED + dnscache docs] TTL'd DNS cache verdicts:
+# each lookup as-of joins the latest resolution at or before it; fresh →
+# hit, stale → expired (re-resolve), none → miss. Resolution history is
+# pre-deduped per (host, time) so the as-of fanout is bounded by the
+# retained history depth, not the supplier count.
+
+
+@register(
+    "crawl_dns_cache",
+    oracle=f"""
+    WITH res0 AS (
+      SELECT 'h' || (s_suppkey % 20) || '.example' AS host,
+             CAST(g.g * 100000 + (s_suppkey % 7) * 1000 AS BIGINT)
+               AS resolved_ms,
+             CAST((30 + (s_suppkey % 5) * 40) * 1000 AS BIGINT) AS ttl_ms,
+             '10.0.' || (s_suppkey % 250) || '.' || g.g AS ip
+      FROM supplier, (SELECT unnest([0, 1, 2]) AS g) g),
+    res AS (
+      SELECT host, resolved_ms,
+             max(struct_pack(ip := ip, ttl_ms := ttl_ms)) AS top
+      FROM res0 GROUP BY 1, 2),
+    res2 AS (SELECT host, resolved_ms, top.ip AS ip, top.ttl_ms AS ttl_ms
+             FROM res),
+    lk AS (
+      SELECT o_orderkey,
+             'h' || (o_custkey % 20) || '.example' AS host,
+             CAST((o_orderkey * 13) % 300000 AS BIGINT) AS lookup_ms
+      FROM orders),
+    j AS (
+      SELECT l.o_orderkey, l.host, l.lookup_ms,
+             max(struct_pack(resolved_ms := r.resolved_ms, ip := r.ip,
+                             ttl_ms := r.ttl_ms)) AS w
+      FROM lk l LEFT JOIN res2 r
+        ON r.host = l.host AND r.resolved_ms <= l.lookup_ms
+      GROUP BY 1, 2, 3)
+    SELECT o_orderkey, host, lookup_ms,
+           CASE WHEN w.resolved_ms IS NULL THEN 'miss'
+                WHEN lookup_ms - w.resolved_ms <= w.ttl_ms THEN 'hit'
+                ELSE 'expired' END AS status,
+           CASE WHEN w.resolved_ms IS NOT NULL THEN w.ip END AS ip,
+           CASE WHEN w.resolved_ms IS NOT NULL
+                THEN lookup_ms - w.resolved_ms END AS age_ms
+    FROM j
+    """,
+)
+def crawl_dns_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd DNS cache (section comment). The as-of is the established
+    max(struct) election — (resolved_ms, ip, ttl_ms) is a total order
+    because ips are distinct per (host, resolved_ms) by construction."""
+    supplier = load(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    res0 = supplier.select(
+        F.concat(F.lit("h"), (s % 20).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("g"),
+        s.alias("_s"),
+    ).select(
+        "host",
+        (F.col("g") * 100000 + (F.col("_s") % 7) * 1000).cast("long")
+        .alias("resolved_ms"),
+        ((30 + (F.col("_s") % 5) * 40) * 1000).cast("long").alias("ttl_ms"),
+        F.concat(F.lit("10.0."), (F.col("_s") % 250).cast("string"),
+                 F.lit("."), F.col("g").cast("string")).alias("ip"),
+    )
+    res = res0.groupBy("host", "resolved_ms").agg(
+        F.max(F.struct("ip", "ttl_ms")).alias("top")
+    ).select("host", "resolved_ms", "top.ip", "top.ttl_ms")
+    orders = load(spark, sf_dir, "orders")
+    lk = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("o_orderkey") * 13) % 300000).cast("long").alias("lookup_ms"),
+    )
+    j = (
+        lk.join(
+            F.broadcast(res.withColumnRenamed("host", "_rh")),
+            (F.col("_rh") == F.col("host"))
+            & (F.col("resolved_ms") <= F.col("lookup_ms")),
+            "left",
+        )
+        .groupBy("o_orderkey", "host", "lookup_ms")
+        .agg(F.max(F.struct("resolved_ms", "ip", "ttl_ms")).alias("w"))
+    )
+    rm = F.col("w.resolved_ms")
+    return j.select(
+        "o_orderkey", "host", "lookup_ms",
+        F.when(rm.isNull(), F.lit("miss"))
+        .when(F.col("lookup_ms") - rm <= F.col("w.ttl_ms"), F.lit("hit"))
+        .otherwise(F.lit("expired")).alias("status"),
+        F.when(rm.isNotNull(), F.col("w.ip")).alias("ip"),
+        F.when(rm.isNotNull(), F.col("lookup_ms") - rm).alias("age_ms"),
+    )
+
+
+# [U circuit-breaker pattern (Nygard, "Release It!"); scrapy
+# HttpErrorMiddleware] per-host breaker over the wave clock: CLOSED until
+# 3 consecutive failures, OPEN skips exactly one wave, HALF_OPEN probes
+# once (ok → CLOSED, fail → OPEN). The per-host trace is ONE HOF fold
+# over the wave-sorted outcome array with the state encoded as
+# state*10+streak in a plain INTEGER accumulator list — DuckDB 1.0's
+# list_reduce silently drops list-valued STRUCT fields, so the encoding
+# is the cross-engine-safe accumulator shape.
+
+_CB_WAVES = 8
+
+
+def _cb_fold_sql(oks: str) -> str:
+    """DuckDB fold producing [init, enc_after_w1, .., enc_after_w8]."""
+    return f"""list_reduce(
+      [[0]] || list_transform({oks}, o -> [CASE WHEN o THEN 1 ELSE 0 END]),
+      (a, x) -> list_append(a,
+        CASE WHEN a[len(a)] // 10 = 1 THEN 20
+             WHEN a[len(a)] // 10 = 2
+               THEN CASE WHEN x[1] = 1 THEN 0 ELSE 10 END
+             WHEN x[1] = 1 THEN 0
+             WHEN a[len(a)] % 10 + 1 >= 3 THEN 10
+             ELSE a[len(a)] % 10 + 1 END))"""
+
+
+@register(
+    "crawl_circuit_breaker",
+    oracle=f"""
+    WITH hosts AS (SELECT DISTINCT o_custkey % 50 AS hn FROM orders),
+    grid AS (SELECT hn, unnest(range(1, {_CB_WAVES + 1})) AS w FROM hosts),
+    o AS (
+      SELECT hn, CAST(w AS BIGINT) AS w,
+             ({sql_digest60("hn || ':' || w")} % 3 <> 0) AS ok
+      FROM grid),
+    agg AS (
+      SELECT hn,
+             list_transform(list_sort(list(struct_pack(w := w, ok := ok))),
+                            s -> s.ok) AS oks
+      FROM o GROUP BY hn),
+    enc AS (SELECT hn, oks, {_cb_fold_sql("oks")} AS tr FROM agg),
+    rows_ AS (
+      SELECT hn,
+             unnest(list_transform(range(1, {_CB_WAVES + 1}),
+               i -> struct_pack(w := i, e := tr[i], ok := oks[i]))) AS r
+      FROM enc)
+    SELECT hn, CAST(r.w AS BIGINT) AS wave,
+           CASE r.e // 10 WHEN 1 THEN 'open' WHEN 2 THEN 'half_open'
+                ELSE 'closed' END AS state,
+           (r.e // 10 <> 1) AS attempted, r.ok AS ok
+    FROM rows_
+    """,
+)
+def crawl_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host circuit breaker (section comment): the reported state is
+    the one GOVERNING each wave (before its outcome applies); attempted
+    is false exactly in OPEN waves."""
+    orders = load(spark, sf_dir, "orders")
+    hosts = orders.select((F.col("o_custkey") % 50).alias("hn")).distinct()
+    grid = hosts.select(
+        "hn",
+        F.explode(F.array(*[F.lit(i) for i in range(1, _CB_WAVES + 1)]))
+        .alias("_w"),
+    ).select("hn", F.col("_w").cast("long").alias("w"))
+    o = grid.select(
+        "hn", "w",
+        (digest60(F.concat(F.col("hn").cast("string"), F.lit(":"),
+                           F.col("w").cast("string"))) % 3 != 0).alias("ok"),
+    )
+    agg = o.groupBy("hn").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "ok"))),
+            lambda st: st["ok"],
+        ).alias("oks")
+    )
+
+    def step(acc, ok):
+        prev = F.element_at(acc, -1)
+        s = (prev / 10).cast("int")
+        nxt = (
+            F.when(s == 1, F.lit(20))
+            .when(s == 2, F.when(ok, F.lit(0)).otherwise(F.lit(10)))
+            .when(ok, F.lit(0))
+            .when(prev % 10 + 1 >= 3, F.lit(10))
+            .otherwise((prev % 10 + 1).cast("int"))
+        )
+        return F.concat(acc, F.array(nxt))
+
+    enc = agg.select(
+        "hn", "oks",
+        F.aggregate(F.col("oks"), F.array(F.lit(0)), step).alias("tr"),
+    )
+    rows = enc.select(
+        "hn", "oks", F.slice(F.col("tr"), 1, _CB_WAVES).alias("tr8")
+    ).select(
+        "hn",
+        F.posexplode(F.arrays_zip(F.col("tr8"), F.col("oks")))
+        .alias("_i", "z"),
+    )
+    e = F.col("z.tr8")
+    return rows.select(
+        "hn", (F.col("_i") + 1).cast("long").alias("wave"),
+        F.when((e / 10).cast("int") == 1, F.lit("open"))
+        .when((e / 10).cast("int") == 2, F.lit("half_open"))
+        .otherwise(F.lit("closed")).alias("state"),
+        ((e / 10).cast("int") != 1).alias("attempted"),
+        F.col("z.oks").alias("ok"),
+    )
+
+
+# [U Page, "Continuous Inspection Schemes" 1954] CUSUM drift alarm over
+# hourly event-rate counts, computed SCALE-CORRECTLY via the identity
+# S+_t = cum_t - least(0, running_min(cum)_t) with cum = running
+# sum(x - k) — two plain window functions per type, no sequential fold,
+# no SinglePartition. k is the per-type integer mean + slack.
+
+CUSUM_SLACK = 1
+CUSUM_H = 15
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+             count(*) AS x
+      FROM events GROUP BY 1, 2),
+    k AS (
+      SELECT *,
+             CAST(sum(x) OVER (PARTITION BY event_type)
+                  // count(*) OVER (PARTITION BY event_type)
+                  + {CUSUM_SLACK} AS BIGINT) AS kk
+      FROM c),
+    w AS (
+      SELECT *,
+             sum(x - kk) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k),
+    s AS (
+      SELECT *,
+             cum - least(CAST(0 AS BIGINT), min(cum) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING)) AS s_plus
+      FROM w)
+    SELECT event_type, hour, CAST(x AS BIGINT) AS x,
+           CAST(s_plus AS BIGINT) AS s_plus,
+           (s_plus > {CUSUM_H}) AS alarm
+    FROM s
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (section comment): the running-min identity
+    replaces the sequential max(0, ...) fold so the whole detector is two
+    windows partitioned by event_type."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        .cast("long").alias("hour"),
+    ).groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    k = c.select(
+        "*",
+        (F.floor(F.sum("x").over(wt) / F.count(F.lit(1)).over(wt))
+         + CUSUM_SLACK).cast("long").alias("kk"),
+    )
+    wo = wt.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    w = k.select("*", F.sum(F.col("x") - F.col("kk")).over(wo).alias("cum"))
+    s = w.select(
+        "*",
+        (F.col("cum")
+         - F.least(F.lit(0).cast("long"), F.min("cum").over(wo)))
+        .alias("s_plus"),
+    )
+    return s.select(
+        "event_type", "hour", F.col("x").cast("long").alias("x"),
+        F.col("s_plus").cast("long").alias("s_plus"),
+        (F.col("s_plus") > CUSUM_H).alias("alarm"),
+    )
+
+
+# [U scrapy CONCURRENT_REQUESTS_PER_DOMAIN + CDN egress budgeting] per-host
+# BYTE budget admission: candidates admit in (priority desc, key) order
+# while the running byte total stays within the wave budget — the
+# byte-knapsack sibling of with_budget's count budget. One window
+# partitioned by host.
+
+BANDWIDTH_BUDGET_BYTES = 100_000
+
+
+@register(
+    "crawl_bandwidth_budget",
+    oracle=f"""
+    WITH cand AS (
+      SELECT o_orderkey,
+             'h' || (o_custkey % 50) || '.example' AS host,
+             CAST(o_orderkey % 10 AS BIGINT) AS priority,
+             CAST(500 + (o_orderkey * 37) % 5000 AS BIGINT) AS est_bytes
+      FROM orders),
+    w AS (
+      SELECT *,
+             sum(est_bytes) OVER (PARTITION BY host
+               ORDER BY priority DESC, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS cum_bytes
+      FROM cand)
+    SELECT o_orderkey, host, priority, est_bytes,
+           CAST(cum_bytes AS BIGINT) AS cum_bytes,
+           (cum_bytes <= {BANDWIDTH_BUDGET_BYTES}) AS admitted
+    FROM w
+    """,
+)
+def crawl_bandwidth_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host byte-budget admission (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cand = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (k % 10).cast("long").alias("priority"),
+        (500 + (k * 37) % 5000).cast("long").alias("est_bytes"),
+    )
+    wo = (
+        Window.partitionBy("host")
+        .orderBy(F.col("priority").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = cand.select("*", F.sum("est_bytes").over(wo).alias("cum_bytes"))
+    return w.select(
+        "o_orderkey", "host", "priority", "est_bytes",
+        F.col("cum_bytes").cast("long").alias("cum_bytes"),
+        (F.col("cum_bytes") <= BANDWIDTH_BUDGET_BYTES).alias("admitted"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -12870,6 +13204,11 @@ def img_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-26 session (crawl reliability plane)
+    "crawl_dns_cache",
+    "crawl_circuit_breaker",
+    "events_cusum_drift",
+    "crawl_bandwidth_budget",
     # new in the round-4 batch-25 session (pair curation + pagination)
     "emb_pair_cosine_gate",
     "img_caption_langid",
