@@ -267,6 +267,10 @@ BENCH_QUERIES = [
     "crawl_circuit_breaker",
     "events_cusum_drift",
     "crawl_bandwidth_budget",
+    # round-4 batch 27: pair mining + container captions + cast gate
+    "emb_hard_negative_mine",
+    "img_png_text_chunks",
+    "img_color_cast",
 ]
 
 

@@ -2029,3 +2029,169 @@ def exif_scrub_gate(ids: DataFrame) -> DataFrame:
             )
 
     return ids.select("image_id").mapInPandas(run, EXIF_SCRUB_SCHEMA)
+
+
+# -- gray-world color-cast gate --------------------------------------------------
+# [U gray-world white balance (Buchsbaum 1980); LAION image quality gates]
+# Illumination-cast screening for an image+caption curation pipeline: under
+# the gray-world assumption the channel means of a neutral photo agree, so
+# a large max/min channel-sum ratio flags a color cast (scanner tint, night
+# shots, decorative solid fills) before pixels reach a vision encoder. All
+# arithmetic is exact int64 (sums + one floor division to per-mille), so
+# the independent twin (scripts/gen_media_expected.expected_img_colorcast)
+# reproduces every value bit-for-bit.
+
+# Production gray-world screens fire around max/min > 1.2; the synthetic
+# make_image corpus is near-neutral (ratio spread 1000-1197), so the
+# registered gate pins the corpus-splitting 1030 (CLIP_GATE_MIN precedent)
+# — the verdict machinery is threshold-independent, and the >1.2 semantics
+# are pinned in pytest with planted tinted images via the parameter.
+COLOR_CAST_PERMILLE = 1030
+
+COLOR_CAST_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("dominant", T.StringType(), False),
+        T.StructField("cast_ratio_permille", T.LongType(), False),
+        T.StructField("cast", T.BooleanType(), False),
+    ]
+)
+
+
+def color_cast_gate(
+    images: DataFrame, permille: int = COLOR_CAST_PERMILLE
+) -> DataFrame:
+    """(image_id, bytes) → gray-world cast verdict (module comment).
+
+    dominant = argmax channel sum with ties to the earlier channel in
+    (r, g, b); cast_ratio_permille = 1000·max_sum // max(min_sum, 1).
+    One numpy reduction per image, bytes dropped inside the UDF.
+    """
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                sums = pix.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npx = pix.shape[0] * pix.shape[1]
+                dom = "rgb"[int(np.argmax(sums))]  # argmax: first max wins
+                ratio = 1000 * int(sums.max()) // max(int(sums.min()), 1)
+                out.append(
+                    (iid, int(sums[0]), int(sums[1]), int(sums[2]), npx,
+                     dom, ratio, ratio > permille)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in COLOR_CAST_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, COLOR_CAST_SCHEMA)
+
+
+# -- PNG textual metadata (tEXt / iTXt) mining ------------------------------------
+# [U PNG spec (RFC 2083 §4.2 / ISO 15948 §11.3.4); LAION alt-text mining]
+# Web images carry captions INSIDE the container: PNG tEXt (Latin-1
+# keyword/value) and iTXt (UTF-8 + language tag) chunks hold Title /
+# Description / Comment strings that an image+caption acquisition plane
+# mines alongside alt-text and OpenGraph. The planting side reuses the
+# rcspark.png chunk writer (shared generator, like make_image); the
+# EXTRACTOR below is an independent byte walk — length-driven, CRC-verified
+# per chunk — so the plant→extract roundtrip cross-checks both against the
+# oracle's arithmetic restatement of the planted values.
+
+PNG_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("keyword", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def plant_png_text(k: int) -> bytes:
+    """Deterministic 8×8 RGB PNG for id k with four planted text chunks:
+    tEXt Title / Comment / Software + one iTXt Description (lang en,
+    UTF-8 body with a non-ASCII char) spliced before IEND."""
+    from ..png import _chunk, encode_png
+
+    y, x, c = np.ogrid[0:8, 0:8, 0:3]
+    pix = ((k * 31 + y * 7 + x * 13 + c * 29) % 256).astype(np.uint8)
+    base = encode_png(pix)
+    texts = [
+        _chunk(b"tEXt", b"Title\x00" + f"Image {k} title card".encode("latin-1")),
+        _chunk(b"tEXt", b"Comment\x00"
+               + f"synthetic caption for {k} about part t{k % 97}".encode("latin-1")),
+        _chunk(b"tEXt", b"Software\x00" + b"rcspark"),
+        _chunk(b"iTXt", b"Description\x00\x00\x00en\x00\x00"
+               + f"unicode caption {k} — ok".encode("utf-8")),
+    ]
+    return base[:-12] + b"".join(texts) + base[-12:]
+
+
+def extract_png_text(data: bytes) -> list[tuple[str, str, str, str]]:
+    """Independent chunk walk → [(src, keyword, lang, text)] for every
+    tEXt/iTXt chunk; CRC-verifies each chunk it visits. tEXt rows carry
+    lang '' (the spec gives tEXt no language field)."""
+    import struct as st
+    import zlib as zl
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    rows = []
+    pos = 8
+    while pos + 12 <= len(data):
+        (length,) = st.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        (crc,) = st.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zl.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"tEXt":
+            kw, _, txt = payload.partition(b"\x00")
+            rows.append(("tEXt", kw.decode("latin-1"), "",
+                         txt.decode("latin-1")))
+        elif tag == b"iTXt":
+            kw, _, rest = payload.partition(b"\x00")
+            flag, method, rest = rest[0], rest[1], rest[2:]
+            lang, _, rest = rest.partition(b"\x00")
+            _trkw, _, body = rest.partition(b"\x00")
+            if flag:  # compressed iTXt body
+                if method != 0:
+                    raise ValueError("iTXt unknown compression method")
+                body = zl.decompress(body)
+            rows.append(("iTXt", kw.decode("latin-1"),
+                         lang.decode("ascii"), body.decode("utf-8")))
+        elif tag == b"IEND":
+            break
+    return rows
+
+
+def png_text_metadata(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """ids → one row per planted tEXt/iTXt entry (module comment): build
+    the PNG for each id (plant_png_text) and run the independent extractor
+    over the real bytes. Caption gating happens downstream in the query
+    (keyword whitelist + length floor) where it is SQL-expressible."""
+    src = ids.select(F.col(id_col).cast("string").alias("image_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                data = plant_png_text(int(iid[3:]))
+                for srcname, kw, lang, txt in extract_png_text(data):
+                    out.append((iid, srcname, kw, lang, txt))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_TEXT_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, PNG_TEXT_SCHEMA)

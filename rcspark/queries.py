@@ -13189,6 +13189,165 @@ def crawl_bandwidth_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 27: contrastive pair mining + in-container caption acquisition +
+# gray-world cast gate
+# =============================================================================
+# [U CLIP / InfoNCE hard-negative mining] Contrastive image+text training
+# wants, for every (image, caption) pair, the hardest NEGATIVE caption —
+# the most-similar caption that is NOT the pair's own. Mining it globally
+# is an all-pairs join; the scale shape is the LSH block: candidates come
+# only from the image's own hyperplane bucket (≈ n/2^p rows; production
+# derives p from corpus size via sim.derive_nplanes), so total work is
+# n²/2^p and no corpus-sized shuffle ever forms. Images whose bucket holds
+# no foreign caption report mined=false (their negatives come from the
+# in-batch sampler at train time).
+
+
+@register(
+    "emb_hard_negative_mine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({{BUCKET}} AS BIGINT) AS bucket
+      FROM embeddings),
+    i AS (SELECT vec_id AS img_id, embedding AS iv, bucket FROM b
+          WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS txt_id, embedding AS tv, bucket FROM b
+          WHERE vec_id % 2 = 1),
+    tru AS (
+      SELECT i.img_id, t.txt_id, {sim.sql_cosine('i.iv', 't.tv', _EMB_DIM)}
+               AS true_sim
+      FROM i JOIN t ON t.txt_id = xor(i.img_id, 1)),
+    neg AS (
+      SELECT i.img_id,
+             max(struct_pack(s := {sim.sql_cosine('i.iv', 't.tv', _EMB_DIM)},
+                             t := t.txt_id)) AS hn
+      FROM i JOIN t USING (bucket) WHERE t.txt_id <> xor(i.img_id, 1)
+      GROUP BY 1)
+    SELECT tru.img_id, tru.txt_id, tru.true_sim,
+           hn.t AS hard_neg_id, hn.s AS hard_neg_sim,
+           CASE WHEN hn.s IS NOT NULL
+                THEN round(tru.true_sim - hn.s, 6) END AS margin,
+           (hn.s IS NOT NULL) AS mined
+    FROM tru LEFT JOIN neg ON neg.img_id = tru.img_id
+    """.replace("{BUCKET}", _BUCKET_SQL),
+)
+def emb_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive pairs (section comment):
+    argmax-by-struct election (cos, txt_id) — highest similarity, ties to
+    the higher id — over bucket-blocked candidates only."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        sim.lsh_bucket(F.col("embedding"), dim=_EMB_DIM).cast("long")
+        .alias("bucket"),
+    )
+    i = b.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"), F.col("embedding").alias("_iv"),
+        "bucket",
+    )
+    t = b.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("txt_id"), F.col("embedding").alias("_tv"),
+        F.col("bucket").alias("_tb"),
+    )
+    tru = i.join(
+        t, t["txt_id"] == i["img_id"].bitwiseXOR(F.lit(1))
+    ).select(
+        "img_id", "txt_id",
+        sim.cosine(F.col("_iv"), F.col("_tv")).alias("true_sim"),
+    )
+    neg = (
+        i.join(t, (F.col("_tb") == F.col("bucket"))
+               & (t["txt_id"] != i["img_id"].bitwiseXOR(F.lit(1))))
+        .groupBy("img_id")
+        .agg(F.max(F.struct(
+            sim.cosine(F.col("_iv"), F.col("_tv")).alias("s"),
+            F.col("txt_id").alias("t"),
+        )).alias("hn"))
+    )
+    j = tru.join(neg, "img_id", "left")
+    hs = F.col("hn.s")
+    return j.select(
+        "img_id", "txt_id", "true_sim",
+        F.col("hn.t").alias("hard_neg_id"), hs.alias("hard_neg_sim"),
+        F.when(hs.isNotNull(), F.round(F.col("true_sim") - hs, 6))
+        .alias("margin"),
+        hs.isNotNull().alias("mined"),
+    )
+
+
+# [U PNG spec ISO 15948 §11.3.4; LAION alt-text mining] Captions live
+# INSIDE the image container too: PNG tEXt/iTXt chunks carry Title /
+# Description / Comment strings. The query builds REAL PNGs with planted
+# text chunks (multimodal.plant_png_text — rcspark.png chunk writer) and
+# runs the independent CRC-verifying extractor over the bytes; the oracle
+# restates the planted values arithmetically, so the whole
+# encode→splice→walk→decode pipeline is hash-checked. The caption gate
+# (keyword whitelist + length floor) is the SQL-expressible back half.
+
+_PNG_CAPTION_KEYWORDS = ("Title", "Comment", "Description")
+_PNG_CAPTION_MIN_CHARS = 8
+
+
+@register(
+    "img_png_text_chunks",
+    oracle=f"""
+    WITH ids AS (
+      SELECT p_partkey AS k, 'img' || p_partkey AS image_id FROM part
+      WHERE p_partkey % 10 = 0),
+    r AS (
+      SELECT image_id, 'tEXt' AS src, 'Title' AS keyword, '' AS lang,
+             'Image ' || k || ' title card' AS text FROM ids
+      UNION ALL
+      SELECT image_id, 'tEXt', 'Comment', '',
+             'synthetic caption for ' || k || ' about part t' || (k % 97)
+      FROM ids
+      UNION ALL
+      SELECT image_id, 'tEXt', 'Software', '', 'rcspark' FROM ids
+      UNION ALL
+      SELECT image_id, 'iTXt', 'Description', 'en',
+             'unicode caption ' || k || ' — ok' FROM ids)
+    SELECT *,
+           (keyword IN {str(_PNG_CAPTION_KEYWORDS)}
+            AND length(text) >= {_PNG_CAPTION_MIN_CHARS}) AS is_caption
+    FROM r
+    """,
+)
+def img_png_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG tEXt/iTXt caption mining (section comment)."""
+    from .datapipe.multimodal import png_text_metadata
+
+    rows = png_text_metadata(_image_ids(spark, sf_dir))
+    return rows.select(
+        "*",
+        (F.col("keyword").isin(*_PNG_CAPTION_KEYWORDS)
+         & (F.length("text") >= _PNG_CAPTION_MIN_CHARS)).alias("is_caption"),
+    )
+
+
+# [U gray-world white balance (Buchsbaum 1980); LAION quality gates] See
+# multimodal.color_cast_gate — exact int64 channel sums, argmax-dominant,
+# floor-division per-mille ratio, corpus-splitting threshold. Oracle joins
+# the independent reduceat-twin expected parquet.
+
+
+@register(
+    "img_color_cast",
+    oracle=f"""
+    SELECT e.image_id, e.sum_r, e.sum_g, e.sum_b, e.n_px, e.dominant,
+           e.cast_ratio_permille, e.cast
+    FROM '{_MEDIA_EXPECTED}/img_colorcast.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_color_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-world color-cast gate (section comment)."""
+    from .datapipe.multimodal import color_cast_gate
+
+    return color_cast_gate(synthesize_images(_image_ids(spark, sf_dir)))
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -13204,6 +13363,10 @@ def crawl_bandwidth_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-27 session (pair mining + container captions)
+    "emb_hard_negative_mine",
+    "img_png_text_chunks",
+    "img_color_cast",
     # new in the round-4 batch-26 session (crawl reliability plane)
     "crawl_dns_cache",
     "crawl_circuit_breaker",

@@ -479,6 +479,40 @@ def expected_img_domcolor() -> pd.DataFrame:
               "share_ppm": "int64"})
 
 
+def expected_img_colorcast() -> pd.DataFrame:
+    """Gray-world color-cast twin: same shared make_image generator; the
+    channel sums are re-derived with np.add.reduceat row-block sums
+    (engine: one reshape(-1, 3).sum(axis=0)); dominant is an explicit
+    comparison chain (engine: np.argmax first-max); ratio/verdict restate
+    the documented per-mille rule (multimodal.COLOR_CAST_PERMILLE)."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        flat = pix.reshape(-1, 3).astype(np.int64)
+        per_row = np.add.reduceat(flat, np.arange(0, flat.shape[0], 64), axis=0)
+        sr, sg, sb = (int(v) for v in per_row.sum(axis=0))
+        if sr >= sg and sr >= sb:
+            dom = "r"
+        elif sg >= sb:
+            dom = "g"
+        else:
+            dom = "b"
+        n = pix.shape[0] * pix.shape[1]
+        ratio = 1000 * max(sr, sg, sb) // max(min(sr, sg, sb), 1)
+        rows.append(
+            (iid, np.int64(sr), np.int64(sg), np.int64(sb), np.int64(n),
+             dom, np.int64(ratio), ratio > 1030)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "sum_r", "sum_g", "sum_b", "n_px",
+                 "dominant", "cast_ratio_permille", "cast"],
+    ).astype({"sum_r": "int64", "sum_g": "int64", "sum_b": "int64",
+              "n_px": "int64", "cast_ratio_permille": "int64"})
+
+
 def expected_img_equalize() -> pd.DataFrame:
     """Equalization twin: same shared make_image generator; the histogram,
     CDF, and LUT application are re-implemented with Python-int dict
@@ -1336,6 +1370,7 @@ def main() -> None:
         ("img_contentbox", expected_img_contentbox),
         ("audio_resample", expected_audio_resample),
         ("img_domcolor", expected_img_domcolor),
+        ("img_colorcast", expected_img_colorcast),
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
