@@ -271,6 +271,10 @@ BENCH_QUERIES = [
     "emb_hard_negative_mine",
     "img_png_text_chunks",
     "img_color_cast",
+    # round-4 batch 28: hamming search, aspect packing, streaming media dedup
+    "img_phash_mih_search",
+    "img_aspect_bucket",
+    "stream_img_phash_dedup",
 ]
 
 

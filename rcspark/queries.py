@@ -13348,6 +13348,237 @@ def img_color_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 28: hamming search at scale + aspect bucketing + streaming media dedup
+# =============================================================================
+# [U Norouzi/Punjani/Fleet, "Fast Search in Hamming Space with Multi-Index
+# Hashing" (CVPR 2012)] Radius-r hamming SEARCH over a phash corpus — the
+# probe→corpus sibling of img_phash_neardup's all-pairs tier. The 64-bit
+# code splits into 4 disjoint 16-bit bands; by pigeonhole any match within
+# r ≤ 3 agrees EXACTLY on at least one band, so candidates come from four
+# equi-joins on (band_idx, band_value) and the exact bit_count(xor) ≤ r
+# verify touches only them — no corpus scan per probe (emb_binary_sign_topk
+# is the brute-force tier this replaces at scale). At 10^10 images the
+# production sizing rule is bands of ~log2(n) bits (128-bit phash, 32-bit
+# bands) so expected bucket occupancy stays O(1); the shape is unchanged.
+# Probes are planted by flipping ≤ 3 digest-chosen bits (positions < 60 —
+# bit 63 would need two's-complement care in the shift literals) of every
+# 10th corpus phash, so each probe provably finds its source.
+
+_MIH_RADIUS = 3
+
+
+def _mih_mask_sql(d: str) -> str:
+    return (f"((1::BIGINT << ({d} % 60)) | (1::BIGINT << (({d} // 60) % 60))"
+            f" | (1::BIGINT << (({d} // 3600) % 60)))")
+
+
+@register(
+    "img_phash_mih_search",
+    oracle=f"""
+    WITH ids AS (
+      SELECT p_partkey AS k, 'img' || p_partkey AS image_id FROM part
+      WHERE p_partkey % 10 = 0),
+    c AS (
+      SELECT e.image_id, e.phash
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)),
+    pr AS (
+      SELECT 'probe' || i.k AS probe_id,
+             xor(e.phash, {_mih_mask_sql(sql_digest60("'mih:' || i.k"))}) AS pq
+      FROM ids i
+      JOIN '{_MEDIA_EXPECTED}/img_features.parquet' e USING (image_id)
+      WHERE i.k % 100 = 0),
+    g AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pb AS (SELECT probe_id, pq, g.i, (pq >> (16 * g.i)) & 65535 AS bv
+           FROM pr, g),
+    cb AS (SELECT image_id, phash, g.i, (phash >> (16 * g.i)) & 65535 AS bv
+           FROM c, g),
+    cand AS (
+      SELECT DISTINCT probe_id, pq, image_id, phash
+      FROM pb JOIN cb USING (i, bv))
+    SELECT probe_id, image_id,
+           CAST(bit_count(xor(pq, phash)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pq, phash)) <= {_MIH_RADIUS}
+    """,
+)
+def img_phash_mih_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index-hashing hamming search (section comment)."""
+    feats = image_features(synthesize_images(_image_ids(spark, sf_dir)))
+    corpus = feats.select("image_id", "phash").persist()
+    k = F.regexp_extract("image_id", r"img(\d+)", 1).cast("long")
+    d = digest60(F.concat(F.lit("mih:"), k.cast("string")))
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(_b1 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST(_b2 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST(_b3 AS INT))"
+    )
+    probes = (
+        corpus.filter(k % 100 == 0)
+        .select(
+            F.concat(F.lit("probe"), k.cast("string")).alias("probe_id"),
+            "phash",
+            d.alias("_d"),
+        )
+        .select(
+            "probe_id", "phash",
+            # digest60 exceeds 2^53: / would round through a double, so
+            # the bit positions use integer `div` like the oracle's //
+            F.expr("_d % 60").alias("_b1"),
+            F.expr("(_d div 60) % 60").alias("_b2"),
+            F.expr("(_d div 3600) % 60").alias("_b3"),
+        )
+        .select("probe_id", F.col("phash").bitwiseXOR(mask).alias("pq"))
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.shiftright(F.col("_code"), 16 * i).bitwiseAND(F.lit(65535))
+            .alias("bv"),
+        )
+        for i in range(4)
+    ])
+    pb = (
+        probes.withColumn("_code", F.col("pq"))
+        .select("probe_id", "pq", F.explode(bands).alias("z"))
+        .select("probe_id", "pq", F.col("z.i").alias("i"),
+                F.col("z.bv").alias("bv"))
+    )
+    cb = (
+        corpus.withColumn("_code", F.col("phash"))
+        .select("image_id", "phash", F.explode(bands).alias("z"))
+        .select("image_id", "phash", F.col("z.i").alias("i"),
+                F.col("z.bv").alias("bv"))
+    )
+    cand = pb.join(cb, ["i", "bv"]).select(
+        "probe_id", "pq", "image_id", "phash"
+    ).distinct()
+    ham = F.bit_count(F.col("pq").bitwiseXOR(F.col("phash"))).cast("long")
+    return cand.select(
+        "probe_id", "image_id", ham.alias("hamming")
+    ).filter(F.col("hamming") <= _MIH_RADIUS)
+
+
+# [U SDXL / NovelAI aspect-ratio bucketing] Vision-training batches want
+# same-shape images; the curation step assigns every image the nearest
+# pinned aspect bucket (argmin |aspect − target|, ties to the smaller
+# target) and packs each bucket into fixed-size batches. The per-bucket
+# sequence uses text.stratified_cumsum — the range-partitioned cumsum with
+# one subtotal row per (partition, bucket) to the driver — NOT a
+# per-bucket window, so one dominant bucket (most web images are 4:3-ish)
+# never funnels through a single task.
+
+_ASPECT_BUCKETS = (
+    (250, "1:4"), (500, "1:2"), (750, "3:4"), (1000, "1:1"),
+    (1333, "4:3"), (2000, "2:1"), (4000, "4:1"),
+)
+_ASPECT_BATCH = 32
+
+
+@register(
+    "img_aspect_bucket",
+    oracle=f"""
+    WITH ids AS (
+      SELECT 'img' || p_partkey AS image_id FROM part WHERE p_partkey % 10 = 0),
+    f AS (
+      SELECT e.image_id, e.w, e.h, 1000 * e.w // e.h AS aspect_permille
+      FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)),
+    b AS (
+      SELECT *,
+             list_min([{", ".join(
+                 f"{{'d': abs(aspect_permille - {t}), 't': {t}, 'n': '{n}'}}"
+                 for t, n in _ASPECT_BUCKETS)}])['n'] AS bucket
+      FROM f),
+    s AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY image_id) - 1
+               AS seq
+      FROM b)
+    SELECT image_id, w, h, CAST(aspect_permille AS BIGINT) AS aspect_permille,
+           bucket, CAST(seq AS BIGINT) AS seq,
+           CAST(seq // {_ASPECT_BATCH} AS BIGINT) AS batch_idx
+    FROM s
+    """,
+)
+def img_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + scale-safe batch packing (section
+    comment). The oracle's window restates the semantics; the ENGINE path
+    is the distributed cumsum (plan has no SinglePartition exchange)."""
+    feats = image_features(synthesize_images(_image_ids(spark, sf_dir)))
+    f = feats.select(
+        "image_id", "w", "h",
+        F.expr("1000 * w div h").cast("long").alias("aspect_permille"),
+    )
+    election = F.array_min(F.array(*[
+        F.struct(
+            F.abs(F.col("aspect_permille") - t).alias("d"),
+            F.lit(t).alias("t"),
+            F.lit(n).alias("n"),
+        )
+        for t, n in _ASPECT_BUCKETS
+    ]))["n"]
+    b = f.select("*", election.alias("bucket")).withColumn("_one", F.lit(1))
+    s = tx.stratified_cumsum(b, "bucket", "image_id", "_one", out_col="seq")
+    return s.select(
+        "image_id", "w", "h", "aspect_permille", "bucket",
+        F.col("seq").cast("long").alias("seq"),
+        F.expr(f"seq div {_ASPECT_BATCH}").cast("long").alias("batch_idx"),
+    )
+
+
+# [U scrapy ImagesPipeline dedup + Structured Streaming state store] The
+# ingest-time variant of dupe-media filtering: a continuous acquisition
+# stream deduplicates images by perceptual hash BEFORE the warehouse
+# write. The stream is duplicate-heavy by construction (every 50
+# consecutive image slots alias one source image — mirror/hotlink
+# duplicates), decode + phash run as the same chained mapInPandas the
+# batch path uses (proving the Arrow UDF plumbing streams unchanged), and
+# dropDuplicates on the 64-bit phash holds first-arrival state exactly —
+# the production swap-in at unbounded runtime is
+# dropDuplicatesWithinWatermark, same shape (stream_dedup_events note).
+
+
+@register(
+    "stream_img_phash_dedup",
+    oracle=f"""
+    WITH ids AS (
+      SELECT DISTINCT 'img' || (p_partkey - p_partkey % 500) AS image_id
+      FROM part WHERE p_partkey % 10 = 0)
+    SELECT DISTINCT e.phash
+    FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)
+    """,
+)
+def stream_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-hash media dedup (section comment)."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    part_schema = load(spark, sf_dir, "part").schema
+    stream = (
+        spark.readStream.schema(part_schema)
+        .parquet(file_stream_dir(sf_dir, "part"))
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.concat(
+                F.lit("img"),
+                (F.col("p_partkey") - F.col("p_partkey") % 500).cast("string"),
+            ).alias("image_id")
+        )
+    )
+    feats = image_features(synthesize_images(stream))
+    sink = f"stream_phash_{uuid.uuid4().hex[:8]}"
+    q = (
+        feats.select("phash")
+        .dropDuplicates(["phash"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -13363,6 +13594,10 @@ def img_color_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-28 session (hamming search + aspect packing)
+    "img_phash_mih_search",
+    "img_aspect_bucket",
+    "stream_img_phash_dedup",
     # new in the round-4 batch-27 session (pair mining + container captions)
     "emb_hard_negative_mine",
     "img_png_text_chunks",
