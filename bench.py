@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "img_phash_mih_search",
     "img_aspect_bucket",
     "stream_img_phash_dedup",
+    # round-4 batch 29: manifest capstone + CDX revisit
+    "img_pair_manifest",
+    "crawl_cdx_revisit",
 ]
 
 

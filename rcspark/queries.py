@@ -13579,6 +13579,193 @@ def stream_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 29: end-to-end pair manifest + CDX revisit dedup
+# =============================================================================
+# [U LAION-5B release pipeline; img2dataset manifests] The capstone of the
+# image+caption acquisition plane: ONE plan that takes the input_hint pair
+# table and emits the training manifest — every pair with its first-failing
+# gate (auditable rejects, LAION-style release stats) or its placement
+# (aspect bucket + digest shard) when kept. The gate cascade composes the
+# operators this repo gates individually: caption blocklist/length
+# (img_caption_filter), dimension floor + 2× aspect ceiling, gray-world
+# cast screen (img_color_cast). Everything is one projection over the pair
+# join plus the map-side cast UDF — no new shuffles beyond the pair join
+# itself.
+
+_MANIFEST_SHARDS = 64
+
+
+@register(
+    "img_pair_manifest",
+    oracle=f"""
+    WITH {_CAP_PAIRS_SQL},
+    cc AS (
+      SELECT c.image_id, c."cast" AS is_cast
+      FROM '{_MEDIA_EXPECTED}/img_colorcast.parquet' c),
+    t AS (
+      SELECT p.*, len({tx.sql_tokens('caption')}) AS n_cap_tokens, cc.is_cast
+      FROM pairs p JOIN cc USING (image_id)),
+    v AS (
+      SELECT *,
+             CASE WHEN caption = '' OR caption IN {_CAP_BLOCKLIST!r}
+                    THEN 'caption_blocked'
+                  WHEN n_cap_tokens NOT BETWEEN 3 AND 12 THEN 'caption_len'
+                  WHEN LEAST(w, h) < 32 OR GREATEST(w, h) > 2 * LEAST(w, h)
+                    THEN 'dims'
+                  WHEN is_cast THEN 'color_cast'
+                  ELSE 'ok' END AS reason
+      FROM t)
+    SELECT image_id, caption, w, h, fmt, phash,
+           CAST(n_cap_tokens AS BIGINT) AS n_cap_tokens,
+           CASE WHEN reason = 'ok' THEN
+             list_min([{", ".join(
+                 f"{{'d': abs(1000 * w // h - {t}), 't': {t}, 'n': '{n}'}}"
+                 for t, n in _ASPECT_BUCKETS)}])['n'] END AS bucket,
+           CASE WHEN reason = 'ok'
+                THEN {sql_digest60("image_id")} % {_MANIFEST_SHARDS} END
+             AS shard,
+           reason, (reason = 'ok') AS keep
+    FROM v
+    """,
+)
+def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-pair manifest (section comment): first-failing
+    gate precedence caption_blocked → caption_len → dims → color_cast."""
+    from .datapipe.multimodal import color_cast_gate
+
+    pairs = _caption_pairs(spark, sf_dir)
+    cast = color_cast_gate(pairs.select("image_id", "bytes")).select(
+        "image_id", "cast"
+    )
+    t = (
+        pairs.join(cast, "image_id")
+        .withColumn("n_cap_tokens",
+                    F.size(tx.tokens(F.col("caption"))).cast("long"))
+    )
+    reason = (
+        F.when(
+            (F.col("caption") == "")
+            | F.col("caption").isin(*_CAP_BLOCKLIST),
+            F.lit("caption_blocked"),
+        )
+        .when(~F.col("n_cap_tokens").between(3, 12), F.lit("caption_len"))
+        .when(
+            (F.least("w", "h") < 32)
+            | (F.greatest("w", "h") > 2 * F.least("w", "h")),
+            F.lit("dims"),
+        )
+        .when(F.col("cast"), F.lit("color_cast"))
+        .otherwise(F.lit("ok"))
+    )
+    election = F.array_min(F.array(*[
+        F.struct(
+            F.abs(F.expr("1000 * w div h") - t).alias("d"),
+            F.lit(t).alias("t"),
+            F.lit(n).alias("n"),
+        )
+        for t, n in _ASPECT_BUCKETS
+    ]))["n"]
+    v = t.withColumn("reason", reason)
+    ok = F.col("reason") == "ok"
+    return v.select(
+        "image_id", "caption", "w", "h", "fmt", "phash", "n_cap_tokens",
+        F.when(ok, election).alias("bucket"),
+        F.when(ok, digest60(F.col("image_id")) % _MANIFEST_SHARDS)
+        .alias("shard"),
+        "reason", ok.alias("keep"),
+    )
+
+
+# [U IIPC CDX-file dedupe; WARC 1.1 revisit records (ISO 28500 §6.7)] An
+# archival crawl stores a capture whose payload digest equals the URL's
+# most recent stored capture as a zero-byte `revisit` record pointing at
+# the original. The capture log derives per-(url, wave) content versions
+# (a running change count), the lag comparison is a per-url window —
+# partition key is the URL itself (10^10-scale cardinality, a few captures
+# each), so no skewed or single-task sort exists at any corpus size.
+
+_CDX_WAVES = 4
+
+
+@register(
+    "crawl_cdx_revisit",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey
+               AS url
+      FROM orders WHERE o_orderkey % 5 = 0),
+    cap AS (
+      SELECT url, CAST(g.w AS BIGINT) AS wave,
+             CASE WHEN g.w = 1 OR {sql_digest60("url || ':' || g.w")} % 3 = 0
+                  THEN 1 ELSE 0 END AS changed
+      FROM u, (SELECT unnest([1, 2, 3, 4]) AS w) g),
+    ver AS (
+      SELECT url, wave, changed,
+             sum(changed) OVER (PARTITION BY url ORDER BY wave
+               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM cap),
+    d AS (
+      SELECT url, wave,
+             {sql_digest60("url || '#v' || ver")} AS payload_digest,
+             (changed = 0) AS is_revisit
+      FROM ver)
+    SELECT url, wave, payload_digest,
+           CASE WHEN is_revisit THEN 'revisit' ELSE 'response' END
+             AS record_type,
+           CASE WHEN is_revisit THEN 0
+                ELSE 200 + payload_digest % 4000 END AS stored_bytes
+    FROM d
+    """,
+)
+def crawl_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style revisit dedup over an archival capture log (section
+    comment)."""
+    orders = load(spark, sf_dir, "orders")
+    u = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"), F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    cap = u.select(
+        "url",
+        F.explode(F.array(*[F.lit(w) for w in range(1, _CDX_WAVES + 1)]))
+        .alias("_w"),
+    ).select(
+        "url", F.col("_w").cast("long").alias("wave")
+    ).select(
+        "url", "wave",
+        F.when(
+            (F.col("wave") == 1)
+            | (digest60(F.concat(F.col("url"), F.lit(":"),
+                                 F.col("wave").cast("string"))) % 3 == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("changed"),
+    )
+    wv = Window.partitionBy("url").orderBy("wave").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ver = cap.select(
+        "url", "wave", "changed", F.sum("changed").over(wv).alias("ver")
+    )
+    d = ver.select(
+        "url", "wave",
+        digest60(F.concat(F.col("url"), F.lit("#v"),
+                          F.col("ver").cast("string")))
+        .alias("payload_digest"),
+        (F.col("changed") == 0).alias("is_revisit"),
+    )
+    return d.select(
+        "url", "wave", "payload_digest",
+        F.when(F.col("is_revisit"), F.lit("revisit"))
+        .otherwise(F.lit("response")).alias("record_type"),
+        F.when(F.col("is_revisit"), F.lit(0).cast("long"))
+        .otherwise(200 + F.col("payload_digest") % 4000)
+        .alias("stored_bytes"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -13594,6 +13781,9 @@ def stream_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-29 session (manifest capstone + CDX)
+    "img_pair_manifest",
+    "crawl_cdx_revisit",
     # new in the round-4 batch-28 session (hamming search + aspect packing)
     "img_phash_mih_search",
     "img_aspect_bucket",
