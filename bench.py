@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     # round-4 batch 29: manifest capstone + CDX revisit
     "img_pair_manifest",
     "crawl_cdx_revisit",
+    # round-4 batch 30: saliency crop + sentence segmentation
+    "img_saliency_crop",
+    "doc_sentence_split",
 ]
 
 

@@ -2195,3 +2195,68 @@ def png_text_metadata(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, PNG_TEXT_SCHEMA)
+
+
+# -- gradient-saliency smart crop ---------------------------------------------------
+# [U img2dataset center-crop; smartcrop.js] Training-prep square cropping
+# that keeps the busy region instead of the geometric center: the saliency
+# proxy is the L1 gradient energy e[y,x] = |g[y,x+1]-g[y,x]| +
+# |g[y+1,x]-g[y,x]| over the integer luma sum g = r+g+b, computed on the
+# (h-1)×(w-1) interior grid. The crop is the min(w,h) square whose center
+# chases the energy centroid (floor-division integer centroid over e-grid
+# indices), clamped into bounds. All arithmetic int64 → the independent
+# twin (scripts/gen_media_expected.expected_img_saliency) is bit-exact.
+
+SALIENCY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("cx", T.LongType(), False),
+        T.StructField("cy", T.LongType(), False),
+        T.StructField("crop_top", T.LongType(), False),
+        T.StructField("crop_left", T.LongType(), False),
+        T.StructField("crop_size", T.LongType(), False),
+        T.StructField("crop_digest", T.LongType(), False),
+    ]
+)
+
+
+def saliency_crop(images: DataFrame) -> DataFrame:
+    """(image_id, bytes) → saliency-centroid square crop (module comment).
+    Degenerate all-flat images (zero total energy) fall back to the
+    geometric center — the plain center-crop this upgrades."""
+    from ..xxh import xxh64
+
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                h, w, _ = pix.shape
+                g = pix.astype(np.int64).sum(axis=2)
+                dx = np.abs(g[:, 1:] - g[:, :-1])
+                dy = np.abs(g[1:, :] - g[:-1, :])
+                e = dx[: h - 1, :] + dy[:, : w - 1]
+                tot = int(e.sum())
+                if tot == 0:
+                    cx, cy = w // 2, h // 2
+                else:
+                    xs = np.arange(w - 1, dtype=np.int64)
+                    ys = np.arange(h - 1, dtype=np.int64)
+                    cx = int((e.sum(axis=0) * xs).sum()) // tot
+                    cy = int((e.sum(axis=1) * ys).sum()) // tot
+                size = min(w, h)
+                top = min(max(cy - size // 2, 0), h - size)
+                left = min(max(cx - size // 2, 0), w - size)
+                crop = pix[top : top + size, left : left + size]
+                u = xxh64(np.ascontiguousarray(crop).tobytes())
+                out.append(
+                    (iid, cx, cy, top, left, size,
+                     u - (1 << 64) if u >= (1 << 63) else u)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SALIENCY_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, SALIENCY_SCHEMA)

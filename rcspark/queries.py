@@ -10724,8 +10724,16 @@ def crawl_nofollow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("body"), '<meta name="robots" content="([^"]*)"', 1
     ).contains("nofollow")
     tags = F.regexp_extract_all(F.col("body"), F.lit("(<a [^>]*>)"), 1)
-    sel = pages.select(
-        "host", page_nf.alias("page_nofollow"), F.posexplode(tags).alias("_i", "tag")
+    # materialize the body-derived verdict BEFORE the explode: an
+    # expression in the same select as posexplode lands in the Project
+    # ABOVE Generate and re-runs the meta regexp over the ~half-MB body
+    # once per ANCHOR row (bench-measured 89 s vs 4 s at sf0.1). As an
+    # attribute it is computed once per page and merely carried through.
+    ex = pages.select(
+        "host", page_nf.alias("page_nofollow"), tags.alias("_tags")
+    )
+    sel = ex.select(
+        "host", "page_nofollow", F.posexplode("_tags").alias("_i", "tag")
     )
     rel_nf = F.regexp_extract(F.col("tag"), 'rel="([^"]*)"', 1).contains("nofollow")
     return sel.select(
@@ -13766,6 +13774,121 @@ def crawl_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 30: saliency smart-crop + sentence segmentation
+# =============================================================================
+# [U img2dataset center-crop; smartcrop.js] See multimodal.saliency_crop —
+# the square training crop chases the integer gradient-energy centroid
+# instead of the geometric center; the crop digest pins the exact pixel
+# window. Oracle joins the independent np.diff/divmod twin parquet.
+
+
+@register(
+    "img_saliency_crop",
+    oracle=f"""
+    SELECT e.image_id, e.cx, e.cy, e.crop_top, e.crop_left, e.crop_size,
+           e.crop_digest
+    FROM '{_MEDIA_EXPECTED}/img_saliency.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_saliency_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-saliency square crop (section comment)."""
+    from .datapipe.multimodal import saliency_crop
+
+    return saliency_crop(synthesize_images(_image_ids(spark, sf_dir)))
+
+
+# [U spaCy sentencizer; NLTK punkt] Sentence segmentation as pure column
+# expressions (zero shuffle — it rides inside whatever stage consumes it):
+# protect known abbreviations (Dr./Mr./…) behind a \\x02 sentinel, mark
+# sentence boundaries by rewriting "terminator + space" to
+# "terminator + \\x01", split, restore. RE2 (DuckDB) has no lookbehind, so
+# the protect-mark-split pipeline is the cross-engine-expressible form of
+# the usual lookbehind split. The corpus is PLANTED (testdata documents
+# carry no punctuation): deterministic 3-4 sentence paragraphs with
+# abbreviation traps and mid-token domain dots.
+
+_SENT_ABBREVS = ("Dr", "Mr", "Mrs", "Ms", "Prof", "vs", "etc")
+
+
+@register(
+    "doc_sentence_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             'Dr. Alpha logged part ' || o_orderkey || ' at h'
+               || (o_custkey % 50) || '.example. It cost '
+               || (o_orderkey % 97) || ' units! Was batch '
+               || (o_orderkey % 13) || ' cheap?'
+               || CASE WHEN o_orderkey % 2 = 0
+                       THEN ' Mr. Beta approved, etc. done.' ELSE '' END
+               AS text
+      FROM orders WHERE o_orderkey % 3 = 0),
+    m AS (
+      SELECT o_orderkey,
+             regexp_replace(
+               regexp_replace(text,
+                 '\\b({"|".join(_SENT_ABBREVS)})\\.', '\\1' || chr(2), 'g'),
+               '([.!?]) ', '\\1' || chr(1), 'g') AS marked
+      FROM d),
+    s AS (
+      SELECT o_orderkey, string_split(marked, chr(1)) AS parts FROM m),
+    x AS (
+      SELECT o_orderkey,
+             unnest(list_transform(range(1, len(parts) + 1),
+               i -> struct_pack(i := i,
+                                s := replace(parts[i], chr(2), '.')))) AS r
+      FROM s)
+    SELECT o_orderkey, CAST(r.i AS BIGINT) AS sent_idx, r.s AS sentence,
+           CAST(length(r.s) AS BIGINT) AS n_chars,
+           ({" OR ".join(f"r.s LIKE '%{a}.%'" for a in _SENT_ABBREVS)})
+             AS has_abbrev
+    FROM x WHERE r.s <> ''
+    """,
+)
+def doc_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (section comment): protect → mark → split →
+    restore, all codegen string expressions."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    text = F.concat(
+        F.lit("Dr. Alpha logged part "), k.cast("string"),
+        F.lit(" at h"), (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example. It cost "), (k % 97).cast("string"),
+        F.lit(" units! Was batch "), (k % 13).cast("string"),
+        F.lit(" cheap?"),
+        F.when(k % 2 == 0, F.lit(" Mr. Beta approved, etc. done."))
+        .otherwise(F.lit("")),
+    )
+    d = orders.filter(k % 3 == 0).select("o_orderkey", text.alias("text"))
+    marked = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"\b(" + "|".join(_SENT_ABBREVS) + r")\.", "$1\x02"
+        ),
+        r"([.!?]) ", "$1\x01",
+    )
+    s = d.select("o_orderkey", F.split(marked, "\x01").alias("parts"))
+    x = s.select(
+        "o_orderkey", F.posexplode("parts").alias("_i", "_p")
+    ).select(
+        "o_orderkey",
+        (F.col("_i") + 1).cast("long").alias("sent_idx"),
+        F.replace(F.col("_p"), F.lit("\x02"), F.lit(".")).alias("sentence"),
+    ).filter(F.col("sentence") != "")
+    has_abbrev = None
+    for a in _SENT_ABBREVS:
+        c = F.col("sentence").contains(f"{a}.")
+        has_abbrev = c if has_abbrev is None else (has_abbrev | c)
+    return x.select(
+        "o_orderkey", "sent_idx", "sentence",
+        F.length("sentence").cast("long").alias("n_chars"),
+        has_abbrev.alias("has_abbrev"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -13781,6 +13904,9 @@ def crawl_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-30 session (saliency crop + sentences)
+    "img_saliency_crop",
+    "doc_sentence_split",
     # new in the round-4 batch-29 session (manifest capstone + CDX)
     "img_pair_manifest",
     "crawl_cdx_revisit",

@@ -513,6 +513,49 @@ def expected_img_colorcast() -> pd.DataFrame:
               "n_px": "int64", "cast_ratio_permille": "int64"})
 
 
+def expected_img_saliency() -> pd.DataFrame:
+    """Saliency-crop twin: same shared make_image generator + xxh64 (the
+    id/digest hash both sides consume); gradients re-derived with np.diff
+    (engine: shifted-slice subtraction) and the centroid via flat-index
+    divmod accumulation (engine: per-axis marginal sums)."""
+    from rcspark.xxh import xxh64 as _xxh64
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        h, w, _ = pix.shape
+        g = pix.astype(np.int64).sum(axis=2)
+        dx = np.abs(np.diff(g, axis=1))
+        dy = np.abs(np.diff(g, axis=0))
+        e = dx[: h - 1, :] + dy[:, : w - 1]
+        tot = int(e.sum())
+        if tot == 0:
+            cx, cy = w // 2, h // 2
+        else:
+            flat = e.ravel()
+            idx = np.arange(flat.size, dtype=np.int64)
+            ys_i, xs_i = np.divmod(idx, w - 1)
+            cx = int((flat * xs_i).sum()) // tot
+            cy = int((flat * ys_i).sum()) // tot
+        size = min(w, h)
+        top = min(max(cy - size // 2, 0), h - size)
+        left = min(max(cx - size // 2, 0), w - size)
+        crop = pix[top : top + size, left : left + size]
+        u = _xxh64(np.ascontiguousarray(crop).tobytes())
+        rows.append(
+            (iid, np.int64(cx), np.int64(cy), np.int64(top), np.int64(left),
+             np.int64(size), np.int64(u - (1 << 64) if u >= (1 << 63) else u))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "cx", "cy", "crop_top", "crop_left",
+                 "crop_size", "crop_digest"],
+    ).astype({c: "int64" for c in
+              ("cx", "cy", "crop_top", "crop_left", "crop_size", "crop_digest")})
+
+
 def expected_img_equalize() -> pd.DataFrame:
     """Equalization twin: same shared make_image generator; the histogram,
     CDF, and LUT application are re-implemented with Python-int dict
@@ -1371,6 +1414,7 @@ def main() -> None:
         ("audio_resample", expected_audio_resample),
         ("img_domcolor", expected_img_domcolor),
         ("img_colorcast", expected_img_colorcast),
+        ("img_saliency", expected_img_saliency),
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
