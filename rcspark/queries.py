@@ -13481,6 +13481,27 @@ _ASPECT_BUCKETS = (
 _ASPECT_BATCH = 32
 
 
+def _aspect_election(aspect: F.Column) -> F.Column:
+    """Nearest-bucket name: argmin |aspect − target| with ties to the
+    smaller target. ONE rule shared by img_aspect_bucket and
+    img_pair_manifest (and mirrored by _aspect_election_sql) so the bucket
+    table can never drift between the packing and manifest views."""
+    return F.array_min(F.array(*[
+        F.struct(
+            F.abs(aspect - t).alias("d"),
+            F.lit(t).alias("t"),
+            F.lit(n).alias("n"),
+        )
+        for t, n in _ASPECT_BUCKETS
+    ]))["n"]
+
+
+def _aspect_election_sql(aspect_expr: str) -> str:
+    return ("list_min([" + ", ".join(
+        f"{{'d': abs({aspect_expr} - {t}), 't': {t}, 'n': '{n}'}}"
+        for t, n in _ASPECT_BUCKETS) + "])['n']")
+
+
 @register(
     "img_aspect_bucket",
     oracle=f"""
@@ -13490,10 +13511,7 @@ _ASPECT_BATCH = 32
       SELECT e.image_id, e.w, e.h, 1000 * e.w // e.h AS aspect_permille
       FROM '{_MEDIA_EXPECTED}/img_features.parquet' e JOIN ids USING (image_id)),
     b AS (
-      SELECT *,
-             list_min([{", ".join(
-                 f"{{'d': abs(aspect_permille - {t}), 't': {t}, 'n': '{n}'}}"
-                 for t, n in _ASPECT_BUCKETS)}])['n'] AS bucket
+      SELECT *, {_aspect_election_sql("aspect_permille")} AS bucket
       FROM f),
     s AS (
       SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY image_id) - 1
@@ -13514,15 +13532,9 @@ def img_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "w", "h",
         F.expr("1000 * w div h").cast("long").alias("aspect_permille"),
     )
-    election = F.array_min(F.array(*[
-        F.struct(
-            F.abs(F.col("aspect_permille") - t).alias("d"),
-            F.lit(t).alias("t"),
-            F.lit(n).alias("n"),
-        )
-        for t, n in _ASPECT_BUCKETS
-    ]))["n"]
-    b = f.select("*", election.alias("bucket")).withColumn("_one", F.lit(1))
+    b = f.select(
+        "*", _aspect_election(F.col("aspect_permille")).alias("bucket")
+    ).withColumn("_one", F.lit(1))
     s = tx.stratified_cumsum(b, "bucket", "image_id", "_one", out_col="seq")
     return s.select(
         "image_id", "w", "h", "aspect_permille", "bucket",
@@ -13625,10 +13637,8 @@ _MANIFEST_SHARDS = 64
       FROM t)
     SELECT image_id, caption, w, h, fmt, phash,
            CAST(n_cap_tokens AS BIGINT) AS n_cap_tokens,
-           CASE WHEN reason = 'ok' THEN
-             list_min([{", ".join(
-                 f"{{'d': abs(1000 * w // h - {t}), 't': {t}, 'n': '{n}'}}"
-                 for t, n in _ASPECT_BUCKETS)}])['n'] END AS bucket,
+           CASE WHEN reason = 'ok'
+                THEN {_aspect_election_sql("1000 * w // h")} END AS bucket,
            CASE WHEN reason = 'ok'
                 THEN {sql_digest60("image_id")} % {_MANIFEST_SHARDS} END
              AS shard,
@@ -13665,14 +13675,7 @@ def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cast"), F.lit("color_cast"))
         .otherwise(F.lit("ok"))
     )
-    election = F.array_min(F.array(*[
-        F.struct(
-            F.abs(F.expr("1000 * w div h") - t).alias("d"),
-            F.lit(t).alias("t"),
-            F.lit(n).alias("n"),
-        )
-        for t, n in _ASPECT_BUCKETS
-    ]))["n"]
+    election = _aspect_election(F.expr("1000 * w div h"))
     v = t.withColumn("reason", reason)
     ok = F.col("reason") == "ok"
     return v.select(

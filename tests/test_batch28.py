@@ -31,7 +31,9 @@ def test_mih_completeness_within_radius(spark):
     # EXACTLY what the banded search returned (MIH's pigeonhole claim)
     import pandas as pd
 
-    feats = pd.read_parquet("tests/data/media_expected/img_features.parquet")
+    from rcspark.queries import _MEDIA_EXPECTED
+
+    feats = pd.read_parquet(f"{_MEDIA_EXPECTED}/img_features.parquet")
     feats["k"] = feats.image_id.str[3:].astype(int)
     corpus = feats[feats.k < 200]  # sf0.001 part: p_partkey 0..199
     from rcspark.datapipe.hashing import digest60_py
