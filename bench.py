@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     # round-4 batch 30: saliency crop + sentence segmentation
     "img_saliency_crop",
     "doc_sentence_split",
+    # round-4 batch 31: palette census + retrieval eval
+    "img_median_cut_palette",
+    "emb_retrieval_mrr",
 ]
 
 

@@ -2260,3 +2260,88 @@ def saliency_crop(images: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, SALIENCY_SCHEMA)
+
+
+# -- median-cut palette quantization -----------------------------------------------
+# [U Heckbert 1982 "Color Image Quantization"; PIL Image.quantize] The
+# classic palette builder, pinned fully deterministic so the independent
+# twin (scripts/gen_media_expected.expected_img_palette) re-derives it
+# bit-for-bit from the written rules:
+#   - start with one box of ALL pixels (duplicates kept);
+#   - 4 rounds: split EVERY box with >1 distinct color (boxes with one
+#     color pass through), longest-range channel first (ties r > g > b),
+#     pixels ordered by (that channel, packed rgb), lower-median split
+#     (first half = len//2 pixels);
+#   - palette entry per box = floor mean per channel, entries sorted by
+#     packed rgb;
+#   - each pixel contributes its L2 distance to the NEAREST entry to the
+#     exact integer SSE (min distance only — tie identity is irrelevant).
+
+PALETTE_ROUNDS = 4
+
+PALETTE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_colors", T.IntegerType(), False),
+        T.StructField("palette_digest", T.LongType(), False),
+        T.StructField("sse", T.LongType(), False),
+    ]
+)
+
+
+def median_cut_palette(pix: "np.ndarray", rounds: int = PALETTE_ROUNDS) -> list[int]:
+    """(h, w, 3) uint8 → sorted packed-rgb palette per the module rules."""
+    flat = pix.reshape(-1, 3).astype(np.int64)
+    boxes = [flat]
+    for _ in range(rounds):
+        nxt = []
+        for b in boxes:
+            packed = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            if np.unique(packed).size <= 1:
+                nxt.append(b)
+                continue
+            rng = b.max(axis=0) - b.min(axis=0)
+            ax = int(np.argmax(rng))  # first max wins: r > g > b on ties
+            order = np.lexsort((packed, b[:, ax]))
+            half = b.shape[0] // 2
+            nxt.append(b[order[:half]])
+            nxt.append(b[order[half:]])
+        boxes = nxt
+    pal = sorted(
+        (int(m[0]) << 16) | (int(m[1]) << 8) | int(m[2])
+        for m in (bx.sum(axis=0) // bx.shape[0] for bx in boxes)
+    )
+    return pal
+
+
+def palette_quantize_stats(images: DataFrame) -> DataFrame:
+    """(image_id, bytes) → median-cut palette census: distinct palette
+    size, digest of the sorted packed palette, exact integer SSE of the
+    nearest-entry mapping."""
+    from ..xxh import xxh64
+
+    src = images.select("image_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                pix, _ = decode_image(bytes(data))
+                pal = sorted(set(median_cut_palette(pix)))
+                pc = np.array(
+                    [[(p >> 16) & 255, (p >> 8) & 255, p & 255] for p in pal],
+                    dtype=np.int64,
+                )
+                flat = pix.reshape(-1, 3).astype(np.int64)
+                d = ((flat[:, None, :] - pc[None, :, :]) ** 2).sum(axis=2)
+                sse = int(d.min(axis=1).sum())
+                u = xxh64(",".join(str(p) for p in pal).encode())
+                out.append(
+                    (iid, len(pal),
+                     u - (1 << 64) if u >= (1 << 63) else u, sse)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PALETTE_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, PALETTE_SCHEMA)

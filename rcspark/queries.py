@@ -13892,6 +13892,124 @@ def doc_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 31: palette quantization census + retrieval-eval metrics
+# =============================================================================
+# [U Heckbert 1982; PIL Image.quantize] See multimodal.median_cut_palette —
+# deterministic median-cut with written split/tie rules; the census row
+# (palette size, sorted-palette digest, exact integer SSE) is the
+# color-complexity signal a curation plane uses to drop flat banner art
+# and to parameterize GIF/PNG palette encoding. Oracle joins the
+# independent pure-Python twin parquet.
+
+
+@register(
+    "img_median_cut_palette",
+    oracle=f"""
+    SELECT e.image_id, e.n_colors, e.palette_digest, e.sse
+    FROM '{_MEDIA_EXPECTED}/img_palette.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 0) i USING (image_id)
+    """,
+)
+def img_median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut palette census (section comment)."""
+    from .datapipe.multimodal import palette_quantize_stats
+
+    return palette_quantize_stats(synthesize_images(_image_ids(spark, sf_dir)))
+
+
+# [U CLIP eval protocols; MTEB retrieval metrics] Training-time retrieval
+# evaluation over the planted pair table: for every image, rank its own
+# caption among the bucket-blocked caption candidates (the positive is
+# force-included — LSH blocking must not be able to hide it) by
+# (cosine desc, txt_id asc) and read off rank, reciprocal rank in exact
+# ppm (10^6 // rank), and hit@1/hit@5. The window partitions on img_id —
+# candidates per image are bucket-bounded, so no large sort exists.
+
+
+@register(
+    "emb_retrieval_mrr",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({{BUCKET}} AS BIGINT) AS bucket
+      FROM embeddings),
+    i AS (SELECT vec_id AS img_id, embedding AS iv, bucket FROM b
+          WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS txt_id, embedding AS tv, bucket FROM b
+          WHERE vec_id % 2 = 1),
+    cand AS (
+      SELECT i.img_id, t.txt_id, i.iv, t.tv FROM i JOIN t USING (bucket)
+      UNION
+      SELECT i.img_id, t.txt_id, i.iv, t.tv
+      FROM i JOIN t ON t.txt_id = xor(i.img_id, 1)),
+    scored AS (
+      SELECT img_id, txt_id,
+             {sim.sql_cosine('iv', 'tv', _EMB_DIM)} AS cos_sim
+      FROM cand),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY img_id ORDER BY cos_sim DESC, txt_id ASC) AS rnk
+      FROM scored)
+    SELECT img_id, CAST(count(*) AS BIGINT) AS n_cands,
+           CAST(min(CASE WHEN txt_id = xor(img_id, 1) THEN rnk END)
+                AS BIGINT) AS rank,
+           CAST(1000000 // min(CASE WHEN txt_id = xor(img_id, 1)
+                                    THEN rnk END) AS BIGINT) AS rr_ppm,
+           (min(CASE WHEN txt_id = xor(img_id, 1) THEN rnk END) = 1)
+             AS hit1,
+           (min(CASE WHEN txt_id = xor(img_id, 1) THEN rnk END) <= 5)
+             AS hit5
+    FROM r GROUP BY img_id
+    """.replace("{BUCKET}", _BUCKET_SQL),
+)
+def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image retrieval metrics (section comment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        sim.lsh_bucket(F.col("embedding"), dim=_EMB_DIM).cast("long")
+        .alias("bucket"),
+    )
+    i = b.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"), F.col("embedding").alias("_iv"),
+        "bucket",
+    )
+    t = b.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("txt_id"), F.col("embedding").alias("_tv"),
+        F.col("bucket").alias("_tb"),
+    )
+    blocked = i.join(t, F.col("_tb") == F.col("bucket")).select(
+        "img_id", "txt_id", "_iv", "_tv"
+    )
+    forced = i.join(
+        t, t["txt_id"] == i["img_id"].bitwiseXOR(F.lit(1))
+    ).select("img_id", "txt_id", "_iv", "_tv")
+    cand = blocked.union(forced).dropDuplicates(["img_id", "txt_id"])
+    scored = cand.select(
+        "img_id", "txt_id",
+        sim.cosine(F.col("_iv"), F.col("_tv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("img_id").orderBy(
+        F.col("cos_sim").desc(), F.col("txt_id").asc()
+    )
+    r = scored.withColumn("rnk", F.row_number().over(w))
+    pos = F.when(
+        F.col("txt_id") == F.col("img_id").bitwiseXOR(F.lit(1)),
+        F.col("rnk"),
+    )
+    agg = r.groupBy("img_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.min(pos).cast("long").alias("rank"),
+    )
+    return agg.select(
+        "img_id", "n_cands", "rank",
+        F.expr("1000000 div rank").alias("rr_ppm"),
+        (F.col("rank") == 1).alias("hit1"),
+        (F.col("rank") <= 5).alias("hit5"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -13907,6 +14025,9 @@ def doc_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-31 session (palette census + retrieval eval)
+    "img_median_cut_palette",
+    "emb_retrieval_mrr",
     # new in the round-4 batch-30 session (saliency crop + sentences)
     "img_saliency_crop",
     "doc_sentence_split",

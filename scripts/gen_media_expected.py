@@ -556,6 +556,63 @@ def expected_img_saliency() -> pd.DataFrame:
               ("cx", "cy", "crop_top", "crop_left", "crop_size", "crop_digest")})
 
 
+def expected_img_palette() -> pd.DataFrame:
+    """Median-cut palette twin: pure-Python lists/sorted() re-derivation of
+    the written rules (engine: numpy lexsort/argmin) — longest-range
+    channel with r>g>b ties, (channel, packed-rgb) pixel order,
+    lower-median split, floor means, sorted packed palette, nearest-entry
+    SSE with ties to the smaller packed value."""
+    from rcspark.xxh import xxh64 as _xxh64
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        data, _, _, _, _ = make_image(iid)
+        pix, _ = twin_decode_image(data)
+        pixels = [tuple(int(v) for v in p) for p in pix.reshape(-1, 3)]
+        boxes = [pixels]
+        for _ in range(4):
+            nxt = []
+            for b in boxes:
+                packs = {(r << 16) | (g << 8) | bl for r, g, bl in b}
+                if len(packs) <= 1:
+                    nxt.append(b)
+                    continue
+                rngs = [max(p[c] for p in b) - min(p[c] for p in b)
+                        for c in range(3)]
+                ax = rngs.index(max(rngs))
+                srt = sorted(b, key=lambda p: (p[ax],
+                                               (p[0] << 16) | (p[1] << 8) | p[2]))
+                half = len(srt) // 2
+                nxt.append(srt[:half])
+                nxt.append(srt[half:])
+            boxes = nxt
+        pal = sorted({
+            ((sum(p[0] for p in b) // len(b)) << 16)
+            | ((sum(p[1] for p in b) // len(b)) << 8)
+            | (sum(p[2] for p in b) // len(b))
+            for b in boxes
+        })
+        # SSE needs only the min distance (tie identity is irrelevant):
+        # running np.minimum over palette entries (engine: one 3-D
+        # broadcast + min(axis=1))
+        flat = pix.reshape(-1, 3).astype(np.int64)
+        best = None
+        for p in pal:
+            entry = np.array([(p >> 16) & 255, (p >> 8) & 255, p & 255],
+                             dtype=np.int64)
+            dd = ((flat - entry) ** 2).sum(axis=1)
+            best = dd if best is None else np.minimum(best, dd)
+        sse = int(best.sum())
+        u = _xxh64(",".join(str(p) for p in pal).encode())
+        rows.append((iid, np.int32(len(pal)),
+                     np.int64(u - (1 << 64) if u >= (1 << 63) else u),
+                     np.int64(sse)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "n_colors", "palette_digest", "sse"],
+    ).astype({"n_colors": "int32", "palette_digest": "int64", "sse": "int64"})
+
+
 def expected_img_equalize() -> pd.DataFrame:
     """Equalization twin: same shared make_image generator; the histogram,
     CDF, and LUT application are re-implemented with Python-int dict
@@ -1415,6 +1472,7 @@ def main() -> None:
         ("img_domcolor", expected_img_domcolor),
         ("img_colorcast", expected_img_colorcast),
         ("img_saliency", expected_img_saliency),
+        ("img_palette", expected_img_palette),
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
