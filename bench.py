@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     # round-4 batch 31: palette census + retrieval eval
     "img_median_cut_palette",
     "emb_retrieval_mrr",
+    # round-4 batch 32: edit-distance verify + frontier aging
+    "doc_edit_distance_pairs",
+    "crawl_priority_aging",
 ]
 
 

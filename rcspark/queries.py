@@ -14010,6 +14010,129 @@ def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 32: edit-distance verify tier + frontier aging
+# =============================================================================
+# [U Broder 1997 + Levenshtein verify tiers (ExactSubstr/NearDedup
+# pipelines)] The character-level sibling of doc_jaccard_pairs: exact edit
+# distance is scored ONLY for LSH candidate pairs (work linear in
+# candidates, never all-pairs), via the built-in unit-cost Levenshtein —
+# JVM-side in Spark, identical DP in DuckDB, so the distances themselves
+# are oracle-checkable. Catches the small-edit dups token-set Jaccard
+# under-scores (reordered shingles, punctuation edits).
+
+_EDIT_NEARDUP_DEN = 5  # near-dup when lev <= max_len // 5 (<= 20% edits)
+
+
+@register(
+    "doc_edit_distance_pairs",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash) WHERE b <= 1000),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    v AS (
+      SELECT c.doc_a, c.doc_b, CAST(c.n_bands AS BIGINT) AS n_bands,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+             CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
+      FROM cand c
+      JOIN documents ta ON ta.doc_id = c.doc_a
+      JOIN documents tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, n_bands, lev, max_len,
+           CAST(1000 * (max_len - lev) // max_len AS BIGINT) AS sim_permille,
+           (lev <= max_len // {_EDIT_NEARDUP_DEN}) AS is_neardup
+    FROM v
+    """,
+)
+def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify over LSH candidates (section
+    comment)."""
+    docs = load(spark, sf_dir, "documents")
+    cand = dd.lsh_candidate_pairs(
+        dd.minhash_rows(docs), min_bands=1, max_bucket=1000
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    v = (
+        cand.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.col("n_bands").cast("long").alias("n_bands"),
+            F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+            F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
+            .alias("max_len"),
+        )
+    )
+    return v.select(
+        "doc_a", "doc_b", "n_bands", "lev", "max_len",
+        F.expr("1000 * (max_len - lev) div max_len").alias("sim_permille"),
+        (F.col("lev") <= F.expr(f"max_len div {_EDIT_NEARDUP_DEN}"))
+        .alias("is_neardup"),
+    )
+
+
+# [U Mercator frontier; Heritrix precedence aging] Starvation guard for a
+# priority frontier: a URL that has waited W waves gets its priority
+# boosted one level per AGING_K waves (floor at 0 = most urgent), so
+# low-priority hosts are eventually scheduled even under a steady
+# high-priority influx. Pure projection — the boost rides the existing
+# schedule scan at any frontier size.
+
+_AGING_K = 3
+_AGING_NOW = 12  # the current wave the fixture evaluates at
+
+
+@register(
+    "crawl_priority_aging",
+    oracle=f"""
+    WITH f AS (
+      SELECT 'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey
+               AS url,
+             CAST(o_orderkey % 10 AS BIGINT) AS base_priority,
+             CAST({sql_digest60("'enq:' || o_orderkey")} % {_AGING_NOW}
+                  AS BIGINT) AS enqueued_wave
+      FROM orders)
+    SELECT url, base_priority, enqueued_wave,
+           CAST({_AGING_NOW} - enqueued_wave AS BIGINT) AS age_waves,
+           CAST(({_AGING_NOW} - enqueued_wave) // {_AGING_K} AS BIGINT)
+             AS boost,
+           CAST(greatest(base_priority
+                         - ({_AGING_NOW} - enqueued_wave) // {_AGING_K},
+                         0) AS BIGINT) AS eff_priority,
+           (({_AGING_NOW} - enqueued_wave) // {_AGING_K} > 0
+            AND base_priority > 0) AS promoted
+    FROM f
+    """,
+)
+def crawl_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier priority aging (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    f = orders.select(
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"), k.cast("string"),
+        ).alias("url"),
+        (k % 10).cast("long").alias("base_priority"),
+        (digest60(F.concat(F.lit("enq:"), k.cast("string"))) % _AGING_NOW)
+        .alias("enqueued_wave"),
+    )
+    age = F.lit(_AGING_NOW) - F.col("enqueued_wave")
+    boost = F.expr(f"({_AGING_NOW} - enqueued_wave) div {_AGING_K}")
+    return f.select(
+        "url", "base_priority", "enqueued_wave",
+        age.cast("long").alias("age_waves"),
+        boost.cast("long").alias("boost"),
+        F.greatest(F.col("base_priority") - boost, F.lit(0).cast("long"))
+        .cast("long").alias("eff_priority"),
+        ((boost > 0) & (F.col("base_priority") > 0)).alias("promoted"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14025,6 +14148,9 @@ def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-32 session (edit-distance verify + aging)
+    "doc_edit_distance_pairs",
+    "crawl_priority_aging",
     # new in the round-4 batch-31 session (palette census + retrieval eval)
     "img_median_cut_palette",
     "emb_retrieval_mrr",
