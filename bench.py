@@ -287,6 +287,8 @@ BENCH_QUERIES = [
     # round-4 batch 32: edit-distance verify + frontier aging
     "doc_edit_distance_pairs",
     "crawl_priority_aging",
+    # round-4 batch 33: shared-patch template detection
+    "img_shared_patch_pairs",
 ]
 
 

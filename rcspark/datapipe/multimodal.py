@@ -2345,3 +2345,100 @@ def palette_quantize_stats(images: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, PALETTE_SCHEMA)
+
+
+# -- shared-patch (watermark / template) detection -----------------------------------
+# [U LAION watermark filtering; Common Crawl boilerplate motifs] Images
+# from templated sites share EXACT pixel blocks (logos, header/footer
+# chrome) even when the photos differ; block-level signatures catch what
+# whole-image phash cannot (one shared 4×4 logo moves a 64-bit phash by
+# at most a bit or two — and a detector thresholded that tight drowns in
+# false pairs). The fixture corpus is built from per-block seeds
+# (splitmix64 streams — numpy-vectorized, shared generator):
+#   i = partkey // 10 (the image index); 32×32 RGB = 8×8 grid of 4×4
+#   blocks; block seed = k·1000003 + bx·8191 + by·131 (collision-free by
+#   range separation), then OVERRIDES in this order: i%5==0 plants the
+#   LOGO block (seed 777000001) at ((i·37)%8, (i·53)%8); i%7==0 plants
+#   HDR (777000002) at (0,0) and FTR (777000003) at (7,7) — later plants
+#   overwrite earlier ones on position collision.
+# The extractor digests the PIXELS of every block (xxh64, signed), so the
+# signature rows cross-check construction + extraction against the
+# independent twin (scripts/gen_media_expected.expected_img_blocks).
+
+PATCH_GRID = 8
+PATCH_PX = 4
+_PATCH_LOGO_SEED = 777000001
+_PATCH_HDR_SEED = 777000002
+_PATCH_FTR_SEED = 777000003
+
+PATCH_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bx", T.IntegerType(), False),
+        T.StructField("by", T.IntegerType(), False),
+        T.StructField("block_sig", T.LongType(), False),
+    ]
+)
+
+
+def patch_block_seeds(k: int) -> dict[tuple[int, int], int]:
+    """(bx, by) → seed per the module rules (shared construction)."""
+    i = k // 10
+    seeds = {
+        (bx, by): k * 1000003 + bx * 8191 + by * 131
+        for bx in range(PATCH_GRID) for by in range(PATCH_GRID)
+    }
+    if i % 5 == 0:
+        seeds[((i * 37) % 8, (i * 53) % 8)] = _PATCH_LOGO_SEED
+    if i % 7 == 0:
+        seeds[(0, 0)] = _PATCH_HDR_SEED
+        seeds[(7, 7)] = _PATCH_FTR_SEED
+    return seeds
+
+
+def build_patch_image(k: int) -> "np.ndarray":
+    """32×32×3 uint8 from the block-seed map (splitmix64 byte streams)."""
+    from ..xxh import splitmix64
+
+    img = np.zeros((PATCH_GRID * PATCH_PX, PATCH_GRID * PATCH_PX, 3),
+                   dtype=np.uint8)
+    n64 = (PATCH_PX * PATCH_PX * 3 + 7) // 8
+    for (bx, by), seed in patch_block_seeds(k).items():
+        words = splitmix64(
+            np.arange(n64, dtype=np.uint64) + np.uint64(seed) * np.uint64(48)
+        )
+        block = words.view(np.uint8)[: PATCH_PX * PATCH_PX * 3].reshape(
+            PATCH_PX, PATCH_PX, 3
+        )
+        img[by * PATCH_PX:(by + 1) * PATCH_PX,
+            bx * PATCH_PX:(bx + 1) * PATCH_PX] = block
+    return img
+
+
+def patch_signatures(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """ids → one row per 4×4 block: xxh64 signature of the block PIXELS
+    (signed int64). Extraction slices the assembled image — the twin
+    re-derives via a reshape/transpose path."""
+    from ..xxh import xxh64
+
+    src = ids.select(F.col(id_col).cast("string").alias("image_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                img = build_patch_image(int(iid[3:]))
+                for by in range(PATCH_GRID):
+                    for bx in range(PATCH_GRID):
+                        blk = img[by * PATCH_PX:(by + 1) * PATCH_PX,
+                                  bx * PATCH_PX:(bx + 1) * PATCH_PX]
+                        u = xxh64(np.ascontiguousarray(blk).tobytes())
+                        out.append(
+                            (iid, bx, by,
+                             u - (1 << 64) if u >= (1 << 63) else u)
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PATCH_SIG_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, PATCH_SIG_SCHEMA)

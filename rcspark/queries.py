@@ -14133,6 +14133,82 @@ def crawl_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 33: shared-patch watermark / template detection
+# =============================================================================
+# [U LAION watermark filtering] See multimodal.patch_signatures — exact
+# 4×4 block signatures catch shared logos / header-footer chrome that
+# whole-image phash cannot. Pair derivation is pure SQL over the
+# signature rows (only block extraction relies on the twin parquet):
+# bucket-capped sig equi-join (the phash _PHASH_MAX_BUCKET pattern — a
+# mega-cluster motif gets dropped, production samples it instead),
+# per-pair shared/aligned counts, template verdict at >= 2 shared blocks
+# (one shared block = watermark-grade, two+ = page chrome).
+
+_PATCH_MAX_BUCKET = 1000
+_TEMPLATE_MIN_SHARED = 2
+
+
+@register(
+    "img_shared_patch_pairs",
+    oracle=f"""
+    WITH ids AS (
+      SELECT 'img' || p_partkey AS image_id FROM part WHERE p_partkey % 10 = 0),
+    b AS (
+      SELECT e.image_id, e.bx, e.by, e.block_sig
+      FROM '{_MEDIA_EXPECTED}/img_blocks.parquet' e JOIN ids USING (image_id)),
+    sizes AS (SELECT block_sig, count(*) AS c FROM b GROUP BY 1),
+    bb AS (
+      SELECT b.* FROM b JOIN sizes USING (block_sig)
+      WHERE c BETWEEN 2 AND {_PATCH_MAX_BUCKET}),
+    p AS (
+      SELECT a.image_id AS img_a, c.image_id AS img_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN a.bx = c.bx AND a.by = c.by
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned
+      FROM bb a JOIN bb c USING (block_sig)
+      WHERE a.image_id < c.image_id
+      GROUP BY 1, 2)
+    SELECT img_a, img_b, n_shared, n_aligned,
+           (n_shared >= {_TEMPLATE_MIN_SHARED}) AS is_template
+    FROM p
+    """,
+)
+def img_shared_patch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-patch watermark/template pairs (section comment)."""
+    from .datapipe.multimodal import patch_signatures
+
+    b = patch_signatures(_image_ids(spark, sf_dir)).persist()
+    sizes = b.groupBy("block_sig").agg(F.count(F.lit(1)).alias("_c"))
+    bb = b.join(
+        sizes.filter(F.col("_c").between(2, _PATCH_MAX_BUCKET)), "block_sig"
+    )
+    a = bb.select(
+        "block_sig", F.col("image_id").alias("img_a"),
+        F.col("bx").alias("_ax"), F.col("by").alias("_ay"),
+    )
+    c = bb.select(
+        "block_sig", F.col("image_id").alias("img_b"),
+        F.col("bx").alias("_bx"), F.col("by").alias("_by"),
+    )
+    p = (
+        a.join(c, "block_sig")
+        .filter(F.col("img_a") < F.col("img_b"))
+        .groupBy("img_a", "img_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(
+                F.when((F.col("_ax") == F.col("_bx"))
+                       & (F.col("_ay") == F.col("_by")), 1).otherwise(0)
+            ).cast("long").alias("n_aligned"),
+        )
+    )
+    return p.select(
+        "img_a", "img_b", "n_shared", "n_aligned",
+        (F.col("n_shared") >= _TEMPLATE_MIN_SHARED).alias("is_template"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14148,6 +14224,8 @@ def crawl_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-33 session (shared-patch template detection)
+    "img_shared_patch_pairs",
     # new in the round-4 batch-32 session (edit-distance verify + aging)
     "doc_edit_distance_pairs",
     "crawl_priority_aging",

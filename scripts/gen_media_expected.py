@@ -613,6 +613,34 @@ def expected_img_palette() -> pd.DataFrame:
     ).astype({"n_colors": "int32", "palette_digest": "int64", "sse": "int64"})
 
 
+def expected_img_blocks() -> pd.DataFrame:
+    """Shared-patch twin: same seed map + splitmix64 byte streams (shared
+    construction, like make_image), but block EXTRACTION goes through one
+    reshape(G, P, G, P, 3) + transpose instead of the engine's 2-D
+    slicing loops; signatures are the same signed xxh64 over block bytes."""
+    from rcspark.datapipe.multimodal import (
+        PATCH_GRID as G,
+        PATCH_PX as P,
+        build_patch_image,
+    )
+    from rcspark.xxh import xxh64 as _xxh64
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        img = build_patch_image(k)
+        blocks = img.reshape(G, P, G, P, 3).transpose(0, 2, 1, 3, 4)
+        for by in range(G):
+            for bx in range(G):
+                u = _xxh64(np.ascontiguousarray(blocks[by, bx]).tobytes())
+                rows.append(
+                    (f"img{k}", np.int32(bx), np.int32(by),
+                     np.int64(u - (1 << 64) if u >= (1 << 63) else u))
+                )
+    return pd.DataFrame(
+        rows, columns=["image_id", "bx", "by", "block_sig"],
+    ).astype({"bx": "int32", "by": "int32", "block_sig": "int64"})
+
+
 def expected_img_equalize() -> pd.DataFrame:
     """Equalization twin: same shared make_image generator; the histogram,
     CDF, and LUT application are re-implemented with Python-int dict
@@ -1473,6 +1501,7 @@ def main() -> None:
         ("img_colorcast", expected_img_colorcast),
         ("img_saliency", expected_img_saliency),
         ("img_palette", expected_img_palette),
+        ("img_blocks", expected_img_blocks),
         ("img_equalize", expected_img_equalize),
         ("img_jpeg", expected_img_jpeg),
         ("img_jpeg_quality", expected_img_jpeg_quality),
