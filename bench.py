@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "crawl_priority_aging",
     # round-4 batch 33: shared-patch template detection
     "img_shared_patch_pairs",
+    # round-4 batch 34: streaming manifest twin
+    "stream_pair_manifest",
 ]
 
 

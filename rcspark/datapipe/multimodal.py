@@ -2442,3 +2442,52 @@ def patch_signatures(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
             )
 
     return src.mapInPandas(run, PATCH_SIG_SCHEMA)
+
+
+# -- streaming pair-manifest features --------------------------------------------------
+# [U img2dataset streaming ingest] The one Arrow pass a STREAMING pair
+# manifest needs: given (image_id, caption) rows arriving on a stream,
+# synthesize/fetch the image, decode once, and emit the decode-derived
+# gate inputs (w, h, fmt, phash, gray-world cast) with the caption riding
+# through — so every downstream manifest gate stays a codegen projection
+# and the whole cascade runs identically in batch and streaming
+# (pinned: stream_pair_manifest vs img_pair_manifest row equality).
+
+PAIR_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("cast", T.BooleanType(), False),
+    ]
+)
+
+
+def pair_stream_features(
+    pairs: DataFrame, permille: int = COLOR_CAST_PERMILLE
+) -> DataFrame:
+    """(image_id, caption) → + decode-derived manifest gate inputs."""
+    from ..fixtures import make_image
+
+    src = pairs.select("image_id", "caption")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, cap in zip(pdf["image_id"], pdf["caption"]):
+                data, _, _, _, _ = make_image(iid)
+                pix, fmt = decode_image(data)
+                sums = pix.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                ratio = 1000 * int(sums.max()) // max(int(sums.min()), 1)
+                out.append(
+                    (iid, cap, pix.shape[1], pix.shape[0], fmt,
+                     phash64(pix), ratio > permille)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PAIR_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, PAIR_FEATURES_SCHEMA)

@@ -13614,10 +13614,19 @@ def stream_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MANIFEST_SHARDS = 64
 
+# the ONE gate-cascade rule — shared by the batch capstone and its
+# streaming twin (stream_pair_manifest), which must produce row-identical
+# manifests; both register the same oracle below.
+_MANIFEST_REASON_SQL = f"""CASE
+                  WHEN caption = '' OR caption IN {_CAP_BLOCKLIST!r}
+                    THEN 'caption_blocked'
+                  WHEN n_cap_tokens NOT BETWEEN 3 AND 12 THEN 'caption_len'
+                  WHEN LEAST(w, h) < 32 OR GREATEST(w, h) > 2 * LEAST(w, h)
+                    THEN 'dims'
+                  WHEN is_cast THEN 'color_cast'
+                  ELSE 'ok' END"""
 
-@register(
-    "img_pair_manifest",
-    oracle=f"""
+_PAIR_MANIFEST_ORACLE = f"""
     WITH {_CAP_PAIRS_SQL},
     cc AS (
       SELECT c.image_id, c."cast" AS is_cast
@@ -13625,16 +13634,7 @@ _MANIFEST_SHARDS = 64
     t AS (
       SELECT p.*, len({tx.sql_tokens('caption')}) AS n_cap_tokens, cc.is_cast
       FROM pairs p JOIN cc USING (image_id)),
-    v AS (
-      SELECT *,
-             CASE WHEN caption = '' OR caption IN {_CAP_BLOCKLIST!r}
-                    THEN 'caption_blocked'
-                  WHEN n_cap_tokens NOT BETWEEN 3 AND 12 THEN 'caption_len'
-                  WHEN LEAST(w, h) < 32 OR GREATEST(w, h) > 2 * LEAST(w, h)
-                    THEN 'dims'
-                  WHEN is_cast THEN 'color_cast'
-                  ELSE 'ok' END AS reason
-      FROM t)
+    v AS (SELECT *, {_MANIFEST_REASON_SQL} AS reason FROM t)
     SELECT image_id, caption, w, h, fmt, phash,
            CAST(n_cap_tokens AS BIGINT) AS n_cap_tokens,
            CASE WHEN reason = 'ok'
@@ -13644,23 +13644,14 @@ _MANIFEST_SHARDS = 64
              AS shard,
            reason, (reason = 'ok') AS keep
     FROM v
-    """,
-)
-def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-pair manifest (section comment): first-failing
-    gate precedence caption_blocked → caption_len → dims → color_cast."""
-    from .datapipe.multimodal import color_cast_gate
+    """
 
-    pairs = _caption_pairs(spark, sf_dir)
-    cast = color_cast_gate(pairs.select("image_id", "bytes")).select(
-        "image_id", "cast"
-    )
-    t = (
-        pairs.join(cast, "image_id")
-        .withColumn("n_cap_tokens",
-                    F.size(tx.tokens(F.col("caption"))).cast("long"))
-    )
-    reason = (
+
+def _manifest_reason() -> F.Column:
+    """Spark side of _MANIFEST_REASON_SQL: first-failing gate precedence
+    caption_blocked → caption_len → dims → color_cast. Expects columns
+    caption, n_cap_tokens, w, h, cast."""
+    return (
         F.when(
             (F.col("caption") == "")
             | F.col("caption").isin(*_CAP_BLOCKLIST),
@@ -13675,8 +13666,12 @@ def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cast"), F.lit("color_cast"))
         .otherwise(F.lit("ok"))
     )
+
+
+def _manifest_select(v: DataFrame) -> DataFrame:
+    """Final manifest projection (shared batch/stream): placement columns
+    only for kept rows."""
     election = _aspect_election(F.expr("1000 * w div h"))
-    v = t.withColumn("reason", reason)
     ok = F.col("reason") == "ok"
     return v.select(
         "image_id", "caption", "w", "h", "fmt", "phash", "n_cap_tokens",
@@ -13685,6 +13680,24 @@ def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard"),
         "reason", ok.alias("keep"),
     )
+
+
+@register("img_pair_manifest", oracle=_PAIR_MANIFEST_ORACLE)
+def img_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-pair manifest (section comment): first-failing
+    gate precedence caption_blocked → caption_len → dims → color_cast."""
+    from .datapipe.multimodal import color_cast_gate
+
+    pairs = _caption_pairs(spark, sf_dir)
+    cast = color_cast_gate(pairs.select("image_id", "bytes")).select(
+        "image_id", "cast"
+    )
+    t = (
+        pairs.join(cast, "image_id")
+        .withColumn("n_cap_tokens",
+                    F.size(tx.tokens(F.col("caption"))).cast("long"))
+    )
+    return _manifest_select(t.withColumn("reason", _manifest_reason()))
 
 
 # [U IIPC CDX-file dedupe; WARC 1.1 revisit records (ISO 28500 §6.7)] An
@@ -14209,6 +14222,54 @@ def img_shared_patch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 34: the manifest capstone, streaming
+# =============================================================================
+# [U img2dataset streaming ingest; Structured Streaming] The whole
+# img_pair_manifest gate cascade over the acquisition STREAM: pairs arrive
+# on a file stream, one Arrow pass (multimodal.pair_stream_features)
+# derives the decode-side gate inputs with the caption riding through, and
+# every gate/placement column is the SAME shared codegen rule as the batch
+# capstone (_manifest_reason/_manifest_select) — so the query registers
+# the IDENTICAL oracle and the driver hash pins streaming == batch. Pure
+# map lane: append mode, no state store, no shuffle.
+
+
+@register("stream_pair_manifest", oracle=_PAIR_MANIFEST_ORACLE)
+def stream_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-pair manifest (section comment)."""
+    import uuid
+
+    from .datapipe.multimodal import pair_stream_features
+    from .streaming import file_stream_dir
+
+    part_schema = load(spark, sf_dir, "part").schema
+    pairs = (
+        spark.readStream.schema(part_schema)
+        .parquet(file_stream_dir(sf_dir, "part"))
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("img"), F.col("p_partkey").cast("string"))
+            .alias("image_id"),
+            _caption_col().alias("caption"),
+        )
+    )
+    feats = pair_stream_features(pairs).withColumn(
+        "n_cap_tokens", F.size(tx.tokens(F.col("caption"))).cast("long")
+    )
+    out = _manifest_select(feats.withColumn("reason", _manifest_reason()))
+    sink = f"stream_manifest_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14224,6 +14285,8 @@ def img_shared_patch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-34 session (streaming manifest twin)
+    "stream_pair_manifest",
     # new in the round-4 batch-33 session (shared-patch template detection)
     "img_shared_patch_pairs",
     # new in the round-4 batch-32 session (edit-distance verify + aging)
