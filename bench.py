@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "img_shared_patch_pairs",
     # round-4 batch 34: streaming manifest twin
     "stream_pair_manifest",
+    # round-4 batch 35: sitemap-index recursion
+    "crawl_sitemap_index",
 ]
 
 

@@ -14270,6 +14270,133 @@ def stream_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 35: nested sitemap-index recursion
+# =============================================================================
+# [U sitemaps.org protocol §sitemapindex; scrapy SitemapSpider._parse_sitemap]
+# Large sites publish a <sitemapindex> of child sitemaps; the spider
+# recurses one level (the protocol nests exactly once). Level 1 parses the
+# index into (host, child_seq, child_loc); the fetch of each child is the
+# equi-join on child_loc (at crawl scale: the fetch table keyed by URL);
+# level 2 is the existing sitemap_entries parse. Deeper ad-hoc chains
+# would use the pointer-doubling shape (crawl_pagination_chain) — the
+# protocol itself needs none.
+
+_SMI_CHILDREN = 3
+
+
+@register(
+    "crawl_sitemap_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey % 20 AS hn, o_orderkey % {_SMI_CHILDREN} AS c,
+             '<url><loc>http://h' || (o_custkey % 20) || '.example/o/'
+               || o_orderkey || '</loc><lastmod>'
+               || strftime(o_orderdate, '%Y-%m-%d')
+               || '</lastmod></url>' AS e
+      FROM orders),
+    ch AS (
+      SELECT hn, c,
+             'http://h' || hn || '.example/sitemap-' || c || '.xml'
+               AS child_loc,
+             '<urlset>' || string_agg(e, '' ORDER BY e) || '</urlset>'
+               AS body
+      FROM base GROUP BY 1, 2),
+    idx AS (
+      SELECT hn,
+             '<sitemapindex>' || string_agg(
+               '<sitemap><loc>' || child_loc || '</loc></sitemap>', ''
+               ORDER BY child_loc) || '</sitemapindex>' AS ibody
+      FROM ch GROUP BY 1),
+    l1x AS (
+      SELECT hn, regexp_extract_all(ibody, '<loc>([^<]*)</loc>', 1) AS locs
+      FROM idx),
+    l1 AS (
+      SELECT hn,
+             unnest(list_transform(range(1, len(locs) + 1), i ->
+               {{'i': CAST(i AS BIGINT), 's': locs[i]}})) AS u
+      FROM l1x),
+    j AS (
+      SELECT 'h' || l1.hn AS host, struct_extract(u, 'i') AS child_seq,
+             struct_extract(u, 's') AS child_loc, ch.body
+      FROM l1 JOIN ch ON ch.child_loc = struct_extract(l1.u, 's')),
+    ex AS (
+      SELECT host, child_seq, child_loc,
+             regexp_extract_all(body, '<loc>([^<]*)</loc>', 1) AS locs,
+             regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+      FROM j),
+    sel AS (
+      SELECT host, child_seq, child_loc,
+             unnest(list_transform(range(1, len(locs) + 1), i ->
+               {{'seq': CAST(i AS BIGINT), 'loc': locs[i],
+                 'lastmod': mods[i]}})) AS u
+      FROM ex)
+    SELECT host, child_seq, child_loc,
+           struct_extract(u, 'seq') AS seq, struct_extract(u, 'loc') AS loc,
+           struct_extract(u, 'lastmod') AS lastmod
+    FROM sel
+    """,
+)
+def crawl_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested sitemap-index recursion (section comment)."""
+    from .relational import sitemap_entries
+
+    orders = load(spark, sf_dir, "orders")
+    hn = F.col("o_custkey") % 20
+    entry = F.concat(
+        F.lit("<url><loc>http://h"), hn.cast("string"), F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"), F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod></url>"),
+    )
+    base = orders.select(
+        hn.alias("hn"), (F.col("o_orderkey") % _SMI_CHILDREN).alias("c"),
+        entry.alias("_e"),
+    )
+    ch = base.groupBy("hn", "c").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(F.array_sort(F.collect_list("_e")), ""),
+            F.lit("</urlset>"),
+        ).alias("body")
+    ).select(
+        "hn",
+        F.concat(
+            F.lit("http://h"), F.col("hn").cast("string"),
+            F.lit(".example/sitemap-"), F.col("c").cast("string"),
+            F.lit(".xml"),
+        ).alias("child_loc"),
+        "body",
+    )
+    idx = ch.select(
+        "hn",
+        F.concat(F.lit("<sitemap><loc>"), F.col("child_loc"),
+                 F.lit("</loc></sitemap>")).alias("_s"),
+    ).groupBy("hn").agg(
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(F.array_sort(F.collect_list("_s")), ""),
+            F.lit("</sitemapindex>"),
+        ).alias("ibody")
+    )
+    l1x = idx.select(
+        "hn",
+        F.regexp_extract_all(F.col("ibody"), F.lit("<loc>([^<]*)</loc>"), 1)
+        .alias("_locs"),
+    )
+    l1 = l1x.select(
+        "hn", F.posexplode("_locs").alias("_i", "child_loc")
+    ).select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        (F.col("_i") + 1).cast("long").alias("child_seq"),
+        "child_loc",
+    )
+    j = l1.join(ch.select("child_loc", "body"), "child_loc").select(
+        "host", "child_seq", "child_loc", "body"
+    )
+    return sitemap_entries(j)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14285,6 +14412,8 @@ def stream_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # new in the round-4 batch-35 session (sitemap-index recursion)
+    "crawl_sitemap_index",
     # new in the round-4 batch-34 session (streaming manifest twin)
     "stream_pair_manifest",
     # new in the round-4 batch-33 session (shared-patch template detection)
