@@ -293,6 +293,9 @@ BENCH_QUERIES = [
     "stream_pair_manifest",
     # round-4 batch 35: sitemap-index recursion
     "crawl_sitemap_index",
+    # round-4 batch 36: seasonality + Zipf readout
+    "events_hourly_seasonality",
+    "doc_zipf_rank_freq",
 ]
 
 
