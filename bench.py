@@ -296,6 +296,10 @@ BENCH_QUERIES = [
     # round-4 batch 36: seasonality + Zipf readout
     "events_hourly_seasonality",
     "doc_zipf_rank_freq",
+    # round-5 batch 37: proxy/auth middleware + fingerprint audit
+    "crawl_proxy_rotation",
+    "crawl_http_auth",
+    "crawl_fingerprint_audit",
 ]
 
 

@@ -272,6 +272,8 @@ def _ssim_ppm_exact(orig: np.ndarray, dec: np.ndarray) -> tuple[int, int]:
     x, y = luma(orig), luma(dec)
     h, w = x.shape
     bh, bw = h // 8, w // 8
+    if bh == 0 or bw == 0:
+        raise ValueError(f"SSIM needs >= 8x8 pixels, got {h}x{w}")
 
     def bsum(a: np.ndarray) -> np.ndarray:
         return a[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8).sum(axis=(1, 3))

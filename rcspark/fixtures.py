@@ -336,6 +336,61 @@ def make_speech_samples(audio_id: str, rate: int = 8000, frame: int = 160) -> np
     return np.concatenate(out)
 
 
+_ARRIVAL_CLASSES = (
+    "png", "jpeg", "gif", "bmp", "webp_vp8l",      # decodable (real codecs)
+    "webp_vp8", "webp_vp8x",                        # unsupported lossy/ext
+    "trunc_png",                                    # corrupt
+    "garbage",                                      # unknown container
+)
+
+
+def make_mixed_arrival(image_id: str, cls: int) -> bytes:
+    """Shared data GENERATOR (round 5, quarantine plane): one wire arrival
+    of class ``cls % 9`` — five real decodable encodings of the smooth
+    fixture, a syntactically-valid RIFF/WEBP container whose payload is a
+    lossy 'VP8 ' (resp. extended 'VP8X') chunk the pure-Python stack
+    cannot decode, a PNG truncated mid-IDAT, and magic-less garbage. The
+    quarantine operator must decode the first five and ROUTE (never raise
+    on) the last four."""
+    import struct as _struct
+
+    kind = _ARRIVAL_CLASSES[cls % len(_ARRIVAL_CLASSES)]
+    h64 = xxh64(image_id.encode())
+    if kind in ("png", "trunc_png"):
+        from .png import encode_png
+
+        data = encode_png(make_smooth_image(image_id))
+        if kind == "png":
+            return data
+        return data[: max(40, int(len(data) * 0.6))]
+    if kind == "jpeg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(make_smooth_image(image_id), quality=80)
+    if kind == "gif":
+        from .gif import encode_gif
+
+        return encode_gif(make_smooth_image(image_id))
+    if kind == "bmp":
+        from .bmp import encode_bmp
+
+        return encode_bmp(make_smooth_image(image_id))
+    if kind == "webp_vp8l":
+        from .webp import encode_webp
+
+        return encode_webp(make_smooth_image(image_id))
+    if kind in ("webp_vp8", "webp_vp8x"):
+        fourcc = b"VP8 " if kind == "webp_vp8" else b"VP8X"
+        payload = bytes(
+            (h64 >> (8 * (i % 8))) & 255 for i in range(16)
+        )
+        chunk = fourcc + _struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    # garbage: deterministic bytes with no known magic
+    rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+    return b"\x00\x01" + rng.integers(0, 256, 62, dtype=np.uint8).tobytes()
+
+
 def make_watermarked(image_id: str) -> "np.ndarray":
     """Shared data GENERATOR (batch 22, like make_smooth_image): the smooth
     fixture with a deterministic solid watermark stamped into the

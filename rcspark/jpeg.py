@@ -798,6 +798,10 @@ def _find_exif_app1(data: bytes) -> tuple[int, int] | None:
             i += 2
             continue
         seg_end = i + 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        if seg_end > len(data):
+            # truncated/hostile declared length — never mis-span a
+            # replacement region past the buffer (ADVICE r4)
+            raise ValueError("JPEG segment length exceeds buffer")
         if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
             return i, seg_end
         i = seg_end

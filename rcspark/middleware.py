@@ -424,12 +424,15 @@ _ROBOTS_META = '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
 
 
 def robots_meta_cols(header_tag: Column, body: Column) -> dict[str, Column]:
-    meta = F.regexp_extract(body, _ROBOTS_META, 1)
+    # coalesce BOTH sources to '' — a NULL X-Robots-Tag header (the common
+    # case) must not null the whole concat and mask a meta-tag directive
+    meta = F.regexp_extract(F.coalesce(body, F.lit("")), _ROBOTS_META, 1)
     combined = F.concat(
         F.lit(","),
         F.replace(F.lower(meta), F.lit(" "), F.lit("")),
         F.lit(","),
-        F.replace(F.lower(header_tag), F.lit(" "), F.lit("")),
+        F.replace(F.lower(F.coalesce(header_tag, F.lit(""))), F.lit(" "),
+                  F.lit("")),
         F.lit(","),
     )
     noindex = combined.contains(",noindex,") | combined.contains(",none,")
@@ -438,10 +441,10 @@ def robots_meta_cols(header_tag: Column, body: Column) -> dict[str, Column]:
 
 
 def sql_robots_meta(header_tag: str, body: str) -> dict[str, str]:
-    meta = f"regexp_extract({body}, '{_ROBOTS_META}', 1)"
+    meta = f"regexp_extract(coalesce({body}, ''), '{_ROBOTS_META}', 1)"
     combined = (
         f"(',' || replace(lower({meta}), ' ', '') || ','"
-        f" || replace(lower({header_tag}), ' ', '') || ',')"
+        f" || replace(lower(coalesce({header_tag}, '')), ' ', '') || ',')"
     )
     return {
         "noindex": f"(position(',noindex,' IN {combined}) > 0"

@@ -11700,7 +11700,7 @@ _GATE_EXTS = (".pdf", ".exe", ".jpg")  # pinned IGNORED_EXTENSIONS subset
              split_part(url, ':', 1) AS scheme,
              CAST(len(url) AS BIGINT) AS url_len,
              CASE WHEN split_part(url, ':', 1) IN ('http', 'https')
-               THEN regexp_extract(url, '([.][a-z0-9]+)([?][^/]*)?$', 1)
+               THEN regexp_extract(lower(url), '([.][a-z0-9]+)([?][^ ]*)?$', 1)
                ELSE '' END AS ext
       FROM urls)
     SELECT p_partkey, scheme, ext, kind, url_len,
@@ -11745,9 +11745,12 @@ def crawl_request_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
     )
     scheme = F.substring_index(F.col("url"), ":", 1)
+    # lowercase before extraction so '.PDF' gates like '.pdf', and let the
+    # query tail contain '/' ('.jpg?next=/a' still gates) — ADVICE r4
     ext = F.when(
         scheme.isin("http", "https"),
-        F.regexp_extract(F.col("url"), "([.][a-z0-9]+)([?][^/]*)?$", 1),
+        F.regexp_extract(F.lower(F.col("url")),
+                         "([.][a-z0-9]+)([?][^ ]*)?$", 1),
     ).otherwise(F.lit(""))
     feats = urls.select(
         "p_partkey", "kind",
@@ -14032,6 +14035,15 @@ def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JVM-side in Spark, identical DP in DuckDB, so the distances themselves
 # are oracle-checkable. Catches the small-edit dups token-set Jaccard
 # under-scores (reordered shingles, punctuation edits).
+#
+# The verify tier only needs "distance <= k" (k = max_len // 5), so the
+# Spark side passes the per-pair threshold to levenshtein — Ukkonen-banded
+# O(len·k) instead of the full O(len²) DP (VERDICT r4 item 1) — and the
+# reported `lev` is BANDED: least(true_lev, k + 1). All far pairs saturate
+# at k + 1 (their sim_permille reflects the saturated value); is_neardup
+# and every lev <= k are exact. DuckDB's levenshtein has no threshold, so
+# the twin clamps the full DP with least() — identical output by
+# construction.
 
 _EDIT_NEARDUP_DEN = 5  # near-dup when lev <= max_len // 5 (<= 20% edits)
 
@@ -14048,13 +14060,18 @@ _EDIT_NEARDUP_DEN = 5  # near-dup when lev <= max_len // 5 (<= 20% edits)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
       FROM bounded a JOIN bounded b USING (band_id, band_hash)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-    v AS (
+    v0 AS (
       SELECT c.doc_a, c.doc_b, CAST(c.n_bands AS BIGINT) AS n_bands,
-             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS rawlev,
              CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
       FROM cand c
       JOIN documents ta ON ta.doc_id = c.doc_a
-      JOIN documents tb ON tb.doc_id = c.doc_b)
+      JOIN documents tb ON tb.doc_id = c.doc_b),
+    v AS (
+      SELECT doc_a, doc_b, n_bands,
+             least(rawlev, max_len // {_EDIT_NEARDUP_DEN} + 1) AS lev,
+             max_len
+      FROM v0)
     SELECT doc_a, doc_b, n_bands, lev, max_len,
            CAST(1000 * (max_len - lev) // max_len AS BIGINT) AS sim_permille,
            (lev <= max_len // {_EDIT_NEARDUP_DEN}) AS is_neardup
@@ -14062,22 +14079,37 @@ _EDIT_NEARDUP_DEN = 5  # near-dup when lev <= max_len // 5 (<= 20% edits)
     """,
 )
 def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verify over LSH candidates (section
-    comment)."""
+    """Banded edit-distance near-dup verify over LSH candidates (section
+    comment): levenshtein runs with the per-pair threshold k = max_len//5,
+    lev saturates at k + 1 for far pairs."""
     docs = load(spark, sf_dir, "documents")
     cand = dd.lsh_candidate_pairs(
         dd.minhash_rows(docs), min_bands=1, max_bucket=1000
     )
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
-    v = (
+    den = _EDIT_NEARDUP_DEN
+    # banded DP: threshold returns -1 past the bound -> saturate at k+1
+    # (greatest(k,1) keeps the threshold argument >= 1; the outer least()
+    # restores exact k+1 saturation even when k = 0)
+    base = (
         cand.join(ta, "doc_a").join(tb, "doc_b")
-        .select(
-            "doc_a", "doc_b", F.col("n_bands").cast("long").alias("n_bands"),
-            F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
-            F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
-            .alias("max_len"),
+        .withColumn(
+            "max_len",
+            F.greatest(F.length("_ta"), F.length("_tb")).cast("long"),
         )
+        .withColumn("_k", F.expr(f"max_len div {den}"))
+        .withColumn(
+            "rawlev",
+            F.expr("levenshtein(_ta, _tb, int(greatest(_k, 1)))"),
+        )
+    )
+    v = base.select(
+        "doc_a", "doc_b", F.col("n_bands").cast("long").alias("n_bands"),
+        F.expr(
+            "least(if(rawlev < 0, _k + 1, bigint(rawlev)), _k + 1)"
+        ).alias("lev"),
+        "max_len",
     )
     return v.select(
         "doc_a", "doc_b", "n_bands", "lev", "max_len",
@@ -14542,6 +14574,267 @@ def doc_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 37 (round 5): the last two downloader middlewares (proxy rotation,
+# HTTP auth) as data operators + the method/body-aware fingerprint audit
+# (VERDICT r4 items 6-7).
+# =============================================================================
+
+# -- A10 adjunct: proxy middleware + rotation ------------------------------------
+# [U scrapy/downloadermiddlewares/httpproxy.py HttpProxyMiddleware;
+# urllib.request.proxy_bypass semantics; rotating-proxies pools]: each
+# request is assigned a proxy from a small pool (rotation key =
+# digest60(url) % pool — sticky per URL, spread across hosts), UNLESS the
+# host matches the no_proxy list (suffix '.internal.example' or exact
+# 'localhost'). Credentials embedded in a pool entry's URL are STRIPPED
+# into a Proxy-Authorization: Basic header (scrapy moves userinfo out of
+# the proxy URL). The pool is a 5-row dim table derived from `region` —
+# the join is broadcast by construction; the bypass/strip logic is
+# scan-side column work at any frontier size.
+
+_NO_PROXY_SUFFIX = ".internal.example"
+_NO_PROXY_EXACT = "localhost"
+
+
+@register(
+    "crawl_proxy_rotation",
+    oracle=f"""
+    WITH pool AS (
+      SELECT r_regionkey AS slot,
+             'proxy-r' || r_regionkey || '.example:3128' AS proxy_hostport,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'u' || r_regionkey || ':p' || r_regionkey END AS creds
+      FROM region),
+    req AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+             CASE WHEN o_orderkey % 9 = 0
+                    THEN 'intra' || (o_orderkey % 4) || '{_NO_PROXY_SUFFIX}'
+                  WHEN o_orderkey % 9 = 1 THEN '{_NO_PROXY_EXACT}'
+                  ELSE 'h' || (o_custkey % 50) || '.example' END AS host
+      FROM orders),
+    feat AS (
+      SELECT o_orderkey, scheme, host,
+             (host LIKE '%{_NO_PROXY_SUFFIX}' OR host = '{_NO_PROXY_EXACT}')
+               AS bypass,
+             {sql_digest60("scheme || '://' || host || '/o/' || o_orderkey")}
+               % 5 AS slot
+      FROM req)
+    SELECT f.o_orderkey, f.scheme, f.host, f.bypass,
+           CASE WHEN NOT f.bypass THEN 'http://' || p.proxy_hostport END
+             AS proxy_url,
+           CASE WHEN NOT f.bypass AND p.creds IS NOT NULL
+                THEN 'Basic ' || to_base64(p.creds::BLOB) END AS proxy_auth
+    FROM feat f JOIN pool p ON p.slot = f.slot
+    """,
+)
+def crawl_proxy_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy middleware verdict per request: no_proxy bypass (suffix +
+    exact forms), sticky rotation over a small pool (digest60(url) % pool
+    — deterministic, so retries reuse the same egress IP), userinfo
+    stripped into Proxy-Authorization. Pool join is broadcast (5 rows);
+    everything else is a scan-side projection."""
+    orders = load(spark, sf_dir, "orders")
+    region = load(spark, sf_dir, "region")
+    pool = region.select(
+        F.col("r_regionkey").cast("long").alias("slot"),
+        F.concat(
+            F.lit("proxy-r"), F.col("r_regionkey").cast("string"),
+            F.lit(".example:3128"),
+        ).alias("proxy_hostport"),
+        F.when(
+            F.col("r_regionkey") % 2 == 0,
+            F.concat(F.lit("u"), F.col("r_regionkey").cast("string"),
+                     F.lit(":p"), F.col("r_regionkey").cast("string")),
+        ).alias("creds"),
+    )
+    k = F.col("o_orderkey")
+    host = (
+        F.when(k % 9 == 0, F.concat(F.lit("intra"), (k % 4).cast("string"),
+                                    F.lit(_NO_PROXY_SUFFIX)))
+        .when(k % 9 == 1, F.lit(_NO_PROXY_EXACT))
+        .otherwise(F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"),
+                            F.lit(".example")))
+    )
+    req = orders.select(
+        "o_orderkey",
+        F.when(k % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+        .alias("scheme"),
+        host.alias("host"),
+    )
+    feat = req.select(
+        "o_orderkey", "scheme", "host",
+        (
+            F.col("host").endswith(F.lit(_NO_PROXY_SUFFIX))
+            | (F.col("host") == _NO_PROXY_EXACT)
+        ).alias("bypass"),
+        F.pmod(
+            digest60(
+                F.concat_ws(
+                    "",
+                    F.col("scheme"), F.lit("://"), F.col("host"),
+                    F.lit("/o/"), F.col("o_orderkey").cast("string"),
+                )
+            ),
+            F.lit(5),
+        ).alias("slot"),
+    )
+    out = feat.join(F.broadcast(pool), "slot")
+    return out.select(
+        "o_orderkey", "scheme", "host", "bypass",
+        F.when(~F.col("bypass"),
+               F.concat(F.lit("http://"), F.col("proxy_hostport")))
+        .alias("proxy_url"),
+        F.when(
+            ~F.col("bypass") & F.col("creds").isNotNull(),
+            F.concat(F.lit("Basic "), F.base64(F.col("creds").cast("binary"))),
+        ).alias("proxy_auth"),
+    )
+
+
+# -- A10 adjunct: HTTP-auth middleware -------------------------------------------
+# [U scrapy/downloadermiddlewares/httpauth.py HttpAuthMiddleware]: Basic
+# credentials attach ONLY when the request host is the credential's
+# http_auth_domain or a subdomain of it (the CVE-2021-41125 fix — creds
+# must never leak to foreign hosts after a cross-domain redirect). The
+# credential table (one row per auth domain, derived from `nation`) is
+# broadcast; the request side extracts its registrable domain and
+# LEFT-joins — foreign hosts fall out with attach = false.
+
+@register(
+    "crawl_http_auth",
+    oracle="""
+    WITH creds AS (
+      SELECT 'n' || n_nationkey || '.example' AS auth_domain,
+             'user' || n_nationkey || ':tok' || n_nationkey AS cred
+      FROM nation WHERE n_nationkey % 3 <> 2),
+    req AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'n' || (o_custkey % 25) || '.example'
+               WHEN 1 THEN 'www.n' || (o_custkey % 25) || '.example'
+               WHEN 2 THEN 'cdn.assets.n' || (o_custkey % 25) || '.example'
+               ELSE 'ext' || (o_custkey % 25) || '.other-site.example'
+             END AS host
+      FROM orders),
+    feat AS (
+      SELECT o_orderkey, host,
+             regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS reg_domain
+      FROM req)
+    SELECT f.o_orderkey, f.host, c.auth_domain,
+           (c.auth_domain IS NOT NULL) AS attach,
+           CASE WHEN c.auth_domain IS NOT NULL
+                THEN 'Basic ' || to_base64(c.cred::BLOB) END AS authorization
+    FROM feat f LEFT JOIN creds c ON c.auth_domain = f.reg_domain
+    """,
+)
+def crawl_http_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped Basic-auth attach verdict: exact host and subdomains
+    of the credential's auth domain get the Authorization header, foreign
+    hosts never do (and hosts whose domain carries no credential row fall
+    out attach=false through the LEFT join). Credential table is
+    broadcast-sized by construction."""
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    creds = nation.filter(F.col("n_nationkey") % 3 != 2).select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string"),
+                 F.lit(".example")).alias("auth_domain"),
+        F.concat(F.lit("user"), F.col("n_nationkey").cast("string"),
+                 F.lit(":tok"), F.col("n_nationkey").cast("string"))
+        .alias("cred"),
+    )
+    k = F.col("o_orderkey")
+    dom = F.concat(F.lit("n"), (F.col("o_custkey") % 25).cast("string"),
+                   F.lit(".example"))
+    host = (
+        F.when(k % 4 == 0, dom)
+        .when(k % 4 == 1, F.concat(F.lit("www."), dom))
+        .when(k % 4 == 2, F.concat(F.lit("cdn.assets."), dom))
+        .otherwise(F.concat(F.lit("ext"), (F.col("o_custkey") % 25).cast("string"),
+                            F.lit(".other-site.example")))
+    )
+    feat = orders.select(
+        "o_orderkey", host.alias("host"),
+        F.regexp_extract(host, r"([^.]+[.][^.]+)$", 1).alias("reg_domain"),
+    )
+    out = feat.join(
+        F.broadcast(creds),
+        feat["reg_domain"] == creds["auth_domain"],
+        "left",
+    )
+    return out.select(
+        "o_orderkey", "host", "auth_domain",
+        F.col("auth_domain").isNotNull().alias("attach"),
+        F.when(
+            F.col("auth_domain").isNotNull(),
+            F.concat(F.lit("Basic "), F.base64(F.col("cred").cast("binary"))),
+        ).alias("authorization"),
+    )
+
+
+# -- A3 hardening: method/body-aware fingerprint audit ---------------------------
+# [U scrapy/utils/request.py request_fingerprint / fingerprint(): sha1 over
+# (method, canonical url, body)]: the engine's URL-seen key is xxhash64 of
+# the canonical URL alone, which is complete ONLY under the pinned
+# GET-no-body restriction (north_star). This audit column makes that
+# restriction an assertion instead of an assumption: the full W3C-style
+# fingerprint sha256(method \\n url \\n sha256(body)) rides beside the
+# URL-only digest, and `url_key_complete` flags every request whose
+# URL-only seen key is a lossy stand-in (non-GET or non-empty body — the
+# planted POST rows). Pure projection, zero shuffles.
+
+@register(
+    "crawl_fingerprint_audit",
+    oracle=f"""
+    WITH req AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'POST' ELSE 'GET' END AS method,
+             'http://h' || (o_custkey % 50) || '.example/o/' || o_orderkey
+               AS url_canon,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'q=' || o_orderkey
+                  ELSE '' END AS body
+      FROM orders)
+    SELECT o_orderkey, method, url_canon,
+           {sql_digest60("url_canon")} AS digest,
+           sha256(method || chr(10) || url_canon || chr(10) || sha256(body))
+             AS fp_sha256,
+           (method = 'GET' AND body = '') AS url_key_complete
+    FROM req
+    """,
+)
+def crawl_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method/body-aware request fingerprint beside the URL-only seen key
+    (section comment): sha256(method, canonical url, sha256(body)) plus
+    the url_key_complete assertion column."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("http://h"), (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example/o/"), k.cast("string"),
+    )
+    req = orders.select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.lit("POST")).otherwise(F.lit("GET"))
+        .alias("method"),
+        url.alias("url_canon"),
+        F.when(k % 13 == 0, F.concat(F.lit("q="), k.cast("string")))
+        .otherwise(F.lit("")).alias("body"),
+    )
+    return req.select(
+        "o_orderkey", "method", "url_canon",
+        digest60(F.col("url_canon")).alias("digest"),
+        F.sha2(
+            F.concat_ws(
+                "\n", F.col("method"), F.col("url_canon"),
+                F.sha2(F.col("body").cast("binary"), 256),
+            ),
+            256,
+        ).alias("fp_sha256"),
+        ((F.col("method") == "GET") & (F.col("body") == ""))
+        .alias("url_key_complete"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14557,6 +14850,66 @@ def doc_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure dict-order change: no callable or oracle is touched.
 
 _CHANGED_THIS_ROUND = [
+    # --- round 5 ---
+    # new in batch 37 (proxy/auth middleware + fingerprint audit)
+    "crawl_proxy_rotation",
+    "crawl_http_auth",
+    "crawl_fingerprint_audit",
+    # changed in round 5 (banded levenshtein; CDC persist; ADVICE fixes)
+    "doc_edit_distance_pairs",
+    "doc_cdc_chunks",
+    "crawl_robots_meta",
+    "crawl_request_gates",
+    # VERDICT r4 item 5: fill the driver window with the OLDEST
+    # never-driver-sampled names (cumulative r1-r4 coverage = 108/242), so
+    # CORRECTNESS_r05 covers the never-checked middle
+    "emb_semdedup",
+    "img_jpeg_roundtrip",
+    "img_phash_neardup",
+    "video_scene_cuts",
+    "video_keyframe_select",
+    "stream_windowed_counts",
+    "stream_session_window",
+    "stream_join_attrib",
+    "join_asof_events",
+    "crawl_host_pagerank",
+    "crawl_sitemap_extract",
+    "graph_triangle_count",
+    "table_merge_upsert",
+    "agg_quantile_hist",
+    "warehouse_zorder",
+    "warehouse_time_travel",
+    "crawl_seed_inject",
+    "crawl_warc_export",
+    "crawl_cdx_index",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "doc_top_tokens",
+    "join_range_events",
+    "doc_repetition_stats",
+    "doc_decontaminate",
+    "agg_percentile_disc",
+    "agg_pivot_events",
+    "join_semi_exists",
+    "window_decile_bucket",
+    "crawl_url_blocklist",
+    "emb_pq_codes",
+    "emb_ann_pq",
+    "doc_dedup_clusters",
+    "crawl_anchor_extract",
+    "crawl_trap_filter",
+    "img_caption_filter",
+    "img_caption_dedup",
+    "img_format_sniff",
+    "img_resolution_bucket",
+    "doc_span_dedup",
+    "doc_inverted_index",
+    "doc_bm25_topk",
+    "doc_keyword_tfidf",
+    "doc_lm_score",
+    "doc_temperature_sample",
+    # --- round 4 (kept behind the round-5 window; still ahead of the
+    # untouched round-1 core) ---
     # new in the round-4 batch-36 session (seasonality + Zipf readout)
     "events_hourly_seasonality",
     "doc_zipf_rank_freq",

@@ -501,6 +501,12 @@ class EvoWarehouse(SpecWarehouse):
         missing = set(df.columns) - set(field_ids)
         if missing:
             raise ValueError(f"field_ids missing for {sorted(missing)}")
+        if table in BUCKETED_TABLES:
+            # this path skips write_wave's digest-shard clustering branch;
+            # refuse rather than silently lose bucketing (ADVICE r4)
+            raise ValueError(
+                f"{table} is bucketed — use write_wave, not write_wave_ids"
+            )
         final = self._wave_dir(table, wave)
         tmp = final + ".inprogress"
         for p in (final, tmp):

@@ -42,9 +42,12 @@ def test_edit_distance_pairs(spark):
         assert r.max_len == max(len(texts[r.doc_a]), len(texts[r.doc_b]))
         assert r.sim_permille == 1000 * (r.max_len - r.lev) // r.max_len
         assert r.is_neardup == (r.lev <= r.max_len // _EDIT_NEARDUP_DEN)
-    # independent DP verification on the 10 closest pairs
+        # lev is BANDED: saturates at k + 1 (VERDICT r4 item 1)
+        assert r.lev <= r.max_len // _EDIT_NEARDUP_DEN + 1
+    # independent DP verification (banded) on the 10 closest pairs
     for r in sorted(rows, key=lambda r: r.lev)[:10]:
-        assert r.lev == _lev(texts[r.doc_a], texts[r.doc_b])
+        k = r.max_len // _EDIT_NEARDUP_DEN
+        assert r.lev == min(_lev(texts[r.doc_a], texts[r.doc_b]), k + 1)
 
 
 def test_priority_aging_laws(spark):
