@@ -300,6 +300,8 @@ BENCH_QUERIES = [
     "crawl_proxy_rotation",
     "crawl_http_auth",
     "crawl_fingerprint_audit",
+    # round-5 batch 38: media quarantine routing
+    "img_media_quarantine",
 ]
 
 

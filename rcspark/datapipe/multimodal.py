@@ -79,6 +79,10 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
         from ..gif import decode_gif
 
         return decode_gif(data)
+    if fmt == "bmp" or data[:2] == b"BM":
+        from ..bmp import decode_bmp
+
+        return decode_bmp(data)
     raise NotImplementedError(
         f"external codec for fmt={fmt!r} requires PIL/cv2; bind here on a real cluster"
     )
@@ -87,6 +91,126 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
 def _decode(data: bytes) -> np.ndarray:
     pix, _ = decode_image(data)
     return pix
+
+
+# --------------------------------------------------------------------------
+# Quarantine plane (round 5, VERDICT r4 item 2): undecodable arrivals are
+# ROUTED, never raised on — a single hostile/lossy byte blob must not kill
+# a 10^10-row wave. sniff_format is the magic walk; native_decode is the
+# runtime seam that PREFERS an installed native codec (PIL) so the
+# pure-Python codecs are the fallback, not the hot path, on real clusters.
+# --------------------------------------------------------------------------
+
+def sniff_format(data: bytes) -> str:
+    """Container sniff from magic bytes — never raises, 'unknown' for
+    anything unrecognized. WebP is split by payload chunk because that is
+    the decodability boundary (VP8L = lossless = decodable here)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8L":
+            return "webp_vp8l"
+        if chunk == b"VP8 ":
+            return "webp_vp8"
+        if chunk == b"VP8X":
+            return "webp_vp8x"
+        return "webp_unknown"
+    if data[:2] in (b"P6", b"Q6"):
+        return "ppm" if data[:2] == b"P6" else "qppm"
+    return "unknown"
+
+
+def native_decode(data: bytes):
+    """Runtime native-codec seam: decode via PIL when it is importable
+    (real clusters), else None (this sandbox). Success returns an RGB(A)
+    uint8 array; ANY failure returns None so the pure-Python codecs — and
+    ultimately the quarantine route — still apply."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401 — absent in the sandbox
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+def decode_or_quarantine(data: bytes) -> tuple["np.ndarray | None", str, "str | None"]:
+    """(pixels | None, fmt_sniffed, quarantine_reason | None).
+
+    Route taxonomy (coarse on purpose — stable across codec versions):
+    - None: decoded fine (native seam first, pure-Python codecs second)
+    - 'unsupported_codec': recognized container, no decoder in this
+      runtime (lossy/extended WebP without PIL)
+    - 'corrupt': recognized container, decode failed (truncation, bad
+      CRC, hostile lengths)
+    - 'unknown_format': no recognized magic
+    """
+    fmt = sniff_format(data)
+    if fmt == "unknown":
+        return None, fmt, "unknown_format"
+    pix = native_decode(data)
+    if pix is not None:
+        return pix, fmt, None
+    try:
+        if fmt in ("ppm", "qppm"):
+            return decode_image(data)[0], fmt, None
+        return decode_external(data, fmt), fmt, None
+    except NotImplementedError:
+        return None, fmt, "unsupported_codec"
+    except Exception:
+        return None, fmt, "corrupt"
+
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("fmt_sniffed", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("quarantine_reason", T.StringType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+    ]
+)
+
+
+def media_quarantine(ids: DataFrame) -> DataFrame:
+    """A16 arrival hygiene: decode-or-route over a mixed wire batch
+    (5 real encodings + lossy/extended WebP stubs + truncated PNG +
+    garbage, rcspark.fixtures.make_mixed_arrival). Per arrival:
+    (fmt_sniffed, decode_ok, quarantine_reason, dims). Input needs
+    (image_id, cls); bytes are synthesized in the Arrow batch (codec-twin
+    pattern — the oracle twin re-sniffs the same bytes independently)."""
+    from ..fixtures import make_mixed_arrival
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, cls in zip(pdf["image_id"], pdf["cls"]):
+                data = make_mixed_arrival(iid, int(cls))
+                pix, fmt, reason = decode_or_quarantine(data)
+                out.append(
+                    (
+                        iid, fmt, reason is None, reason,
+                        None if pix is None else int(pix.shape[1]),
+                        None if pix is None else int(pix.shape[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in QUARANTINE_SCHEMA.fields]
+            )
+
+    return ids.select("image_id", "cls").mapInPandas(run, QUARANTINE_SCHEMA)
 
 
 def image_features(images: DataFrame) -> DataFrame:

@@ -370,7 +370,7 @@ def make_mixed_arrival(image_id: str, cls: int) -> bytes:
     if kind == "gif":
         from .gif import encode_gif
 
-        return encode_gif(make_smooth_image(image_id))
+        return encode_gif(make_smooth_image(image_id))[0]
     if kind == "bmp":
         from .bmp import encode_bmp
 

@@ -14834,6 +14834,43 @@ def crawl_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- A16 hardening: media quarantine routing (batch 38) --------------------------
+# [U scrapy pipelines drop-item semantics; warc ingest practice]: a wire
+# batch at 10^10 arrivals WILL contain formats this runtime cannot decode
+# (lossy VP8 WebP without PIL), truncated payloads, and garbage. VERDICT
+# r4 item 2: these must be ROUTED through a counted quarantine column —
+# one hostile blob must never kill a wave with NotImplementedError. The
+# decode seam (rcspark.datapipe.multimodal.decode_or_quarantine) also
+# PREFERS a native codec (PIL) when importable, so on a real cluster the
+# pure-Python codecs are the fallback, not the hot path.
+
+@register(
+    "img_media_quarantine",
+    oracle=f"""
+    SELECT e.image_id, e.fmt_sniffed, e.decode_ok, e.quarantine_reason,
+           CAST(e.w AS INT) AS w, CAST(e.h AS INT) AS h
+    FROM '{_MEDIA_EXPECTED}/img_quarantine.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 25 = 0) i USING (image_id)
+    """,
+)
+def img_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-or-route over a mixed wire batch: 5 real encodings decode
+    (dims reported), lossy/extended WebP stubs route 'unsupported_codec',
+    a truncated PNG routes 'corrupt', magic-less bytes route
+    'unknown_format'. Twin: tests/data/media_expected/img_quarantine
+    (class-truth verdicts + independent magic walk + generator dims)."""
+    from .datapipe.multimodal import media_quarantine
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string"))
+        .alias("image_id"),
+        F.expr("p_partkey div 25 % 9").cast("int").alias("cls"),
+    )
+    return media_quarantine(ids)
+
+
 # =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
@@ -14855,6 +14892,8 @@ _CHANGED_THIS_ROUND = [
     "crawl_proxy_rotation",
     "crawl_http_auth",
     "crawl_fingerprint_audit",
+    # new in batch 38 (media quarantine routing + native-codec seam)
+    "img_media_quarantine",
     # changed in round 5 (banded levenshtein; CDC persist; ADVICE fixes)
     "doc_edit_distance_pairs",
     "doc_cdc_chunks",

@@ -1480,6 +1480,62 @@ def expected_img_exif_scrub() -> pd.DataFrame:
               "n_after": "int64"})
 
 
+def expected_img_quarantine() -> pd.DataFrame:
+    """img_media_quarantine twin: the arrival CLASS is the construction
+    ground truth (rcspark.fixtures.make_mixed_arrival builds each class),
+    so the twin derives (fmt_sniffed, decode_ok, reason) from the class
+    directly — independent of the engine's sniff/route code — and checks
+    dims against the shared generator. It also re-sniffs the actual bytes
+    with its OWN magic walk to catch a generator/class mismatch."""
+    from rcspark.fixtures import _ARRIVAL_CLASSES, make_mixed_arrival, make_smooth_image
+
+    def twin_sniff(data: bytes) -> str:
+        if data[:8] == bytes([0x89]) + b"PNG\r\n" + bytes([0x1A]) + b"\n":
+            return "png"
+        if data[:2] == b"\xff\xd8":
+            return "jpeg"
+        if data[:3] == b"GIF":
+            return "gif"
+        if data[:2] == b"BM":
+            return "bmp"
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return {
+                b"VP8L": "webp_vp8l", b"VP8 ": "webp_vp8", b"VP8X": "webp_vp8x",
+            }.get(data[12:16], "webp_unknown")
+        return "unknown"
+
+    # class -> (fmt_sniffed, decode_ok, reason)
+    truth = {
+        "png": ("png", True, None),
+        "jpeg": ("jpeg", True, None),
+        "gif": ("gif", True, None),
+        "bmp": ("bmp", True, None),
+        "webp_vp8l": ("webp_vp8l", True, None),
+        "webp_vp8": ("webp_vp8", False, "unsupported_codec"),
+        "webp_vp8x": ("webp_vp8x", False, "unsupported_codec"),
+        "trunc_png": ("png", False, "corrupt"),
+        "garbage": ("unknown", False, "unknown_format"),
+    }
+    rows = []
+    for k in range(0, MAX_PARTKEY, 25):
+        iid = f"img{k}"
+        cls = (k // 25) % len(_ARRIVAL_CLASSES)
+        kind = _ARRIVAL_CLASSES[cls]
+        data = make_mixed_arrival(iid, cls)
+        fmt, ok, reason = truth[kind]
+        assert twin_sniff(data) == fmt, (iid, kind, twin_sniff(data))
+        if ok:
+            ph, pw = make_smooth_image(iid).shape[:2]
+            rows.append((iid, fmt, True, None, np.int32(pw), np.int32(ph)))
+        else:
+            rows.append((iid, fmt, False, reason, None, None))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "fmt_sniffed", "decode_ok", "quarantine_reason",
+                 "w", "h"],
+    ).astype({"w": "Int32", "h": "Int32"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1518,6 +1574,7 @@ def main() -> None:
         ("img_tile_phash", expected_img_tile_phash),
         ("img_ssim", expected_img_ssim),
         ("img_exif_scrub", expected_img_exif_scrub),
+        ("img_quarantine", expected_img_quarantine),
     ]:
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")
