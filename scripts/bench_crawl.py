@@ -5,7 +5,10 @@ end-to-end waves/sec + URLs/sec the whole engine sustains, warehouse IO
 included.
 
 Usage: python scripts/bench_crawl.py [n_hosts] [urls_per_host] [cores]
-Writes BENCH/CRAWL.md and prints one JSON line.
+                                     [max_waves] [image_fraction]
+Writes BENCH/CRAWL.md (default sizing) or appends a scale-rehearsal
+section (non-default sizing, VERDICT r4 item 8) and prints one JSON line
+including per-wave wall-clock timings.
 """
 
 from __future__ import annotations
@@ -24,6 +27,9 @@ def main() -> None:
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     urls_per_host = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    max_waves = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000
+    image_fraction = float(sys.argv[5]) if len(sys.argv) > 5 else 0.3
+    default_sizing = (n_hosts, urls_per_host, max_waves) == (12, 800, 10_000)
 
     from pyspark.sql import functions as F
 
@@ -38,7 +44,8 @@ def main() -> None:
 
     t0 = time.time()
     fx = make_fixture(
-        n_hosts=n_hosts, urls_per_host=urls_per_host, image_fraction=0.3, seed=7
+        n_hosts=n_hosts, urls_per_host=urls_per_host,
+        image_fraction=image_fraction, seed=7,
     )
     gen_s = time.time() - t0
     n_universe = len(fx.web)
@@ -58,7 +65,17 @@ def main() -> None:
             fx.allowed_hosts,
         )
         t1 = time.time()
-        stats = eng.run()
+        # run_wave loop instead of eng.run() so each wave is individually
+        # timed — the per-wave driver-overhead amortization evidence
+        # (VERDICT r4 item 8)
+        stats, wave_walls = [], []
+        for _ in range(max_waves):
+            tw = time.time()
+            s = eng.run_wave()
+            if s is None:
+                break
+            wave_walls.append(round(time.time() - tw, 2))
+            stats.append(s)
         crawl_s = time.time() - t1
         fetch_log = eng.fetch_log()
         n_attempts = fetch_log.filter(F.col("seq").isNotNull()).count()
@@ -76,6 +93,8 @@ def main() -> None:
             "images": n_images,
             "fetch_attempts_per_sec": round(n_attempts / crawl_s, 1),
             "waves_per_sec": round(len(stats) / crawl_s, 2),
+            "per_wave_wall_s": wave_walls,
+            "per_wave_scheduled": [s.scheduled for s in stats],
             "fixture_gen_s": round(gen_s, 2),
             "note": "fetch rate is politeness-budget-bound by design "
             "(per-host crawl-delay budgets cap scheduling per wave); "
@@ -84,6 +103,35 @@ def main() -> None:
         }
         print(json.dumps(out))
         os.makedirs("BENCH", exist_ok=True)
+        if not default_sizing:
+            # scale rehearsal: APPEND a section, keep the headline intact
+            wave_rows = "\n".join(
+                f"| {i} | {w}s | {s.scheduled:,} | {s.new_urls:,} |"
+                for i, (w, s) in enumerate(zip(wave_walls, stats))
+            )
+            with open("BENCH/CRAWL.md", "a") as f:
+                f.write(
+                    f"""
+
+## Scale rehearsal — {n_universe:,}-URL web ({n_hosts} hosts), cores={cores}
+
+```
+{json.dumps(out, indent=2)}
+```
+
+| wave | wall | scheduled | new URLs |
+| --- | --- | --- | --- |
+{wave_rows}
+
+Per-URL engine cost here: {crawl_s / max(n_attempts, 1) * 1000:.1f} ms per
+fetch attempt over {len(stats)} waves ({crawl_s / max(len(stats), 1):.1f}s
+per wave including snapshot commits) — read against the headline run's
+per-URL cost at comparable `cpu_matmuls_per_s_*` stamps.
+
+Reproduce: `python scripts/bench_crawl.py {n_hosts} {urls_per_host} {cores} {max_waves} {image_fraction}`
+"""
+                )
+            return
         with open("BENCH/CRAWL.md", "w") as f:
             f.write(
                 f"""# Engine-level crawl benchmark (full wave loop)

@@ -70,6 +70,40 @@ def test_native_seam_preferred(monkeypatch):
     assert pix2.shape[:2] == make_smooth_image("imgseam").shape[:2]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MAGICS = [
+    b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a", b"BM",
+    b"RIFF\x10\x00\x00\x00WEBPVP8L", b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+    b"P6\n", b"Q6\n",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(prefix=st.sampled_from(_MAGICS), tail=st.binary(max_size=96))
+def test_quarantine_route_never_raises_fuzz(prefix, tail):
+    """Arbitrary bytes behind any (or no) known magic must ROUTE —
+    decode_or_quarantine is the mid-wave path, one hostile blob must
+    never raise (VERDICT r4 item 2)."""
+    pix, fmt, reason = mm.decode_or_quarantine(prefix + tail)
+    assert (pix is None) == (reason is not None)
+    if reason is not None:
+        assert reason in ("unsupported_codec", "corrupt", "unknown_format")
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=200), cls=st.integers(0, 4))
+def test_quarantine_truncation_fuzz(cut, cls):
+    """Every prefix of a REAL decodable arrival either still decodes
+    (some suffixes are padding) or routes 'corrupt'/'unknown_format' —
+    never an exception, never 'unsupported_codec' mislabeling."""
+    data = make_mixed_arrival("imgfz", cls)
+    chopped = data[: max(1, len(data) - cut)]
+    pix, fmt, reason = mm.decode_or_quarantine(chopped)
+    assert reason in (None, "corrupt", "unknown_format")
+
+
 def test_native_decode_absent_here():
     # the sandbox has no PIL: the seam must report None, never raise
     assert mm.native_decode(b"\x89PNG\r\n\x1a\n") is None
