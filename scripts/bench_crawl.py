@@ -29,7 +29,10 @@ def main() -> None:
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     max_waves = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000
     image_fraction = float(sys.argv[5]) if len(sys.argv) > 5 else 0.3
-    default_sizing = (n_hosts, urls_per_host, max_waves) == (12, 800, 10_000)
+    n_seeds = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+    default_sizing = (n_hosts, urls_per_host, max_waves, n_seeds) == (
+        12, 800, 10_000, 3,
+    )
 
     from pyspark.sql import functions as F
 
@@ -45,7 +48,7 @@ def main() -> None:
     t0 = time.time()
     fx = make_fixture(
         n_hosts=n_hosts, urls_per_host=urls_per_host,
-        image_fraction=image_fraction, seed=7,
+        image_fraction=image_fraction, seed=7, n_seeds=n_seeds,
     )
     gen_s = time.time() - t0
     n_universe = len(fx.web)
@@ -128,7 +131,7 @@ fetch attempt over {len(stats)} waves ({crawl_s / max(len(stats), 1):.1f}s
 per wave including snapshot commits) — read against the headline run's
 per-URL cost at comparable `cpu_matmuls_per_s_*` stamps.
 
-Reproduce: `python scripts/bench_crawl.py {n_hosts} {urls_per_host} {cores} {max_waves} {image_fraction}`
+Reproduce: `python scripts/bench_crawl.py {n_hosts} {urls_per_host} {cores} {max_waves} {image_fraction} {n_seeds}`
 """
                 )
             return
