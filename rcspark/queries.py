@@ -14872,6 +14872,385 @@ def img_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 39 (round 5): the training-data ACQUISITION/COMPLIANCE plane — the
+# three operators a 100-TB image+caption crawl runs between fetch and
+# curation: per-AI-agent robots opt-out audit, Creative-Commons license
+# detection, and LAION-style alt-text caption harvesting.
+# =============================================================================
+
+# -- A7 extension: per-AI-agent robots opt-out matrix ----------------------------
+# [U RFC 9309 §2.2.1 group selection; protego group semantics; GPTBot /
+# CCBot / ClaudeBot / Google-Extended opt-out convention]: publishers opt
+# out of AI training by naming the crawler in its OWN robots group, which
+# REPLACES the '*' group entirely (no merge — an exact group without a
+# Crawl-delay drops the wildcard group's delay too). The fixture plants
+# comment lines, a Sitemap: directive between groups (must not split
+# group accumulation), per-agent full opt-outs, and a scoped ClaudeBot
+# group whose longer Allow rule must beat its Disallow on the probe path.
+# The oracle restates the class truth from the key arithmetic, so the
+# REAL parser (rcspark.robots.parse_robots_txt) is cross-checked on group
+# replacement, longest-match, allow-wins, and delay scoping at once.
+# Engine shape: one Arrow-batched parse per host (mapInPandas), zero
+# shuffles; the matrix is broadcast-sized downstream (#hosts × 4).
+
+@register(
+    "crawl_ai_optout",
+    oracle="""
+    WITH agents(agent) AS (
+      VALUES ('gptbot'), ('ccbot'), ('claudebot'), ('google-extended')),
+    hosts AS (SELECT c_custkey AS k, 'h' || c_custkey AS host FROM customer),
+    m AS (
+      SELECT host, agent, k,
+             CASE agent
+               WHEN 'gptbot' THEN k % 2 = 0
+               WHEN 'ccbot' THEN k % 3 = 0
+               WHEN 'claudebot' THEN k % 3 = 1
+               ELSE k % 5 = 0
+             END AS has_exact
+      FROM hosts CROSS JOIN agents)
+    SELECT host, agent,
+           CASE WHEN has_exact THEN 'exact' ELSE 'wildcard' END AS matched_group,
+           (has_exact AND agent <> 'claudebot') AS opt_out,
+           CASE WHEN has_exact THEN agent = 'claudebot'
+                ELSE NOT (k % 11 = 0) END AS probe_allowed,
+           CASE WHEN NOT has_exact AND k % 7 = 1
+                THEN CAST((k % 5 + 1) * 1000 AS BIGINT) END AS crawl_delay_ms
+    FROM m
+    """,
+)
+def crawl_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI-crawler opt-out audit: parse each host's robots.txt once per AI
+    agent (GPTBot/CCBot/ClaudeBot/Google-Extended) and emit the verdict
+    matrix — matched group kind, root opt-out, probe-path verdict under
+    longest-match/allow-wins, and the group-scoped crawl delay."""
+    from .robots import robots_agent_matrix
+
+    customer = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    body = F.concat_ws(
+        "\n",
+        F.lit("# ai opt-out fixture"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private/"),
+        F.when(k % 11 == 0, F.lit("Disallow: /images/")),
+        F.when(k % 7 == 1,
+               F.concat(F.lit("Crawl-delay: "), (k % 5 + 1).cast("string"))),
+        F.concat(F.lit("Sitemap: https://h"), k.cast("string"),
+                 F.lit(".example/sitemap.xml")),
+        F.when(k % 2 == 0, F.lit("User-agent: GPTBot\nDisallow: /")),
+        F.when(k % 3 == 0, F.lit("User-agent: CCBot\nDisallow: /")),
+        F.when(k % 3 == 1,
+               F.lit("User-agent: ClaudeBot\nDisallow: /images/\n"
+                     "Allow: /images/public/")),
+        F.when(k % 5 == 0, F.lit("User-agent: Google-Extended\nDisallow: /")),
+    )
+    bodies = customer.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_agent_matrix(bodies, probe_path="/images/public/i1.jpg")
+
+
+# -- curation gate: Creative-Commons license detection ---------------------------
+# [U creativecommons REL/license-rel convention (<a rel="license">); SPDX
+# CC id forms; LAION/CommonPool license-filter practice]: the curation
+# plane must classify each page's declared license before an image+caption
+# pair is eligible for a training shard. Both engines run the SAME regex
+# over the SAME planted body (documents.text ‖ footer), so this is a
+# genuine cross-engine parse, not a class-truth restatement: license path
+# → SPDX-style id, rel="license" attribution, NC/ND/SA permission bits.
+# Pure scan-side whole-stage-codegen regexp work — no shuffle at any scale.
+
+@register(
+    "doc_license_detect",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, doc_id AS k,
+             (['by','by-sa','by-nc','by-nc-sa','by-nd','by-nc-nd'])
+               [CAST(doc_id % 6 AS INT) + 1] AS lic0,
+             (['2.0','3.0','4.0'])[CAST(doc_id % 3 AS INT) + 1] AS ver0
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             text || CASE CAST(k % 4 AS INT)
+               WHEN 0 THEN '<p>fine print</p><a rel="license" href="https://creativecommons.org/licenses/'
+                           || lic0 || '/' || ver0 || '/">License</a>'
+               WHEN 1 THEN '<a href="https://creativecommons.org/licenses/'
+                           || lic0 || '/' || ver0 || '/">terms</a>'
+               WHEN 2 THEN '<a href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'
+               ELSE ''
+             END AS body
+      FROM d),
+    x AS (
+      SELECT doc_id,
+             nullif(coalesce(regexp_extract(body,
+               'creativecommons[.]org/licenses/([a-z-]+)/', 1), ''), '') AS lic,
+             nullif(coalesce(regexp_extract(body,
+               'creativecommons[.]org/licenses/[a-z-]+/([0-9][.][0-9])/', 1), ''), '') AS ver,
+             (body LIKE '%creativecommons.org/publicdomain/zero/1.0/%') AS is_cc0,
+             (body LIKE '%<a rel="license" href="https://creativecommons.org%') AS rel_license
+      FROM b)
+    SELECT doc_id,
+           CASE WHEN is_cc0 THEN 'CC0-1.0'
+                WHEN lic IS NOT NULL THEN 'CC-' || upper(lic) || '-' || ver
+           END AS license_id,
+           rel_license,
+           (is_cc0 OR (lic IS NOT NULL AND lic NOT LIKE '%nc%')) AS allows_commercial,
+           (is_cc0 OR (lic IS NOT NULL AND lic NOT LIKE '%nd%')) AS allows_derivatives,
+           (lic IS NOT NULL AND lic LIKE '%sa%') AS share_alike
+    FROM x
+    """,
+)
+def doc_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-detection gate: extract the Creative-Commons license path
+    from the page body, normalize to an SPDX-style id, and derive the
+    commercial/derivative/share-alike permission bits the shard filter
+    consumes. Regex + LIKE only — stays in whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    lic0 = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("by", "by-sa", "by-nc", "by-nc-sa", "by-nd", "by-nc-nd")]),
+        (k % 6 + 1).cast("int"),
+    )
+    ver0 = F.element_at(
+        F.array(F.lit("2.0"), F.lit("3.0"), F.lit("4.0")),
+        (k % 3 + 1).cast("int"),
+    )
+    footer = (
+        F.when(k % 4 == 0,
+               F.concat(F.lit('<p>fine print</p><a rel="license" '
+                              'href="https://creativecommons.org/licenses/'),
+                        lic0, F.lit("/"), ver0, F.lit('/">License</a>')))
+        .when(k % 4 == 1,
+              F.concat(F.lit('<a href="https://creativecommons.org/licenses/'),
+                       lic0, F.lit("/"), ver0, F.lit('/">terms</a>')))
+        .when(k % 4 == 2,
+              F.lit('<a href="https://creativecommons.org/publicdomain/'
+                    'zero/1.0/">CC0</a>'))
+        .otherwise(F.lit(""))
+    )
+    b = docs.select("doc_id", F.concat(F.col("text"), footer).alias("body"))
+    x = b.select(
+        "doc_id",
+        F.nullif(
+            F.regexp_extract("body", r"creativecommons[.]org/licenses/([a-z-]+)/", 1),
+            F.lit(""),
+        ).alias("lic"),
+        F.nullif(
+            F.regexp_extract(
+                "body", r"creativecommons[.]org/licenses/[a-z-]+/([0-9][.][0-9])/", 1
+            ),
+            F.lit(""),
+        ).alias("ver"),
+        F.col("body").like("%creativecommons.org/publicdomain/zero/1.0/%")
+        .alias("is_cc0"),
+        F.col("body").like('%<a rel="license" href="https://creativecommons.org%')
+        .alias("rel_license"),
+    )
+    lic = F.col("lic")
+    return x.select(
+        "doc_id",
+        F.when(F.col("is_cc0"), F.lit("CC0-1.0"))
+        .when(lic.isNotNull(),
+              F.concat(F.lit("CC-"), F.upper(lic), F.lit("-"), F.col("ver")))
+        .alias("license_id"),
+        "rel_license",
+        (F.col("is_cc0") | (lic.isNotNull() & ~lic.like("%nc%")))
+        .alias("allows_commercial"),
+        (F.col("is_cc0") | (lic.isNotNull() & ~lic.like("%nd%")))
+        .alias("allows_derivatives"),
+        (lic.isNotNull() & lic.like("%sa%")).alias("share_alike"),
+    )
+
+
+# -- A14/A16 bridge: LAION-style alt-text caption harvesting ---------------------
+# [U LAION-5B acquisition recipe (Common Crawl <img> alt-text + gates);
+# img2dataset url_list conventions]: the image+caption pairs the north
+# rule's Iceberg table holds are BORN here — every <img> tag on a fetched
+# page yields a candidate (resolved src URL, alt text) pair, then the
+# first-failing-gate cascade rejects empty/stopword/camera-filename/short
+# captions and tiny/extreme-aspect images. Both engines parse the SAME
+# assembled gallery pages (sorted string_agg) with the SAME regexes and
+# zip the per-attribute arrays positionally — the arrays must stay aligned
+# through sort + extract in both, so the whole parse path is cross-pinned.
+# Engine shape: per-page regexp work is the embarrassingly-parallel map
+# stage after fetch; the only exchange is the fixture's page assembly.
+# Plan note: the four attribute arrays and their zip are materialized as
+# attributes BEFORE posexplode (the Generate-sibling re-evaluation gotcha,
+# CLAUDE.md round-4).
+
+_ALT_STOPLIST = ("image", "photo", "logo", "icon", "banner", "spacer",
+                 "img", "thumbnail")
+
+
+@register(
+    "img_alt_text_mine",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey AS k,
+             'g' || (p_partkey % 20) AS host,
+             CASE WHEN p_partkey % 5 = 0
+                    THEN 'http://cdn' || (p_partkey % 3) || '.example/img/'
+                         || p_partkey || '.jpg'
+                  WHEN p_partkey % 5 = 1
+                    THEN '//cdn.example/img/' || p_partkey || '.jpg'
+                  ELSE '/img/' || p_partkey || '.jpg' END AS src,
+             CASE CAST(p_partkey % 7 AS INT)
+               WHEN 0 THEN ''
+               WHEN 1 THEN 'image'
+               WHEN 2 THEN 'IMG_' || p_partkey
+               WHEN 3 THEN 'pic'
+               ELSE p_name END AS alt,
+             32 + (p_partkey * 7) % 2000 AS w,
+             32 + (p_partkey * 11) % 1400 AS h
+      FROM part),
+    tags AS (
+      SELECT host,
+             '<img src="' || src || '" alt="' || alt || '" width="' || w
+               || '" height="' || h || '">' AS tag
+      FROM t),
+    pages AS (
+      SELECT host, '<html>' || string_agg(tag, '' ORDER BY tag) || '</html>' AS body
+      FROM tags GROUP BY 1),
+    ex AS (
+      SELECT host,
+             regexp_extract_all(body, '<img src="([^"]*)"', 1) AS srcs,
+             regexp_extract_all(body, ' alt="([^"]*)"', 1) AS alts,
+             regexp_extract_all(body, ' width="([^"]*)"', 1) AS ws,
+             regexp_extract_all(body, ' height="([^"]*)"', 1) AS hs
+      FROM pages),
+    flat AS (
+      SELECT host,
+             unnest(list_transform(range(1, len(srcs) + 1), i ->
+               {{'seq': CAST(i AS BIGINT), 'src': srcs[i], 'alt': alts[i],
+                 'w': CAST(ws[i] AS INT), 'h': CAST(hs[i] AS INT)}})) AS u
+      FROM ex),
+    c AS (
+      SELECT host, struct_extract(u, 'seq') AS seq,
+             struct_extract(u, 'src') AS src, struct_extract(u, 'alt') AS alt,
+             struct_extract(u, 'w') AS w, struct_extract(u, 'h') AS h
+      FROM flat),
+    g AS (
+      SELECT host, seq,
+             CASE WHEN src LIKE 'http%' THEN src
+                  WHEN src LIKE '//%' THEN 'http:' || src
+                  ELSE 'http://' || host || '.example' || src END AS img_url,
+             alt AS caption, w, h,
+             CASE WHEN trim(alt) = '' THEN 'no_alt'
+                  WHEN lower(trim(alt)) IN {repr(_ALT_STOPLIST)}
+                    THEN 'stop_caption'
+                  WHEN regexp_matches(lower(trim(alt)),
+                       '^(img|dsc|dscn|image|photo)[-_ ]?[0-9]+$')
+                    THEN 'filename_caption'
+                  WHEN length(trim(alt)) < 5 THEN 'too_short'
+                  WHEN least(w, h) < 64 THEN 'too_small'
+                  WHEN greatest(w, h) > 3 * least(w, h) THEN 'extreme_aspect'
+             END AS reject_reason
+      FROM c)
+    SELECT host, seq, img_url, caption, w, h, reject_reason,
+           (reject_reason IS NULL) AS accepted
+    FROM g
+    """,
+)
+def img_alt_text_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alt-text caption harvesting (section comment): per-page <img> tags
+    explode into candidate (img_url, caption) pairs; relative/protocol-
+    relative srcs resolve against the page host; the first-failing-gate
+    cascade mirrors the LAION acquisition filters."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    src = (
+        F.when(k % 5 == 0,
+               F.concat(F.lit("http://cdn"), (k % 3).cast("string"),
+                        F.lit(".example/img/"), k.cast("string"), F.lit(".jpg")))
+        .when(k % 5 == 1,
+              F.concat(F.lit("//cdn.example/img/"), k.cast("string"),
+                       F.lit(".jpg")))
+        .otherwise(F.concat(F.lit("/img/"), k.cast("string"), F.lit(".jpg")))
+    )
+    alt = (
+        F.when(k % 7 == 0, F.lit(""))
+        .when(k % 7 == 1, F.lit("image"))
+        .when(k % 7 == 2, F.concat(F.lit("IMG_"), k.cast("string")))
+        .when(k % 7 == 3, F.lit("pic"))
+        .otherwise(F.col("p_name"))
+    )
+    w = (F.lit(32) + (k * 7) % 2000).cast("string")
+    h = (F.lit(32) + (k * 11) % 1400).cast("string")
+    tag = F.concat(
+        F.lit('<img src="'), src, F.lit('" alt="'), alt,
+        F.lit('" width="'), w, F.lit('" height="'), h, F.lit('">'),
+    )
+    # The whole parse (body assembly + 4 regexp_extract_all + zip) lives in
+    # the aggregate's result projection so every downstream operator —
+    # including Generate's implicit size(z)>0 Filter — references the
+    # OUTPUT ATTRIBUTE. Projected after the agg instead, projection
+    # collapse inlines the expression into both Filter and Project and the
+    # page is regex-scanned twice (the Generate-sibling gotcha, CLAUDE.md;
+    # plan pinned in tests/test_batch39.py).
+    body = F.concat(
+        F.lit("<html>"),
+        F.array_join(F.array_sort(F.collect_list("_tag")), ""),
+        F.lit("</html>"),
+    )
+    pages = (
+        part.select(
+            F.concat(F.lit("g"), (k % 20).cast("string")).alias("host"),
+            tag.alias("_tag"),
+        )
+        .groupBy("host")
+        .agg(
+            F.arrays_zip(
+                F.regexp_extract_all(body, F.lit('<img src="([^"]*)"'), 1)
+                .alias("srcs"),
+                F.regexp_extract_all(body, F.lit(' alt="([^"]*)"'), 1)
+                .alias("alts"),
+                F.regexp_extract_all(body, F.lit(' width="([^"]*)"'), 1)
+                .alias("ws"),
+                F.regexp_extract_all(body, F.lit(' height="([^"]*)"'), 1)
+                .alias("hs"),
+            ).alias("z")
+        )
+    )
+    ex = pages.select("host", F.posexplode("z").alias("pos", "c"))
+    c = ex.select(
+        "host",
+        (F.col("pos") + 1).cast("long").alias("seq"),
+        F.col("c.srcs").alias("src"),
+        F.col("c.alts").alias("alt"),
+        F.col("c.ws").cast("int").alias("w"),
+        F.col("c.hs").cast("int").alias("h"),
+    )
+    alt_t = F.trim(F.col("alt"))
+    alt_l = F.lower(alt_t)
+    reason = (
+        F.when(alt_t == "", F.lit("no_alt"))
+        .when(alt_l.isin(*_ALT_STOPLIST), F.lit("stop_caption"))
+        .when(alt_l.rlike(r"^(img|dsc|dscn|image|photo)[-_ ]?[0-9]+$"),
+              F.lit("filename_caption"))
+        .when(F.length(alt_t) < 5, F.lit("too_short"))
+        .when(F.least("w", "h") < 64, F.lit("too_small"))
+        .when(F.greatest("w", "h") > 3 * F.least("w", "h"),
+              F.lit("extreme_aspect"))
+    )
+    g = c.select(
+        "host", "seq",
+        F.when(F.col("src").like("http%"), F.col("src"))
+        .when(F.col("src").like("//%"), F.concat(F.lit("http:"), F.col("src")))
+        .otherwise(F.concat(F.lit("http://"), F.col("host"),
+                            F.lit(".example"), F.col("src")))
+        .alias("img_url"),
+        F.col("alt").alias("caption"), "w", "h",
+        reason.alias("reject_reason"),
+    )
+    return g.select(
+        "host", "seq", "img_url", "caption", "w", "h", "reject_reason",
+        F.col("reject_reason").isNull().alias("accepted"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -14888,6 +15267,11 @@ def img_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 39 (acquisition/compliance plane: AI opt-out matrix,
+    # CC-license detection, alt-text caption harvesting)
+    "crawl_ai_optout",
+    "doc_license_detect",
+    "img_alt_text_mine",
     # new in batch 37 (proxy/auth middleware + fingerprint audit)
     "crawl_proxy_rotation",
     "crawl_http_auth",

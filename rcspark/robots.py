@@ -176,7 +176,8 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
 
     agent = agent.lower()
     exact = [g for agents, g in groups if agent in agents]
-    chosen = exact if exact else [g for agents, g in groups if "*" in agents]
+    wild = [g for agents, g in groups if "*" in agents]
+    chosen = exact if exact else wild
     allow: list[str] = []
     deny: list[str] = []
     delay = None
@@ -185,7 +186,13 @@ def parse_robots_txt(text: str, agent: str = "*") -> dict:
         deny.extend(g["deny"])
         if g["delay"] is not None:
             delay = g["delay"] if delay is None else max(delay, g["delay"])
-    return {"allow_rules": allow, "deny_rules": deny, "crawl_delay": delay}
+    matched = "exact" if exact else ("wildcard" if wild else "none")
+    return {
+        "allow_rules": allow,
+        "deny_rules": deny,
+        "crawl_delay": delay,
+        "matched": matched,
+    }
 
 
 def robots_from_bodies(bodies: DataFrame) -> DataFrame:
@@ -210,3 +217,76 @@ def robots_from_bodies(bodies: DataFrame) -> DataFrame:
             )
 
     return bodies.select("host", "body").mapInPandas(parse, ROBOTS_SCHEMA)
+
+
+# -- per-agent opt-out matrix (AI-crawler compliance audit) --------------------
+# A training-data crawl must honor AGENT-SPECIFIC robots groups, not just
+# '*': publishers opt out of AI training by naming GPTBot / CCBot /
+# ClaudeBot / Google-Extended in their own group (RFC 9309 group selection:
+# an exact-name group REPLACES the wildcard group entirely — it does not
+# merge with it). This helper parses each host's robots.txt once per agent
+# and emits the verdict matrix the curation plane joins against.
+
+AI_AGENTS = ("gptbot", "ccbot", "claudebot", "google-extended")
+
+AGENT_MATRIX_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("agent", T.StringType(), False),
+        T.StructField("matched_group", T.StringType(), False),
+        T.StructField("opt_out", T.BooleanType(), False),
+        T.StructField("probe_allowed", T.BooleanType(), False),
+        T.StructField("crawl_delay_ms", T.LongType(), True),
+    ]
+)
+
+
+def robots_agent_matrix(
+    bodies: DataFrame,
+    agents: tuple[str, ...] = AI_AGENTS,
+    probe_path: str = "/images/i1.jpg",
+) -> DataFrame:
+    """(host, body string) → one verdict row per (host, agent).
+
+    opt_out = the site root '/' is denied for that agent (the full
+    training-opt-out form); probe_allowed = `probe_path` survives the
+    longest-match rules; crawl_delay_ms = the group's Crawl-delay in
+    integer milliseconds (NULL when unset — and NULL when an exact group
+    exists without one, per RFC 9309 group replacement).
+
+    Arrow-batched mapInPandas: one parse per (host, agent), linear in
+    hosts, zero shuffles — the matrix is broadcast-sized downstream
+    (#hosts × len(agents)).
+    """
+
+    def emit(batch_iter):
+        for pdf in batch_iter:
+            out = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                text = body if isinstance(body, str) else (
+                    bytes(body).decode("utf-8", "replace") if body is not None else ""
+                )
+                for agent in agents:
+                    r = parse_robots_txt(text, agent)
+                    allow, deny = r["allow_rules"], r["deny_rules"]
+                    out.append(
+                        (
+                            host,
+                            agent,
+                            r["matched"],
+                            not robots_allowed_py("/", allow, deny),
+                            robots_allowed_py(probe_path, allow, deny),
+                            None
+                            if r["crawl_delay"] is None
+                            else int(round(r["crawl_delay"] * 1000)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "host", "agent", "matched_group",
+                    "opt_out", "probe_allowed", "crawl_delay_ms",
+                ],
+            ).astype({"crawl_delay_ms": "object"})
+
+    return bodies.select("host", "body").mapInPandas(emit, AGENT_MATRIX_SCHEMA)
