@@ -15251,6 +15251,292 @@ def img_alt_text_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 40 (round 5): the training-corpus CONSTRUCTION plane — cluster-
+# balanced diversity sampling, webdataset export shard layout, and DSIR
+# importance weights. These are the three steps between "curated pool" and
+# "training shards on disk" for an image+caption corpus.
+# =============================================================================
+
+# -- cluster-balanced diversity sampling ----------------------------------------
+# [U DataComp filtering-track baselines; SemDeDup cluster sampling;
+# Vo et al. 2024 automatic-curation cluster-and-sample]: uniform
+# subsampling over-represents dense semantic clusters; keeping ~sqrt(|cell|)
+# per IVF cell preserves rare modes. Selection is HASH-RATE, not rank:
+# vec kept iff (digest60('div:'||vec_id) % 1e6) * n < 1e6 * isqrt(n) —
+# pure integer arithmetic, no division, no ordered window. At 10^10
+# vectors a row_number-per-cell would sort billions of rows inside the
+# hottest cells; the rate rule is one ncells-row aggregate broadcast back
+# onto a scan (production scales ncells with the corpus, which only
+# shrinks the broadcast rows' skew further). isqrt = floor(sqrt(n)) is
+# exact in IEEE double for n < 2^52 in both engines.
+
+@register(
+    "emb_diversity_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST({_CELL_SQL} AS BIGINT) AS cell FROM embeddings),
+    s AS (SELECT cell, count(*) AS n FROM b GROUP BY 1),
+    q AS (
+      SELECT cell, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS iq
+      FROM s)
+    SELECT b.vec_id, b.cell, q.n AS cell_size,
+           (1000000 * q.iq) // q.n AS keep_ppm,
+           (({sql_digest60("'div:' || CAST(b.vec_id AS VARCHAR)")} % 1000000)
+             * q.n) < 1000000 * q.iq AS kept
+    FROM b JOIN q USING (cell)
+    """,
+)
+def emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus subsampling (section comment): per-cell
+    keep rate isqrt(n)/n via integer hash-rate selection — one tiny
+    aggregate, one broadcast join, zero ordered windows."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        sim.ivf_cell(F.col("embedding"), dim=_EMB_DIM).cast("long").alias("cell"),
+    )
+    q = (
+        b.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell", "n",
+            F.floor(F.sqrt(F.col("n").cast("double"))).cast("long").alias("iq"),
+        )
+    )
+    h = digest60(F.concat(F.lit("div:"), F.col("vec_id").cast("string")))
+    return b.join(F.broadcast(q), "cell").select(
+        "vec_id", "cell",
+        F.col("n").alias("cell_size"),
+        F.expr("(1000000 * iq) div n").alias("keep_ppm"),
+        ((h % 1000000) * F.col("n") < 1000000 * F.col("iq")).alias("kept"),
+    )
+
+
+# -- webdataset export shard layout ----------------------------------------------
+# [U webdataset tar-shard convention; img2dataset writer]: training
+# dataloaders stream image+caption samples from tar shards; the export
+# writer needs, per sample, its shard, its position, and its BYTE OFFSET
+# inside the tar (header block + payload padded to 512). doc_shard_assign
+# covers the assignment/permutation contract; this op adds the byte-layout
+# arithmetic the writer actually seeks by. The within-shard cumsum is a
+# window PARTITIONED BY SHARD — at production the shard count scales to
+# hold shards at ~1 GiB, so partitions stay bounded by construction and
+# the cumsum never degenerates into a global sort.
+
+_WDS_SHARDS = 16
+
+
+@register(
+    "img_shard_layout",
+    oracle=f"""
+    WITH t AS (
+      SELECT 'img' || p_partkey AS image_id,
+             {sql_digest60("'wds:img' || p_partkey")} AS h,
+             2048 + {sql_digest60("'sz:img' || p_partkey")} % 98304
+               AS sample_bytes
+      FROM part),
+    r AS (
+      SELECT image_id, h % {_WDS_SHARDS} AS shard, sample_bytes,
+             512 + 512 * ((sample_bytes + 511) // 512) AS record_bytes,
+             h
+      FROM t),
+    w AS (
+      SELECT image_id, shard, sample_bytes, record_bytes,
+             CAST(row_number() OVER win AS BIGINT) AS pos,
+             CAST(sum(record_bytes) OVER win - record_bytes AS BIGINT)
+               AS byte_offset,
+             CAST(1024 + sum(record_bytes) OVER (PARTITION BY shard)
+                  AS BIGINT) AS shard_bytes
+      FROM r
+      WINDOW win AS (PARTITION BY shard ORDER BY h, image_id
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT image_id, shard, pos, sample_bytes, record_bytes, byte_offset,
+           shard_bytes
+    FROM w
+    """,
+)
+def img_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset tar-shard byte layout (section comment): digest shard +
+    deterministic within-shard order, per-sample tar record size
+    (512-byte header + 512-padded payload), cumulative byte offset, and
+    the closed shard's total (two 512 zero end-blocks)."""
+    part = load(spark, sf_dir, "part")
+    image_id = F.concat(F.lit("img"), F.col("p_partkey").cast("string"))
+    h = digest60(F.concat(F.lit("wds:"), image_id))
+    sz = 2048 + digest60(F.concat(F.lit("sz:"), image_id)) % 98304
+    r = part.select(
+        image_id.alias("image_id"),
+        (h % _WDS_SHARDS).alias("shard"),
+        sz.alias("sample_bytes"),
+        h.alias("h"),
+    ).withColumn(
+        "record_bytes", 512 + 512 * F.expr("(sample_bytes + 511) div 512")
+    )
+    win = Window.partitionBy("shard").orderBy("h", "image_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("shard")
+    return r.select(
+        "image_id", "shard",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("h", "image_id")
+        ).cast("long").alias("pos"),
+        "sample_bytes", "record_bytes",
+        (F.sum("record_bytes").over(win) - F.col("record_bytes")).alias(
+            "byte_offset"
+        ),
+        (1024 + F.sum("record_bytes").over(tot)).alias("shard_bytes"),
+    )
+
+
+# -- DSIR importance weights ------------------------------------------------------
+# [U Xie et al. 2023 "Data Selection for LMs via Importance Resampling"
+# (DSIR); hashed n-gram bag-of-words generalization]: score every source
+# document by how target-like its hashed unigram+bigram distribution is.
+# Per the repo's no-ln rule (TODO.md: raw-HLL / BM25 precedents), the
+# per-feature log-likelihood ratio is replaced by the Laplace-smoothed
+# probability RATIO in exact ppm — monotone in the same direction, exact
+# int64 in both engines:
+#   score(b) = (1e6 * (t_b+1) * (S+K)) // ((s_b+1) * (T+K))
+# Target = docs with doc_id % 3 = 0 (a deterministic domain sample);
+# source = the rest. Shapes: one K-bounded bucket agg over exploded
+# features, a 1-row totals broadcast, a K-row score-table broadcast join,
+# one linear per-doc re-agg — no all-pairs, no ordered window.
+
+_DSIR_K = 1024
+
+_DSIR_FEATS_SQL = """
+      SELECT doc_id, doc_id % 3 = 0 AS is_target,
+             list_concat(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               list_transform(
+                 range(1, len(list_filter(string_split(text, ' '), w -> w <> ''))),
+                 i -> list_filter(string_split(text, ' '), w -> w <> '')[i]
+                      || ' ' ||
+                      list_filter(string_split(text, ' '), w -> w <> '')[i + 1])
+             ) AS f
+      FROM documents
+"""
+
+
+@register(
+    "doc_dsir_weights",
+    oracle=f"""
+    WITH feats AS ({_DSIR_FEATS_SQL}),
+    ex AS (
+      SELECT doc_id, is_target,
+             CAST('0x' || substr(md5(u.t), 1, 15) AS BIGINT) % {_DSIR_K} AS b
+      FROM feats, unnest(f) AS u(t)),
+    counts AS (
+      SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS s_b
+      FROM ex GROUP BY 1),
+    spine AS (
+      SELECT CAST(g.b AS BIGINT) AS b,
+             coalesce(c.t_b, 0) AS t_b, coalesce(c.s_b, 0) AS s_b
+      FROM (SELECT unnest(range(0, {_DSIR_K})) AS b) g
+      LEFT JOIN counts c ON g.b = c.b),
+    tot AS (SELECT sum(t_b) AS tt, sum(s_b) AS ss FROM spine),
+    score AS (
+      SELECT b, (1000000 * (t_b + 1) * (ss + {_DSIR_K}))
+                  // ((s_b + 1) * (tt + {_DSIR_K})) AS ratio_ppm
+      FROM spine, tot),
+    per_doc AS (
+      SELECT e.doc_id, e.is_target,
+             count(*) AS n_feats, sum(sc.ratio_ppm) AS sum_ratio_ppm
+      FROM ex e JOIN score sc ON e.b = sc.b
+      GROUP BY 1, 2)
+    SELECT d.doc_id, f.is_target,
+           coalesce(p.n_feats, 0) AS n_feats,
+           CAST(coalesce(p.sum_ratio_ppm, 0) AS BIGINT) AS sum_ratio_ppm,
+           CAST(CASE WHEN p.n_feats > 0
+                THEN p.sum_ratio_ppm // p.n_feats END AS BIGINT)
+             AS avg_ratio_ppm,
+           CASE WHEN p.n_feats > 0
+                THEN p.sum_ratio_ppm // p.n_feats >= 1000000
+                ELSE FALSE END AS keep
+    FROM documents d
+    JOIN feats f USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (section comment): hashed unigram+bigram
+    target/source bag models, Laplace-smoothed ratio in exact ppm, per-doc
+    sum + average; keep = more target-like than source-like."""
+    docs = load(spark, sf_dir, "documents")
+    withwords = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("is_target"),
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("ws"),
+    )
+    feats = withwords.select(
+        "doc_id", "is_target",
+        F.expr(
+            "concat(ws, filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),"
+            " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL))"
+        ).alias("f"),
+    )
+    ex = feats.select(
+        "doc_id", "is_target", F.explode_outer("f").alias("t")
+    ).select(
+        "doc_id", "is_target",
+        F.when(
+            F.col("t").isNotNull(),
+            F.expr(f"CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % {_DSIR_K}"),
+        ).alias("b"),
+    )
+    counts = (
+        ex.filter(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("s_b"),
+        )
+    )
+    spine = spark.range(_DSIR_K).select(F.col("id").alias("b")).join(
+        counts, "b", "left"
+    ).select(
+        "b",
+        F.coalesce("t_b", F.lit(0)).alias("t_b"),
+        F.coalesce("s_b", F.lit(0)).alias("s_b"),
+    )
+    tot = spine.agg(
+        F.sum("t_b").alias("tt"), F.sum("s_b").alias("ss")
+    )
+    score = spine.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"1000000 * (t_b + 1) * (ss + {_DSIR_K})"
+            f" div ((s_b + 1) * (tt + {_DSIR_K}))"
+        ).alias("ratio_ppm"),
+    )
+    per_doc = (
+        ex.filter(F.col("b").isNotNull())
+        .join(F.broadcast(score), "b")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("ratio_ppm").alias("sum_ratio_ppm"),
+        )
+    )
+    base = feats.select("doc_id", "is_target")
+    out = base.join(per_doc, ["doc_id", "is_target"], "left")
+    n = F.coalesce(F.col("n_feats"), F.lit(0))
+    s = F.coalesce(F.col("sum_ratio_ppm"), F.lit(0))
+    avg = F.when(n > 0, F.expr("sum_ratio_ppm div n_feats"))  # ints: floor div
+    return out.select(
+        "doc_id", "is_target",
+        n.alias("n_feats"),
+        s.alias("sum_ratio_ppm"),
+        avg.alias("avg_ratio_ppm"),
+        F.when(n > 0, avg >= 1000000).otherwise(F.lit(False)).alias("keep"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -15267,6 +15553,11 @@ def img_alt_text_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 40 (training-corpus construction plane: diversity
+    # sampling, webdataset shard layout, DSIR importance weights)
+    "emb_diversity_sample",
+    "img_shard_layout",
+    "doc_dsir_weights",
     # new in batch 39 (acquisition/compliance plane: AI opt-out matrix,
     # CC-license detection, alt-text caption harvesting)
     "crawl_ai_optout",
