@@ -2617,3 +2617,140 @@ def pair_stream_features(
             )
 
     return src.mapInPandas(run, PAIR_FEATURES_SCHEMA)
+
+
+# -- IFD1 embedded EXIF thumbnail (round-5 batch 41) -------------------------------
+# [U Exif 2.32 §4.6.3 (1st IFD); PIL .thumbnail / piexif "1st" IFD;
+# scrapy ImagesPipeline stores thumbs beside images]: cameras embed a
+# small JPEG of the ORIGINAL frame inside the Exif APP1. Two corpus jobs
+# need it: (a) acquisition can read the embedded thumb instead of decoding
+# the full image for gating; (b) privacy — the thumb leaks anything a
+# crop/redact removed, so the scrub pass must strip IFD1 (and this
+# operator PROVES it does, per row, from the bytes).
+
+EXIF_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("orientation", T.IntegerType(), False),
+        T.StructField("thumb_w", T.IntegerType(), False),
+        T.StructField("thumb_h", T.IntegerType(), False),
+        T.StructField("n_thumb_bytes", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("scrub_strips_thumb", T.BooleanType(), False),
+    ]
+)
+
+
+def exif_thumbnail(ids: DataFrame, max_side: int = 12, quality: int = 85) -> DataFrame:
+    """Plant a REAL IFD1 thumbnail (aspect-fit int_block_mean + engine
+    JPEG, spliced by rcspark.jpeg.plant_exif_thumbnail), then re-extract
+    it FROM THE BYTES, decode it, and report dims/sums; also run the
+    whitelist scrub and assert per-row that the thumbnail is gone.
+    max_side stays below the smallest fixture dim (16): a thumbnail never
+    upscales (PIL Image.thumbnail semantics), and int_block_mean requires
+    out <= src or block spans go empty. Twin:
+    scripts/gen_media_expected.py walks the APP1 with its own IFD parser
+    and decodes with scripts/jpeg_twin.py."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        plant_exif_thumbnail,
+        read_exif_thumbnail,
+        scrub_exif_metadata,
+    )
+    from ..xxh import xxh64
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                h, w, _ = pix.shape
+                planted_o = 1 + xxh64(iid.encode()) % 8
+                tw, th = fit_box(w, h, max_side, max_side)
+                tpix = int_block_mean(pix, th, tw)
+                tb = encode_jpeg(tpix, quality=quality)
+                data = plant_exif_thumbnail(
+                    encode_jpeg(pix, quality=90), planted_o, tb
+                )
+                etb, o = read_exif_thumbnail(data)
+                dec = decode_jpeg(etb)
+                s = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                scrubbed, _, _ = scrub_exif_metadata(data)
+                out.append(
+                    (iid, o, dec.shape[1], dec.shape[0], len(etb),
+                     int(s[0]), int(s[1]), int(s[2]),
+                     read_exif_thumbnail(scrubbed)[0] is None)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in EXIF_THUMB_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, EXIF_THUMB_SCHEMA)
+
+
+# -- skin-ratio safety heuristic (round-5 batch 41) --------------------------------
+# [U Peer/Kovac/Solina RGB skin rule; LAION NSFW-filter practice]: the
+# cheap first tier of a pair safety gate — flag images whose skin-tone
+# pixel share exceeds a threshold, BEFORE any model runs (the model tier
+# binds behind the same seam as decode_external). Rule, exact integer on
+# uint8: R>95, G>40, B>20, max-min>15, |R-G|>15, R>G, R>B. The fixture
+# plants a skin-toned blend for every xxh64(id||':skin')%3==0 image:
+# p' = (p + 2*(205,140,110)) // 3 — generator-side arithmetic shared with
+# the twin (like make_image), while the MASK is computed independently.
+
+SKIN_TARGET = (205, 140, 110)
+SKIN_FLAG_PPM = 400_000
+
+SKIN_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("planted", T.BooleanType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("skin_px", T.LongType(), False),
+        T.StructField("skin_ppm", T.LongType(), False),
+        T.StructField("skin_flag", T.BooleanType(), False),
+    ]
+)
+
+
+def skin_gate(ids: DataFrame, flag_ppm: int = SKIN_FLAG_PPM) -> DataFrame:
+    """Per-image skin-tone pixel share in exact ppm (module comment).
+    One vectorized numpy mask per image; bytes never leave the UDF."""
+    import pandas as pd
+
+    from ..fixtures import make_smooth_image
+    from ..xxh import xxh64
+
+    tgt = np.array(SKIN_TARGET, dtype=np.int64)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid).astype(np.int64)
+                planted = xxh64(f"{iid}:skin".encode()) % 3 == 0
+                if planted:
+                    pix = (pix + 2 * tgt) // 3
+                r, g, b = pix[..., 0], pix[..., 1], pix[..., 2]
+                mx = np.maximum(np.maximum(r, g), b)
+                mn = np.minimum(np.minimum(r, g), b)
+                mask = (
+                    (r > 95) & (g > 40) & (b > 20)
+                    & (mx - mn > 15) & (np.abs(r - g) > 15)
+                    & (r > g) & (r > b)
+                )
+                n = pix.shape[0] * pix.shape[1]
+                skin = int(mask.sum())
+                ppm = 1_000_000 * skin // n
+                out.append((iid, planted, n, skin, ppm, ppm > flag_ppm))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SKIN_SCHEMA.fields]
+            )
+
+    return ids.select("image_id").mapInPandas(run, SKIN_SCHEMA)

@@ -864,3 +864,108 @@ def scrub_exif_metadata(data: bytes) -> tuple[bytes, bool, int]:
                     had_gps = True
     repl = b"" if orientation is None else _marker(0xE1, _exif_app1(orientation))
     return data[:i] + repl + data[seg_end:], had_gps, orientation or 1
+
+
+# -- IFD1 embedded thumbnail (Exif §4.6.3; [U PIL Image.thumbnail /
+# piexif "1st" IFD]) -----------------------------------------------------------
+# Cameras store a small JPEG INSIDE the Exif APP1: IFD0's next-IFD pointer
+# leads to IFD1, whose JPEGInterchangeFormat (0x0201) / -Length (0x0202)
+# tags span the compressed thumbnail. Layout written here (all offsets
+# relative to the TIFF header):
+#   8   IFD0: n=1 (0x0112 Orientation SHORT), next-IFD -> 26
+#   26  IFD1: n=2 (0x0201 LONG -> 56) (0x0202 LONG = len), next = 0
+#   56  thumbnail JPEG bytes
+# The privacy relevance: a scrubbed corpus must drop IFD1 too — the
+# thumbnail is rendered from the ORIGINAL frame, so it leaks anything a
+# crop/redact removed. scrub_exif_metadata rebuilds an orientation-only
+# APP1, which strips IFD1 by construction; read_exif_thumbnail makes that
+# checkable from the bytes.
+
+
+def _exif_app1_thumb(orientation: int, thumb: bytes) -> bytes:
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"orientation {orientation} outside 1..8")
+    tiff = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+    tiff += struct.pack("<I", 26)  # next IFD = IFD1
+    assert len(tiff) == 26
+    tiff += struct.pack("<H", 2)
+    tiff += struct.pack("<HHII", 0x0201, 4, 1, 56)
+    tiff += struct.pack("<HHII", 0x0202, 4, 1, len(thumb))
+    tiff += struct.pack("<I", 0)
+    assert len(tiff) == 56
+    tiff += thumb
+    payload = b"Exif\x00\x00" + bytes(tiff)
+    if len(payload) + 2 > 0xFFFF:
+        raise ValueError("thumbnail too large for one APP1 segment")
+    return payload
+
+
+def plant_exif_thumbnail(data: bytes, orientation: int, thumb: bytes) -> bytes:
+    """Replace (or insert after the APP0 run) the Exif APP1 with an
+    Orientation + IFD1-thumbnail payload (layout pinned above)."""
+    seg = _marker(0xE1, _exif_app1_thumb(orientation, thumb))
+    span = _find_exif_app1(data)
+    if span is not None:
+        return data[: span[0]] + seg + data[span[1] :]
+    i = 2
+    while i + 4 <= len(data) and data[i] == 0xFF and data[i + 1] == 0xE0:
+        i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+    return data[:i] + seg + data[i:]
+
+
+def read_exif_thumbnail(data: bytes) -> tuple[bytes | None, int]:
+    """(IFD1 embedded thumbnail bytes or None, IFD0 orientation). Follows
+    IFD0's next-IFD pointer; every offset/length is bounds-checked against
+    the APP1 segment end (hostile declared lengths never mis-span)."""
+    span = _find_exif_app1(data)
+    if span is None:
+        return None, 1
+    i, seg_end = span
+    t = i + 10
+    bo = {b"II": "little", b"MM": "big"}.get(bytes(data[t : t + 2]))
+    if bo is None:
+        return None, 1
+    orientation = 1
+    ifd0 = t + int.from_bytes(data[t + 4 : t + 8], bo)
+    if ifd0 + 2 > seg_end:
+        return None, 1
+    n = int.from_bytes(data[ifd0 : ifd0 + 2], bo)
+    for e in range(n):
+        q = ifd0 + 2 + 12 * e
+        if q + 12 > seg_end:
+            return None, orientation
+        tag = int.from_bytes(data[q : q + 2], bo)
+        typ = int.from_bytes(data[q + 2 : q + 4], bo)
+        if tag == 0x0112 and typ == 3:
+            v = int.from_bytes(data[q + 8 : q + 10], bo)
+            if 1 <= v <= 8:
+                orientation = v
+    nxt = ifd0 + 2 + 12 * n
+    if nxt + 4 > seg_end:
+        return None, orientation
+    ifd1_off = int.from_bytes(data[nxt : nxt + 4], bo)
+    if ifd1_off == 0:
+        return None, orientation
+    ifd1 = t + ifd1_off
+    if ifd1 + 2 > seg_end:
+        return None, orientation
+    n1 = int.from_bytes(data[ifd1 : ifd1 + 2], bo)
+    off = ln = None
+    for e in range(n1):
+        q = ifd1 + 2 + 12 * e
+        if q + 12 > seg_end:
+            return None, orientation
+        tag = int.from_bytes(data[q : q + 2], bo)
+        typ = int.from_bytes(data[q + 2 : q + 4], bo)
+        if tag == 0x0201 and typ == 4:
+            off = int.from_bytes(data[q + 8 : q + 12], bo)
+        elif tag == 0x0202 and typ == 4:
+            ln = int.from_bytes(data[q + 8 : q + 12], bo)
+    if off is None or ln is None:
+        return None, orientation
+    start, end = t + off, t + off + ln
+    if end > seg_end or start < t:
+        raise ValueError("EXIF thumbnail span exceeds APP1 segment")
+    return bytes(data[start:end]), orientation

@@ -15537,6 +15537,112 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 41 (round 5): the media privacy/safety plane — IFD1 embedded EXIF
+# thumbnails (extract + scrub-strips-it proof) and the cheap skin-ratio +
+# caption-blocklist safety tier.
+# =============================================================================
+
+# -- IFD1 embedded EXIF thumbnail -------------------------------------------------
+# [U Exif 2.32 §4.6.3 "1st IFD"; PIL/piexif thumbnail handling]: see
+# multimodal.exif_thumbnail. The privacy stake: the embedded thumb is
+# rendered from the ORIGINAL frame, so it leaks whatever a crop/redact
+# removed — scrub_exif_metadata must strip IFD1, and this operator proves
+# it per row FROM THE BYTES (scrub_strips_thumb under the driver hash).
+# Twin: independent struct.unpack IFD0→IFD1 walk + scalar JPEG decode +
+# its own scrub rebuild (scripts/gen_media_expected.py).
+
+@register(
+    "img_exif_thumbnail",
+    oracle=f"""
+    SELECT e.image_id, e.orientation, e.thumb_w, e.thumb_h,
+           e.n_thumb_bytes, e.sum_r, e.sum_g, e.sum_b, e.scrub_strips_thumb
+    FROM '{_MEDIA_EXPECTED}/img_exif_thumb.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 40 = 0) i USING (image_id)
+    """,
+)
+def img_exif_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded EXIF thumbnail extraction + scrub proof (section
+    comment)."""
+    from .datapipe.multimodal import exif_thumbnail
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id")
+    )
+    return exif_thumbnail(ids)
+
+
+# -- pair safety gate (skin heuristic + caption blocklist) ------------------------
+# [U Peer/Kovac/Solina RGB skin rule; LAION NSFW-filter practice]: the
+# cheap deterministic tier that runs BEFORE any safety model (the model
+# tier binds behind the decode_external-style seam). Image side =
+# multimodal.skin_gate (exact-integer mask ppm, planted skin-toned blends
+# vs independent sorted-channel twin); caption side = token intersection
+# with a safety term list (planted ' xrated' suffix for every 17th key).
+# First-failing order: caption gate, then image gate — text is free,
+# pixels cost a decode.
+
+_SAFETY_TERMS = ("xrated", "nsfw", "gore")
+
+
+@register(
+    "img_pair_safety_gate",
+    oracle=f"""
+    WITH caps AS (
+      SELECT 'img' || p_partkey AS image_id,
+             {_CAPTION_SQL}
+               || CASE WHEN p_partkey % 17 = 0 THEN ' xrated' ELSE '' END
+               AS caption
+      FROM part WHERE p_partkey % 10 = 0),
+    c AS (
+      SELECT image_id, caption,
+             list_has_any({tx.sql_tokens('caption')},
+                          {list(_SAFETY_TERMS)!r}) AS caption_blocked
+      FROM caps)
+    SELECT c.image_id, c.caption, e.skin_ppm, e.skin_flag, c.caption_blocked,
+           CASE WHEN c.caption_blocked THEN 'caption_blocked'
+                WHEN e.skin_flag THEN 'image_flagged'
+                ELSE 'clean' END AS verdict,
+           (NOT c.caption_blocked AND NOT e.skin_flag) AS keep
+    FROM c JOIN '{_MEDIA_EXPECTED}/img_skin.parquet' e USING (image_id)
+    """,
+)
+def img_pair_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier pair safety gate (section comment): caption blocklist
+    first, then the skin-ppm heuristic; keep = both clean."""
+    from .datapipe.multimodal import skin_gate
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    caps = part.filter(k % 10 == 0).select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        F.concat(
+            _caption_col(),
+            F.when(k % 17 == 0, F.lit(" xrated")).otherwise(F.lit("")),
+        ).alias("caption"),
+    )
+    c = caps.select(
+        "image_id", "caption",
+        F.arrays_overlap(
+            tx.tokens(F.col("caption")),
+            F.array(*[F.lit(t) for t in _SAFETY_TERMS]),
+        ).alias("caption_blocked"),
+    )
+    skin = skin_gate(caps.select("image_id")).select(
+        "image_id", "skin_ppm", "skin_flag"
+    )
+    t = c.join(skin, "image_id")
+    return t.select(
+        "image_id", "caption", "skin_ppm", "skin_flag", "caption_blocked",
+        F.when(F.col("caption_blocked"), F.lit("caption_blocked"))
+        .when(F.col("skin_flag"), F.lit("image_flagged"))
+        .otherwise(F.lit("clean")).alias("verdict"),
+        (~F.col("caption_blocked") & ~F.col("skin_flag")).alias("keep"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -15553,6 +15659,10 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 41 (media privacy/safety plane: IFD1 thumbnail +
+    # scrub proof, skin/caption pair safety gate)
+    "img_exif_thumbnail",
+    "img_pair_safety_gate",
     # new in batch 40 (training-corpus construction plane: diversity
     # sampling, webdataset shard layout, DSIR importance weights)
     "emb_diversity_sample",

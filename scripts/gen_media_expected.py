@@ -1536,6 +1536,152 @@ def expected_img_quarantine() -> pd.DataFrame:
     ).astype({"w": "Int32", "h": "Int32"})
 
 
+def _twin_read_thumbnail(data: bytes) -> tuple[bytes | None, int]:
+    """Independent APP1/IFD0→IFD1 walk (struct.unpack_from based) for the
+    embedded-thumbnail span — not the engine's int.from_bytes reader."""
+    import struct as _s
+
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        marker, seg = _s.unpack_from(">BH", data, pos + 1)
+        if marker in (0xDA, 0xD9):
+            break
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            base, seg_end = pos + 10, pos + 2 + seg
+            fmt = {b"II": "<", b"MM": ">"}.get(data[base : base + 2])
+            if not fmt:
+                return None, 1
+            (ifd_off,) = _s.unpack_from(fmt + "I", data, base + 4)
+            (n,) = _s.unpack_from(fmt + "H", data, base + ifd_off)
+            orientation = 1
+            for e in range(n):
+                tag, typ, _cnt, val16, _pad = _s.unpack_from(
+                    fmt + "HHIHH", data, base + ifd_off + 2 + 12 * e
+                )
+                if tag == 0x0112 and typ == 3:
+                    orientation = val16
+            (nxt,) = _s.unpack_from(fmt + "I", data, base + ifd_off + 2 + 12 * n)
+            if nxt == 0:
+                return None, orientation
+            (n1,) = _s.unpack_from(fmt + "H", data, base + nxt)
+            off = ln = None
+            for e in range(n1):
+                tag, typ, _cnt, val32 = _s.unpack_from(
+                    fmt + "HHII", data, base + nxt + 2 + 12 * e
+                )
+                if tag == 0x0201 and typ == 4:
+                    off = val32
+                elif tag == 0x0202 and typ == 4:
+                    ln = val32
+            if off is None or ln is None:
+                return None, orientation
+            assert base + off + ln <= seg_end
+            return bytes(data[base + off : base + off + ln]), orientation
+        pos += 2 + seg
+    return None, 1
+
+
+def expected_img_exif_thumb(max_side: int = 12, quality: int = 85) -> pd.DataFrame:
+    """img_exif_thumbnail twin: bytes from the engine encoder + planter
+    (the planted thumbnail is DATA inside them, like exif_orient); then an
+    INDEPENDENT IFD0→IFD1 walk, the independent scalar JPEG decode for the
+    sums, its own scalar fit restatement asserted against the extracted
+    dims, and an independent scrub rebuild (drop the APP1 found by its own
+    walk, splice its own minimal orientation-only APP1) re-walked to prove
+    the thumbnail is gone."""
+    import struct as _s
+
+    from rcspark.fixtures import make_smooth_image
+    from rcspark.jpeg import encode_jpeg, plant_exif_thumbnail
+    from rcspark.datapipe.multimodal import fit_box, int_block_mean
+    from scripts.jpeg_twin import twin_decode_jpeg
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 40):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        h, w = pix.shape[0], pix.shape[1]
+        planted_o = 1 + xxh64(iid.encode()) % 8
+        tw, th = fit_box(w, h, max_side, max_side)
+        tb = encode_jpeg(int_block_mean(pix, th, tw), quality=quality)
+        data = plant_exif_thumbnail(encode_jpeg(pix, quality=90), planted_o, tb)
+        etb, o = _twin_read_thumbnail(data)
+        dec = twin_decode_jpeg(etb)
+        # independent fit restatement must agree with the extracted dims
+        if w * max_side <= h * max_side:
+            exp_w, exp_h = max(1, (w * max_side) // h), max_side
+        else:
+            exp_w, exp_h = max_side, max(1, (h * max_side) // w)
+        assert (len(dec[0]), len(dec)) == (exp_w, exp_h)
+        sr = sum(c[0] for row in dec for c in row)
+        sg = sum(c[1] for row in dec for c in row)
+        sb = sum(c[2] for row in dec for c in row)
+        # independent scrub: cut the APP1 (own walk), splice own minimal
+        # orientation-only APP1, re-walk
+        pos = 2
+        while data[pos] == 0xFF:
+            marker, seg = _s.unpack_from(">BH", data, pos + 1)
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                break
+            pos += 2 + seg
+        mini = (b"Exif\x00\x00II*\x00" + _s.pack("<I", 8) + _s.pack("<H", 1)
+                + _s.pack("<HHIHH", 0x0112, 3, 1, o, 0) + _s.pack("<I", 0))
+        scrubbed = (data[:pos] + b"\xff\xe1" + _s.pack(">H", len(mini) + 2)
+                    + mini + data[pos + 2 + seg :])
+        rows.append(
+            (iid, np.int32(o), np.int32(len(dec[0])), np.int32(len(dec)),
+             np.int64(len(etb)), np.int64(sr), np.int64(sg), np.int64(sb),
+             _twin_read_thumbnail(scrubbed)[0] is None)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "orientation", "thumb_w", "thumb_h",
+                 "n_thumb_bytes", "sum_r", "sum_g", "sum_b",
+                 "scrub_strips_thumb"],
+    ).astype({"orientation": "int32", "thumb_w": "int32", "thumb_h": "int32",
+              "n_thumb_bytes": "int64", "sum_r": "int64", "sum_g": "int64",
+              "sum_b": "int64"})
+
+
+def expected_img_skin() -> pd.DataFrame:
+    """img_pair_safety_gate twin (image side): same shared generator and
+    documented skin-blend plant; the MASK is re-derived with a different
+    formulation (per-pixel sorted channels for max/min, count_nonzero over
+    a reordered condition chain — engine: maximum/minimum elementwise +
+    mask.sum)."""
+    from rcspark.fixtures import make_smooth_image
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid).astype(np.int64)
+        planted = xxh64(f"{iid}:skin".encode()) % 3 == 0
+        if planted:
+            pix = (pix + 2 * np.array([205, 140, 110])) // 3
+        flat = pix.reshape(-1, 3)
+        s = np.sort(flat, axis=1)
+        r, g, b = flat[:, 0], flat[:, 1], flat[:, 2]
+        cond = (
+            (s[:, 2] - s[:, 0] > 15)
+            & (r > 95) & (r > g) & (r > b)
+            & (g > 40) & (b > 20)
+            & ((r - g > 15) | (g - r > 15))
+        )
+        n = flat.shape[0]
+        skin = int(np.count_nonzero(cond))
+        ppm = 1_000_000 * skin // n
+        rows.append(
+            (iid, bool(planted), np.int64(n), np.int64(skin), np.int64(ppm),
+             ppm > 400_000)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "planted", "n_px", "skin_px", "skin_ppm",
+                 "skin_flag"],
+    ).astype({"n_px": "int64", "skin_px": "int64", "skin_ppm": "int64"})
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -1575,7 +1721,12 @@ def main() -> None:
         ("img_ssim", expected_img_ssim),
         ("img_exif_scrub", expected_img_exif_scrub),
         ("img_quarantine", expected_img_quarantine),
+        ("img_exif_thumb", expected_img_exif_thumb),
+        ("img_skin", expected_img_skin),
     ]:
+        # optional name filter: gen_media_expected.py [out_dir] [name ...]
+        if len(sys.argv) > 2 and name not in sys.argv[2:]:
+            continue
         pdf = fn()
         path = os.path.join(out_dir, f"{name}.parquet")
         pdf.to_parquet(path, index=False)
