@@ -2719,20 +2719,29 @@ SKIN_SCHEMA = T.StructType(
 )
 
 
-def skin_gate(ids: DataFrame, flag_ppm: int = SKIN_FLAG_PPM) -> DataFrame:
+def skin_gate(
+    ids: DataFrame, flag_ppm: int = SKIN_FLAG_PPM, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-image skin-tone pixel share in exact ppm (module comment).
-    One vectorized numpy mask per image; bytes never leave the UDF."""
+    One vectorized numpy mask per image; bytes never leave the UDF.
+    ``carry`` columns ride through unchanged (streaming callers carry the
+    caption so no stream-stream join is needed)."""
     import pandas as pd
 
     from ..fixtures import make_smooth_image
     from ..xxh import xxh64
 
     tgt = np.array(SKIN_TARGET, dtype=np.int64)
+    schema = T.StructType(
+        list(SKIN_SCHEMA.fields)
+        + [T.StructField(c, T.StringType(), True) for c in carry]
+    )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for iid in pdf["image_id"]:
+            for row in pdf.itertuples(index=False):
+                iid = row.image_id
                 pix = make_smooth_image(iid).astype(np.int64)
                 planted = xxh64(f"{iid}:skin".encode()) % 3 == 0
                 if planted:
@@ -2748,9 +2757,10 @@ def skin_gate(ids: DataFrame, flag_ppm: int = SKIN_FLAG_PPM) -> DataFrame:
                 n = pix.shape[0] * pix.shape[1]
                 skin = int(mask.sum())
                 ppm = 1_000_000 * skin // n
-                out.append((iid, planted, n, skin, ppm, ppm > flag_ppm))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in SKIN_SCHEMA.fields]
-            )
+                out.append(
+                    (iid, planted, n, skin, ppm, ppm > flag_ppm)
+                    + tuple(getattr(row, c) for c in carry)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    return ids.select("image_id").mapInPandas(run, SKIN_SCHEMA)
+    return ids.select("image_id", *carry).mapInPandas(run, schema)

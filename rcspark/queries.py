@@ -15585,10 +15585,10 @@ def img_exif_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAFETY_TERMS = ("xrated", "nsfw", "gore")
 
-
-@register(
-    "img_pair_safety_gate",
-    oracle=f"""
+# Shared between the batch query and its streaming twin (the batch-34
+# pattern: registering the IDENTICAL oracle makes the driver hash itself
+# pin streaming == batch).
+_PAIR_SAFETY_ORACLE = f"""
     WITH caps AS (
       SELECT 'img' || p_partkey AS image_id,
              {_CAPTION_SQL}
@@ -15606,39 +15606,198 @@ _SAFETY_TERMS = ("xrated", "nsfw", "gore")
                 ELSE 'clean' END AS verdict,
            (NOT c.caption_blocked AND NOT e.skin_flag) AS keep
     FROM c JOIN '{_MEDIA_EXPECTED}/img_skin.parquet' e USING (image_id)
-    """,
-)
-def img_pair_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-tier pair safety gate (section comment): caption blocklist
-    first, then the skin-ppm heuristic; keep = both clean."""
-    from .datapipe.multimodal import skin_gate
+    """
 
-    part = load(spark, sf_dir, "part")
+
+def _safety_caption_pairs(pairs: DataFrame) -> DataFrame:
+    """part rows (any source, batch or stream) → (image_id, caption)."""
     k = F.col("p_partkey")
-    caps = part.filter(k % 10 == 0).select(
+    return pairs.filter(k % 10 == 0).select(
         F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
         F.concat(
             _caption_col(),
             F.when(k % 17 == 0, F.lit(" xrated")).otherwise(F.lit("")),
         ).alias("caption"),
     )
-    c = caps.select(
-        "image_id", "caption",
+
+
+def _safety_select(t: DataFrame) -> DataFrame:
+    """The shared codegen gate rule over (image_id, caption, skin_ppm,
+    skin_flag) — caption tier first, then the pixel tier."""
+    c = t.withColumn(
+        "caption_blocked",
         F.arrays_overlap(
             tx.tokens(F.col("caption")),
-            F.array(*[F.lit(t) for t in _SAFETY_TERMS]),
-        ).alias("caption_blocked"),
+            F.array(*[F.lit(x) for x in _SAFETY_TERMS]),
+        ),
     )
-    skin = skin_gate(caps.select("image_id")).select(
-        "image_id", "skin_ppm", "skin_flag"
-    )
-    t = c.join(skin, "image_id")
-    return t.select(
+    return c.select(
         "image_id", "caption", "skin_ppm", "skin_flag", "caption_blocked",
         F.when(F.col("caption_blocked"), F.lit("caption_blocked"))
         .when(F.col("skin_flag"), F.lit("image_flagged"))
         .otherwise(F.lit("clean")).alias("verdict"),
         (~F.col("caption_blocked") & ~F.col("skin_flag")).alias("keep"),
+    )
+
+
+@register("img_pair_safety_gate", oracle=_PAIR_SAFETY_ORACLE)
+def img_pair_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier pair safety gate (section comment): caption blocklist
+    first, then the skin-ppm heuristic; keep = both clean. The caption
+    rides THROUGH the pixel UDF (carry), so the plan is one map lane —
+    no join — and the streaming twin is the same pipeline verbatim."""
+    from .datapipe.multimodal import skin_gate
+
+    caps = _safety_caption_pairs(load(spark, sf_dir, "part"))
+    skin = skin_gate(caps, carry=("caption",))
+    return _safety_select(
+        skin.select("image_id", "caption", "skin_ppm", "skin_flag")
+    )
+
+
+# =============================================================================
+# Batch 42 (round 5): the safety gate STREAMING twin (batch-34 pattern:
+# identical oracle → the driver hash pins streaming == batch) and the
+# acquisition COMPLIANCE capstone (gates ∧ robots AI opt-out ∧ license
+# policy — the admission rule a lawful training-corpus crawl actually
+# applies before a pair reaches a shard).
+# =============================================================================
+
+
+@register("stream_safety_gate", oracle=_PAIR_SAFETY_ORACLE)
+def stream_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pair safety gate: pairs arrive on a file stream, the
+    caption rides through the skin UDF (carry — no stream-stream join),
+    and the gate columns are the SAME shared codegen rule as the batch
+    query, which registers the IDENTICAL oracle. Pure map lane: append
+    mode, no state store, no shuffle."""
+    import uuid
+
+    from .datapipe.multimodal import skin_gate
+    from .streaming import file_stream_dir
+
+    part_schema = load(spark, sf_dir, "part").schema
+    pairs = spark.readStream.schema(part_schema).parquet(
+        file_stream_dir(sf_dir, "part")
+    )
+    caps = _safety_caption_pairs(pairs)
+    skin = skin_gate(caps, carry=("caption",))
+    out = _safety_select(
+        skin.select("image_id", "caption", "skin_ppm", "skin_flag")
+    )
+    sink = f"stream_safety_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# -- compliance capstone -----------------------------------------------------------
+# [U RFC 9309 group selection; CC license-rel convention; LAION/CommonPool
+# admission practice]: a pair is admitted to a shard only when (1) its
+# caption/image gates pass (the batch-39 alt-text cascade, composed here
+# by CALLING the registered query / embedding its oracle text — the
+# emb_ann_recall composition pattern), (2) the page host has NOT opted its
+# content out for the crawling agent (the REAL robots parser runs
+# Spark-side over planted per-host robots.txt; the oracle restates the
+# class truth from the key arithmetic), and (3) the page declares a
+# license the corpus policy accepts (commercial + derivatives allowed —
+# extraction itself is pinned by doc_license_detect; here the policy
+# layer consumes its output shape). First-failing order: gate → robots →
+# license. Host/license tables are 20 rows — broadcast joins; the verdict
+# is map-side at any corpus scale.
+
+_COMPLIANCE_AGENT = "ccbot"
+
+
+@register(
+    "img_pair_compliance",
+    oracle=f"""
+    WITH pairs AS ({ORACLE["img_alt_text_mine"]}),
+    hosts AS (
+      SELECT 'g' || g.hn AS host, CAST(g.hn AS BIGINT) AS hn
+      FROM (SELECT unnest(range(0, 20)) AS hn) g),
+    robots AS (
+      SELECT host, hn % 3 = 0 AS opt_out FROM hosts),
+    lic AS (
+      SELECT host,
+             CASE CAST(hn % 4 AS INT)
+               WHEN 0 THEN 'CC-BY-4.0' WHEN 1 THEN 'CC-BY-NC-4.0'
+               WHEN 2 THEN 'CC0-1.0' END AS license_id,
+             CAST(hn % 4 AS INT) IN (0, 2) AS allows_commercial,
+             CAST(hn % 4 AS INT) IN (0, 2) AS allows_derivatives
+      FROM hosts)
+    SELECT p.host, p.seq, p.img_url, p.caption, l.license_id,
+           CASE WHEN NOT p.accepted THEN 'gate:' || p.reject_reason
+                WHEN r.opt_out THEN 'robots_opt_out'
+                WHEN l.license_id IS NULL THEN 'no_license'
+                WHEN NOT (l.allows_commercial AND l.allows_derivatives)
+                  THEN 'license_restricted'
+           END AS compliance_reason,
+           (p.accepted AND NOT r.opt_out AND l.license_id IS NOT NULL
+            AND l.allows_commercial AND l.allows_derivatives) AS admitted
+    FROM pairs p
+    JOIN robots r USING (host)
+    JOIN lic l USING (host)
+    """,
+)
+def img_pair_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition compliance capstone (section comment): alt-text gate
+    cascade ∧ per-agent robots opt-out (REAL parser) ∧ license policy."""
+    from .robots import robots_agent_matrix
+
+    pairs = img_alt_text_mine(spark, sf_dir)
+    hn = F.col("hn")
+    hosts = spark.range(20).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("host"),
+        F.col("id").alias("hn"),
+    )
+    # planted per-host robots.txt: every third host names the agent's
+    # group with a full opt-out (RFC 9309 replacement: that group is the
+    # whole policy); modulus 3 is coprime-ish to the %4 license classes so
+    # every (opt_out × license) combination exists in the fixture
+    bodies = hosts.select(
+        "host",
+        F.concat_ws(
+            "\n",
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /private/"),
+            F.when(hn % 3 == 0,
+                   F.lit("User-agent: CCBot\nDisallow: /")),
+        ).alias("body"),
+    )
+    robots = robots_agent_matrix(
+        bodies, agents=(_COMPLIANCE_AGENT,)
+    ).select("host", "opt_out")
+    lic = hosts.select(
+        "host",
+        F.when(hn % 4 == 0, F.lit("CC-BY-4.0"))
+        .when(hn % 4 == 1, F.lit("CC-BY-NC-4.0"))
+        .when(hn % 4 == 2, F.lit("CC0-1.0"))
+        .alias("license_id"),
+        (hn % 4).cast("int").isin(0, 2).alias("allows_commercial"),
+        (hn % 4).cast("int").isin(0, 2).alias("allows_derivatives"),
+    )
+    t = pairs.join(F.broadcast(robots), "host").join(F.broadcast(lic), "host")
+    ok_lic = (
+        F.col("license_id").isNotNull()
+        & F.col("allows_commercial") & F.col("allows_derivatives")
+    )
+    return t.select(
+        "host", "seq", "img_url", "caption", "license_id",
+        F.when(~F.col("accepted"),
+               F.concat(F.lit("gate:"), F.col("reject_reason")))
+        .when(F.col("opt_out"), F.lit("robots_opt_out"))
+        .when(F.col("license_id").isNull(), F.lit("no_license"))
+        .when(~(F.col("allows_commercial") & F.col("allows_derivatives")),
+              F.lit("license_restricted"))
+        .alias("compliance_reason"),
+        (F.col("accepted") & ~F.col("opt_out") & ok_lic).alias("admitted"),
     )
 
 
@@ -15659,6 +15818,9 @@ def img_pair_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 42 (streaming safety twin + compliance capstone)
+    "stream_safety_gate",
+    "img_pair_compliance",
     # new in batch 41 (media privacy/safety plane: IFD1 thumbnail +
     # scrub proof, skin/caption pair safety gate)
     "img_exif_thumbnail",
