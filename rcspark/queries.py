@@ -15802,6 +15802,179 @@ def img_pair_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 43 (round 5): corpus quality stratification + drift monitoring —
+# CCNet-style perplexity terciles and an embedding-distribution drift
+# monitor between corpus snapshots.
+# =============================================================================
+
+# -- CCNet head/middle/tail buckets -----------------------------------------------
+# [U Wenzek et al. 2020 CCNet §4.3]: Common Crawl curation splits each
+# language's documents into head/middle/tail TERCILES by LM perplexity and
+# trains preferentially on the head. Score = the registered doc_lm_score
+# (higher ppm = more fluent, so head = top tercile). The tercile
+# thresholds are VALUES AT RANKS over the score multiset — computed with
+# the rank-span machinery (rcspark.percentile), NOT a global row_number
+# sort: the count-histogram shuffle is linear in distinct scores and the
+# two thresholds broadcast back as a one-row dim. Tie-safe: bucketing by
+# value thresholds gives every equal score the same bucket in both
+# engines regardless of row order (the DuckDB referee may keep its window
+# form — percentile.py module doc).
+
+@register(
+    "doc_ccnet_buckets",
+    oracle=f"""
+    WITH bg AS ({_SQL_BIGRAMS}),
+    c2 AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+    c1 AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             (c2.c * 1000000) // c1.c AS p_ppm
+      FROM bg JOIN c2 USING (bigram)
+              JOIN c1 ON c1.token = split_part(bg.bigram, ' ', 1)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+      FROM scored GROUP BY 1),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY lm_score_ppm, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM agg),
+    th AS (
+      SELECT max(CASE WHEN rnk = n // 3 THEN lm_score_ppm END) AS t_tail,
+             max(CASE WHEN rnk = (2 * n) // 3 THEN lm_score_ppm END)
+               AS t_middle
+      FROM r)
+    SELECT a.doc_id, a.n_bigrams, a.lm_score_ppm,
+           th.t_tail AS t_tail_ppm, th.t_middle AS t_middle_ppm,
+           CASE WHEN a.lm_score_ppm <= th.t_tail THEN 'tail'
+                WHEN a.lm_score_ppm <= th.t_middle THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM agg a, th
+    """,
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity terciles (section comment): head/middle/tail by
+    value-at-rank thresholds — rank spans, zero global sorts."""
+    from .percentile import rank_targets, value_rank_spans, values_at_ranks
+
+    # scores feeds THREE consumers (spans, counts, the final join) — persist
+    # or the whole bigram-LM pipeline recomputes per consumer (the
+    # doc_cdc_chunks double-scan lesson, VERDICT r4 item 4)
+    scores = doc_lm_score(spark, sf_dir).withColumn("_all", F.lit(1)).persist()
+    spans = value_rank_spans(scores, "_all", "lm_score_ppm")
+    counts = scores.groupBy("_all").agg(F.count("*").alias("n"))
+    targets = rank_targets(
+        counts, "_all",
+        {"t_tail": "n div 3", "t_middle": "(2 * n) div 3"},
+    )
+    picked = values_at_ranks(spans, targets, "_all")
+    th = picked.groupBy("_all").agg(
+        F.max(F.when(F.col("which") == "t_tail", F.col("lm_score_ppm")))
+        .alias("t_tail_ppm"),
+        F.max(F.when(F.col("which") == "t_middle", F.col("lm_score_ppm")))
+        .alias("t_middle_ppm"),
+    )
+    t = scores.join(F.broadcast(th), "_all")
+    return t.select(
+        "doc_id", "n_bigrams", "lm_score_ppm", "t_tail_ppm", "t_middle_ppm",
+        F.when(F.col("lm_score_ppm") <= F.col("t_tail_ppm"), F.lit("tail"))
+        .when(F.col("lm_score_ppm") <= F.col("t_middle_ppm"), F.lit("middle"))
+        .otherwise(F.lit("head")).alias("bucket"),
+    )
+
+
+# -- embedding-distribution drift monitor -----------------------------------------
+# [U data-drift monitoring practice (PSI/TVD over binned features);
+# Rabanser et al. 2019 failing-loudly]: retraining pipelines watch the
+# DISTRIBUTION of incoming embeddings against the training snapshot. PSI
+# needs ln (not a cross-engine contract — TODO.md no-ln rule), so the
+# monitor uses total-variation distance over IVF cells in exact ppm:
+# TV = ½ Σ_cells |share_A − share_B|. Snapshot B plants drift by
+# reversing every 4th vector's dims (deterministic, moves its L2-argmin
+# cell). Shape: two scans → per-cell counts (ncells rows) → spine join →
+# one-row totals broadcast — linear at any corpus size, monitor output is
+# ncells rows.
+
+@register(
+    "emb_cell_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST({_CELL_SQL} AS BIGINT) AS cell FROM embeddings),
+    bsrc AS (
+      SELECT CASE WHEN vec_id % 4 = 0 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    b AS (SELECT CAST({sim.sql_ivf_cell('embedding', dim=_EMB_DIM)} AS BIGINT)
+                   AS cell FROM bsrc),
+    ca AS (SELECT cell, count(*) AS n_a FROM a GROUP BY 1),
+    cb AS (SELECT cell, count(*) AS n_b FROM b GROUP BY 1),
+    spine AS (
+      SELECT CAST(g.cell AS BIGINT) AS cell,
+             coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+      FROM (SELECT unnest(range(0, {sim.IVF_CELLS})) AS cell) g
+      LEFT JOIN ca ON g.cell = ca.cell LEFT JOIN cb ON g.cell = cb.cell),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM spine),
+    shares AS (
+      SELECT cell, n_a, n_b,
+             CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+             CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm
+      FROM spine, tot),
+    tv AS (
+      SELECT CAST(sum(abs(share_a_ppm - share_b_ppm)) // 2 AS BIGINT)
+        AS tv_ppm FROM shares)
+    SELECT s.cell, s.n_a, s.n_b, s.share_a_ppm, s.share_b_ppm,
+           CAST(abs(s.share_a_ppm - s.share_b_ppm) AS BIGINT) AS delta_ppm,
+           tv.tv_ppm, tv.tv_ppm > 100000 AS drifted
+    FROM shares s, tv
+    """,
+)
+def emb_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot embedding drift monitor (section comment): per-cell
+    shares in exact ppm + corpus total-variation distance, 10% verdict."""
+    emb = load(spark, sf_dir, "embeddings")
+    cell_a = emb.select(
+        sim.ivf_cell(F.col("embedding"), dim=_EMB_DIM).cast("long").alias("cell")
+    )
+    bsrc = emb.select(
+        F.when(F.col("vec_id") % 4 == 0, F.reverse("embedding"))
+        .otherwise(F.col("embedding")).alias("embedding")
+    )
+    cell_b = bsrc.select(
+        sim.ivf_cell(F.col("embedding"), dim=_EMB_DIM).cast("long").alias("cell")
+    )
+    ca = cell_a.groupBy("cell").agg(F.count("*").alias("n_a"))
+    cb = cell_b.groupBy("cell").agg(F.count("*").alias("n_b"))
+    spine = (
+        spark.range(sim.IVF_CELLS).select(F.col("id").alias("cell"))
+        .join(ca, "cell", "left").join(cb, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = spine.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    shares = spine.crossJoin(F.broadcast(tot)).select(
+        "cell", "n_a", "n_b",
+        F.expr("(n_a * 1000000) div ta").alias("share_a_ppm"),
+        F.expr("(n_b * 1000000) div tb").alias("share_b_ppm"),
+    )
+    tv = shares.agg(
+        F.expr("sum(abs(share_a_ppm - share_b_ppm)) div 2")
+        .cast("long").alias("tv_ppm")
+    )
+    return shares.crossJoin(F.broadcast(tv)).select(
+        "cell", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))
+        .cast("long").alias("delta_ppm"),
+        "tv_ppm",
+        (F.col("tv_ppm") > 100000).alias("drifted"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -15818,6 +15991,9 @@ def img_pair_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 43 (CCNet terciles + embedding drift monitor)
+    "doc_ccnet_buckets",
+    "emb_cell_drift",
     # new in batch 42 (streaming safety twin + compliance capstone)
     "stream_safety_gate",
     "img_pair_compliance",
