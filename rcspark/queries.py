@@ -15975,6 +15975,133 @@ def emb_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 44 (round 5): ExactSubstr dedup CUT LIST — the missing half of
+# Lee et al. 2022 ("Deduplicating Training Data Makes LMs Better").
+# =============================================================================
+# doc_span_dedup reports the duplicated-span FRACTION (stride-8 windows);
+# ExactSubstr needs the actual ranges to remove. This derives them:
+# 1. EVERY position's L-token window digest (stride 1 — the paper's
+#    guarantee: any duplicated run >= L tokens is fully covered);
+# 2. cross-doc df per digest (distinct docs), dup = df in [2, maxdf]
+#    (the boilerplate guard from span_dedup);
+# 3. per-doc gaps-and-islands merge of dup window starts into MAXIMAL
+#    token ranges: island break when start - prev_start > L (one-token
+#    hole); islands absorb overlap AND adjacency.
+# Per the paper, the cut applies to EVERY occurrence (ExactSubstr removes
+# all copies — the published behavior). Shapes: the window explode is a
+# bounded L× expansion replacing the paper's suffix array with linear
+# digest shuffles; the island windows partition by doc_id (10^10-scale
+# key, a few hundred rows each) — never a global sort.
+
+_CUT_W, _CUT_MAXDF = 16, 100
+
+
+@register(
+    "doc_exact_substring_cut",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tx.sql_tokens('text')} AS tk FROM documents),
+    w AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             {sql_digest60(f"list_aggregate(tk[i:i+{_CUT_W - 1}], 'string_agg', ' ')")}
+               AS sd
+      FROM t, unnest(list_transform(
+               range(1, greatest(len(tk) - {_CUT_W - 1}, 0) + 1),
+               x -> CAST(x AS INT))) u(i)),
+    docsets AS (SELECT DISTINCT doc_id, sd FROM w),
+    g AS (SELECT sd, count(*) AS nd FROM docsets GROUP BY 1),
+    dup AS (SELECT sd FROM g WHERE nd >= 2 AND nd <= {_CUT_MAXDF}),
+    hits AS (SELECT w.doc_id, w.pos FROM w WHERE w.sd IN (SELECT sd FROM dup)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    > {_CUT_W} OR lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    ranges AS (
+      SELECT doc_id, island AS island_seq,
+             min(pos) AS start_tok,
+             max(pos) + {_CUT_W - 1} AS end_tok
+      FROM isl GROUP BY 1, 2),
+    nt AS (SELECT doc_id, len(tk) AS n_doc_tokens FROM t)
+    SELECT r.doc_id, CAST(r.island_seq AS BIGINT) AS island_seq,
+           r.start_tok, CAST(r.end_tok AS BIGINT) AS end_tok,
+           CAST(r.end_tok - r.start_tok + 1 AS BIGINT) AS island_len,
+           CAST(nt.n_doc_tokens AS BIGINT) AS n_doc_tokens,
+           CAST(1000000 * (r.end_tok - r.start_tok + 1)
+                // nt.n_doc_tokens AS BIGINT) AS cut_ppm
+    FROM ranges r JOIN nt USING (doc_id)
+    """,
+)
+def doc_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut ranges (section comment): maximal cross-document
+    duplicated token runs per doc, ready for removal."""
+    docs = load(spark, sf_dir, "documents")
+    # tokens materialized as an attribute FIRST (HOF-recompute gotcha)
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    idx = F.when(
+        n >= _CUT_W, F.sequence(F.lit(1), n - (_CUT_W - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    w = t.select(
+        "doc_id", "tk", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("pos"),
+        digest60(
+            F.array_join(F.slice("tk", F.col("i"), _CUT_W), " ")
+        ).alias("sd"),
+    )
+    docsets = w.select("doc_id", "sd").distinct()
+    dup = (
+        docsets.groupBy("sd")
+        .agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _CUT_MAXDF))
+        .select("sd")
+    )
+    hits = w.join(dup, "sd", "left_semi").select("doc_id", "pos")
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.select(
+        "doc_id", "pos",
+        F.when(
+            F.lag("pos").over(byd).isNull()
+            | (F.col("pos") - F.lag("pos").over(byd) > _CUT_W),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    isl = flagged.select(
+        "doc_id", "pos",
+        F.sum("brk").over(
+            byd.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    ranges = isl.groupBy("doc_id", F.col("island").alias("island_seq")).agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + (_CUT_W - 1)).alias("end_tok"),
+    )
+    nt = t.select("doc_id", n.cast("long").alias("n_doc_tokens"))
+    r = ranges.join(nt, "doc_id")
+    ln = F.col("end_tok") - F.col("start_tok") + 1
+    return r.select(
+        "doc_id",
+        F.col("island_seq").cast("long").alias("island_seq"),
+        "start_tok",
+        F.col("end_tok").cast("long").alias("end_tok"),
+        ln.cast("long").alias("island_len"),
+        "n_doc_tokens",
+        F.expr(
+            "(1000000 * (end_tok - start_tok + 1)) div n_doc_tokens"
+        ).alias("cut_ppm"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -15991,6 +16118,8 @@ def emb_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 44 (ExactSubstr cut ranges)
+    "doc_exact_substring_cut",
     # new in batch 43 (CCNet terciles + embedding drift monitor)
     "doc_ccnet_buckets",
     "emb_cell_drift",
