@@ -16176,6 +16176,429 @@ ORACLE["img_shard_tar_roundtrip"] = ORACLE["img_shard_tar_roundtrip"].format(
 
 
 # =============================================================================
+# Batch 46 (round 5): the CLASSIC published text-quality rule bundles the
+# curation plane was still missing as named operators — Gopher rules (Rae
+# et al. 2021 Table A1), C4 line/page cleaning (Raffel et al. 2020 §2.2),
+# and RefinedWeb-style soft URL scoring (Penedo et al. 2023 §3.1).
+# =============================================================================
+# All three are pure projection/scan operators: per-row HOF + regexp work
+# in whole-stage codegen, zero exchanges at any scale. Cross-engine
+# determinism: every ratio rule is an INTEGER cross-multiplication
+# (10*sym <= n_words, 5*alpha >= 4*n_words, ...) — no float division
+# crosses the hash. Both engines assemble the SAME planted body (classes
+# keyed on doc_id/p_partkey) and run the SAME split/filter predicates, so
+# the whole rule pipeline is cross-checked, not a class-truth restatement.
+# Plan note (CLAUDE.md round-2 HOF gotcha): body/words/lines are
+# materialized as attributes in a select BEFORE any lambda captures them.
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPLINE = "the cat and the hat of that have with more words here."
+_GOPHER_FIRST_FAIL = """
+    CASE WHEN NOT (n_words BETWEEN 40 AND 100000) THEN 'word_count'
+         WHEN NOT (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+           THEN 'mean_word_len'
+         WHEN NOT (10 * symbol_hits <= n_words) THEN 'symbol_ratio'
+         WHEN NOT (10 * bullet_lines <= 9 * n_lines) THEN 'bullet_lines'
+         WHEN NOT (10 * ellipsis_lines <= 3 * n_lines) THEN 'ellipsis_lines'
+         WHEN NOT (5 * alpha_words >= 4 * n_words) THEN 'alpha_ratio'
+         WHEN NOT (stopword_hits >= 2) THEN 'stopwords'
+    END"""
+
+
+@register(
+    "doc_gopher_rules",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, substr(repeat(text || ' ', 8), 1, 320) AS s
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(s, 1, 40), substr(s, 41, 40), substr(s, 81, 40),
+               substr(s, 121, 40), substr(s, 161, 40), substr(s, 201, 40),
+               substr(s, 241, 40), substr(s, 281, 40),
+               '{_GOPHER_STOPLINE}') AS base
+      FROM src),
+    b AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN base
+               WHEN 1 THEN 'alpha beta gamma delta.'
+               WHEN 2 THEN repeat('aa ', 50)
+               WHEN 3 THEN base || chr(10) || repeat('# ', 16)
+               WHEN 4 THEN repeat('- the quick brown fox of note' || chr(10), 10)
+               WHEN 5 THEN base || chr(10)
+                         || repeat('trailing thought goes on...' || chr(10), 5)
+               WHEN 6 THEN base || ' ' || repeat('12345 ', 30)
+               ELSE repeat('zork ', 45)
+             END AS body
+      FROM base),
+    w AS (
+      SELECT doc_id, body,
+             list_filter(string_split_regex(body, '\\s+'), x -> x <> '') AS words,
+             list_filter(string_split_regex(body, '\\n'), x -> x <> '') AS lines
+      FROM b),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_aggregate(
+               list_transform(words, x -> length(x)), 'sum'), 0) AS BIGINT)
+               AS word_chars,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> l LIKE '- %')) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+               AS ellipsis_lines,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS BIGINT) AS alpha_words,
+             CAST(length(body) - length(replace(body, '#', ''))
+                  + (length(body) - length(replace(body, '...', ''))) / 3
+               AS BIGINT) AS symbol_hits,
+             CAST({" + ".join(
+                 f"CAST(list_contains(words, '{sw}') AS INT)"
+                 for sw in _GOPHER_STOPWORDS)} AS BIGINT) AS stopword_hits
+      FROM w)
+    SELECT doc_id, n_words, word_chars, n_lines, bullet_lines, ellipsis_lines,
+           alpha_words, symbol_hits, stopword_hits,
+           {_GOPHER_FIRST_FAIL} AS first_fail,
+           ({_GOPHER_FIRST_FAIL}) IS NULL AS keep
+    FROM m
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle [U Rae et al. 2021 Table A1; MassiveText]:
+    word count 40..100k, mean word length 3..10 chars, symbol-to-word
+    ratio (# and ellipsis) <= 0.1, <=90% bullet lines, <=30% ellipsis
+    lines, >=80% words with an alphabetic char, >=2 of 8 required
+    stopwords. Every ratio is an integer cross-multiplication; first
+    failing rule + keep verdict. Pure per-row HOF work — no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    src = docs.select(
+        "doc_id",
+        F.substring(F.repeat(F.concat(F.col("text"), F.lit(" ")), 8), 1, 320)
+        .alias("s"),
+    )
+    base = src.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            *[F.substring(F.col("s"), 1 + i * 40, 40) for i in range(8)],
+            F.lit(_GOPHER_STOPLINE),
+        ).alias("base"),
+    )
+    bcol = F.col("base")
+    body = (
+        F.when(k % 8 == 0, bcol)
+        .when(k % 8 == 1, F.lit("alpha beta gamma delta."))
+        .when(k % 8 == 2, F.repeat(F.lit("aa "), 50))
+        .when(k % 8 == 3, F.concat(bcol, F.lit("\n"), F.repeat(F.lit("# "), 16)))
+        .when(k % 8 == 4,
+              F.repeat(F.lit("- the quick brown fox of note\n"), 10))
+        .when(k % 8 == 5,
+              F.concat(bcol, F.lit("\n"),
+                       F.repeat(F.lit("trailing thought goes on...\n"), 5)))
+        .when(k % 8 == 6,
+              F.concat(bcol, F.lit(" "), F.repeat(F.lit("12345 "), 30)))
+        .otherwise(F.repeat(F.lit("zork "), 45))
+    )
+    b = base.select("doc_id", body.alias("body"))
+    w = b.select(
+        "doc_id",
+        "body",
+        F.filter(F.split("body", r"\s+"), lambda x: x != F.lit("")).alias("words"),
+        F.filter(F.split("body", "\n"), lambda x: x != F.lit("")).alias("lines"),
+    )
+    stop_hits = None
+    for sw in _GOPHER_STOPWORDS:
+        term = F.array_contains("words", sw).cast("int")
+        stop_hits = term if stop_hits is None else stop_hits + term
+    m = w.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate("words", F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)),
+            F.lit(0),
+        ).cast("long").alias("word_chars"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.filter("lines", lambda l: l.startswith("- ")))
+        .cast("long").alias("bullet_lines"),
+        F.size(F.filter("lines", lambda l: l.endswith("...")))
+        .cast("long").alias("ellipsis_lines"),
+        F.size(F.filter("words", lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long").alias("alpha_words"),
+        (
+            (F.length("body") - F.length(F.replace(F.col("body"), F.lit("#"))))
+            + (F.length("body")
+               - F.length(F.replace(F.col("body"), F.lit("...")))) / F.lit(3)
+        ).cast("long").alias("symbol_hits"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    first_fail = (
+        F.when(~F.col("n_words").between(40, 100000), F.lit("word_count"))
+        .when(
+            ~((3 * F.col("n_words") <= F.col("word_chars"))
+              & (F.col("word_chars") <= 10 * F.col("n_words"))),
+            F.lit("mean_word_len"),
+        )
+        .when(~(10 * F.col("symbol_hits") <= F.col("n_words")),
+              F.lit("symbol_ratio"))
+        .when(~(10 * F.col("bullet_lines") <= 9 * F.col("n_lines")),
+              F.lit("bullet_lines"))
+        .when(~(10 * F.col("ellipsis_lines") <= 3 * F.col("n_lines")),
+              F.lit("ellipsis_lines"))
+        .when(~(5 * F.col("alpha_words") >= 4 * F.col("n_words")),
+              F.lit("alpha_ratio"))
+        .when(~(F.col("stopword_hits") >= 2), F.lit("stopwords"))
+    )
+    return m.select(
+        "doc_id", "n_words", "word_chars", "n_lines", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "symbol_hits", "stopword_hits",
+        first_fail.alias("first_fail"),
+        first_fail.isNull().alias("keep"),
+    )
+
+
+# -- C4 line/page cleaning --------------------------------------------------
+# [U Raffel et al. 2020 §2.2 (C4); tensorflow-datasets c4_utils]: line
+# filter = terminal punctuation AND >=3 words AND no 'javascript'; page
+# filter = 'lorem ipsum' / '{' anywhere, or <3 sentences after line
+# cleaning. Reassembled cleaned_text crosses the driver hash, so kept-line
+# ORDER is pinned through both engines' list_filter.
+
+_C4_LINE_KEEP_SQL = (
+    "regexp_matches(l, '[.!?\"]$') "
+    "AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 3 "
+    "AND NOT contains(lower(l), 'javascript')"
+)
+
+
+@register(
+    "doc_c4_filters",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             [CASE WHEN doc_id % 11 = 0 THEN 'no terminal punct here'
+                   ELSE substr(text, 1, 60) || ' and more here.' END,
+              substr(text, 5, 50),
+              'ok fine.',
+              'please enable javascript today.',
+              CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.'
+                   ELSE 'a perfectly good sentence here.' END,
+              CASE WHEN doc_id % 13 = 0 THEN 'var x = {{ a: 1 }};'
+                   ELSE 'another good closing sentence.' END] AS lines
+      FROM documents),
+    w AS (
+      SELECT doc_id, lines,
+             array_to_string(lines, chr(10)) AS body,
+             list_filter(lines, l -> {_C4_LINE_KEEP_SQL}) AS kept
+      FROM built),
+    m AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             CAST(len(list_filter(lines,
+               l -> NOT regexp_matches(l, '[.!?\"]$'))) AS BIGINT)
+               AS drop_punct,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?\"]$')
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                       x -> x <> '')) < 3)) AS BIGINT) AS drop_short,
+             CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '[.!?\"]$')
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                       x -> x <> '')) >= 3
+               AND contains(lower(l), 'javascript'))) AS BIGINT) AS drop_js,
+             array_to_string(kept, chr(10)) AS ct,
+             contains(body, 'lorem ipsum') AS has_lorem,
+             contains(body, '{{') AS has_brace
+      FROM w),
+    v AS (
+      SELECT *,
+             CAST(length(ct) - length(translate(ct, '.!?', '')) AS BIGINT)
+               AS n_sentences
+      FROM m),
+    r AS (
+      SELECT *,
+             CASE WHEN has_lorem THEN 'lorem_ipsum'
+                  WHEN has_brace THEN 'brace'
+                  WHEN n_sentences < 3 THEN 'too_few_sentences'
+             END AS page_reason
+      FROM v)
+    SELECT doc_id, n_lines, n_kept, drop_punct, drop_short, drop_js,
+           n_sentences, page_reason, page_reason IS NULL AS keep,
+           CASE WHEN page_reason IS NULL THEN ct END AS cleaned_text
+    FROM r
+    """,
+)
+def doc_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning [U Raffel et al. 2020 §2.2]: per-line terminal-punct /
+    >=3-words / no-'javascript' filters with first-failing attribution
+    counters, page-level lorem-ipsum / brace / <3-sentences drops, and the
+    order-preserving reassembled cleaned_text. Per-row HOF only."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def words_ge(line, n):
+        return F.size(F.filter(F.split(line, r"\s+"), lambda x: x != F.lit(""))) >= n
+
+    def punct_ok(line):
+        return line.rlike('[.!?"]$')
+
+    def has_js(line):
+        return F.lower(line).contains("javascript")
+
+    def line_keep(line):
+        return punct_ok(line) & words_ge(line, 3) & ~has_js(line)
+
+    built = docs.select(
+        "doc_id",
+        F.array(
+            F.when(k % 11 == 0, F.lit("no terminal punct here")).otherwise(
+                F.concat(F.substring("text", 1, 60), F.lit(" and more here."))
+            ),
+            F.substring("text", 5, 50),
+            F.lit("ok fine."),
+            F.lit("please enable javascript today."),
+            F.when(k % 17 == 0, F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("a perfectly good sentence here.")),
+            F.when(k % 13 == 0, F.lit("var x = { a: 1 };"))
+            .otherwise(F.lit("another good closing sentence.")),
+        ).alias("lines"),
+    )
+    w = built.select(
+        "doc_id",
+        "lines",
+        F.array_join("lines", "\n").alias("body"),
+        F.filter("lines", line_keep).alias("kept"),
+    )
+    m = w.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.size(F.filter("lines", lambda l: ~punct_ok(l)))
+        .cast("long").alias("drop_punct"),
+        F.size(F.filter("lines", lambda l: punct_ok(l) & ~words_ge(l, 3)))
+        .cast("long").alias("drop_short"),
+        F.size(F.filter("lines",
+                        lambda l: punct_ok(l) & words_ge(l, 3) & has_js(l)))
+        .cast("long").alias("drop_js"),
+        F.array_join("kept", "\n").alias("ct"),
+        F.col("body").contains("lorem ipsum").alias("has_lorem"),
+        F.col("body").contains("{").alias("has_brace"),
+    )
+    v = m.withColumn(
+        "n_sentences",
+        (F.length("ct") - F.length(F.translate("ct", ".!?", ""))).cast("long"),
+    )
+    page_reason = (
+        F.when(F.col("has_lorem"), F.lit("lorem_ipsum"))
+        .when(F.col("has_brace"), F.lit("brace"))
+        .when(F.col("n_sentences") < 3, F.lit("too_few_sentences"))
+    )
+    r = v.withColumn("page_reason", page_reason)
+    return r.select(
+        "doc_id", "n_lines", "n_kept", "drop_punct", "drop_short", "drop_js",
+        "n_sentences", "page_reason",
+        F.col("page_reason").isNull().alias("keep"),
+        F.when(F.col("page_reason").isNull(), F.col("ct")).alias("cleaned_text"),
+    )
+
+
+# -- RefinedWeb-style soft URL scoring ----------------------------------------
+# [U Penedo et al. 2023 §3.1 (RefinedWeb URL filtering); the UT1 blocklist
+# convention]: beyond the exact blocklist (crawl_url_blocklist), RefinedWeb
+# scores URLs by weighted word presence — strict words block alone, softer
+# words must co-occur. Integer milli-unit weights; substring semantics
+# (with their documented false-positive behavior: 'winter' hits 'win') are
+# pinned by the class-7 fixture. Pure codegen contains() work.
+
+_URL_STRICT = ("casino", "adult", "xxx")       # 1000 milli each
+_URL_SOFT = ("free", "win", "sexy", "hot")     # 500 milli each
+_URL_FRAG = ("bet", "pills")                   # 250 milli each
+
+
+@register(
+    "crawl_url_softscore",
+    oracle=f"""
+    WITH u AS (
+      SELECT p_partkey,
+             'http://shop' || (p_partkey % 50) || '.example/' ||
+             CASE CAST(p_partkey % 9 AS INT)
+               WHEN 0 THEN 'casino-night'
+               WHEN 1 THEN 'free-win-bonus'
+               WHEN 2 THEN 'free-stuff'
+               WHEN 3 THEN 'hot-sexy-night'
+               WHEN 4 THEN 'pills-bet-forum'
+               WHEN 5 THEN replace(p_name, ' ', '-')
+               WHEN 6 THEN 'adult-content'
+               WHEN 7 THEN 'winter-holiday'
+               ELSE 'xxx-vids'
+             END AS url
+      FROM part),
+    s AS (
+      SELECT p_partkey, url,
+             CAST({" + ".join(f"CAST(contains(url, '{t}') AS INT)"
+                              for t in _URL_STRICT)} AS BIGINT) AS strict_hits,
+             CAST({" + ".join(f"CAST(contains(url, '{t}') AS INT)"
+                              for t in _URL_SOFT)} AS BIGINT) AS soft_hits,
+             CAST({" + ".join(f"CAST(contains(url, '{t}') AS INT)"
+                              for t in _URL_FRAG)} AS BIGINT) AS frag_hits
+      FROM u)
+    SELECT p_partkey, url, strict_hits, soft_hits, frag_hits,
+           1000 * strict_hits + 500 * soft_hits + 250 * frag_hits AS score_milli,
+           1000 * strict_hits + 500 * soft_hits + 250 * frag_hits >= 1000
+             AS blocked
+    FROM s
+    """,
+)
+def crawl_url_softscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft URL scoring [U RefinedWeb §3.1]: weighted substring-presence
+    score in integer milli-units (strict=1000, soft=500, fragment=250);
+    block at >=1000 so one strict word or two soft words reject. Pure
+    contains() projection — the scan-side gate before fetch scheduling."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    path = (
+        F.when(k % 9 == 0, F.lit("casino-night"))
+        .when(k % 9 == 1, F.lit("free-win-bonus"))
+        .when(k % 9 == 2, F.lit("free-stuff"))
+        .when(k % 9 == 3, F.lit("hot-sexy-night"))
+        .when(k % 9 == 4, F.lit("pills-bet-forum"))
+        .when(k % 9 == 5, F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))
+        .when(k % 9 == 6, F.lit("adult-content"))
+        .when(k % 9 == 7, F.lit("winter-holiday"))
+        .otherwise(F.lit("xxx-vids"))
+    )
+    u = part.select(
+        "p_partkey",
+        F.concat(F.lit("http://shop"), (k % 50).cast("string"),
+                 F.lit(".example/"), path).alias("url"),
+    )
+
+    def hits(terms):
+        acc = None
+        for t in terms:
+            c = F.col("url").contains(t).cast("int")
+            acc = c if acc is None else acc + c
+        return acc.cast("long")
+
+    s = u.select(
+        "p_partkey", "url",
+        hits(_URL_STRICT).alias("strict_hits"),
+        hits(_URL_SOFT).alias("soft_hits"),
+        hits(_URL_FRAG).alias("frag_hits"),
+    )
+    score = (1000 * F.col("strict_hits") + 500 * F.col("soft_hits")
+             + 250 * F.col("frag_hits"))
+    return s.select(
+        "p_partkey", "url", "strict_hits", "soft_hits", "frag_hits",
+        score.alias("score_milli"),
+        (score >= 1000).alias("blocked"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -16192,6 +16615,11 @@ ORACLE["img_shard_tar_roundtrip"] = ORACLE["img_shard_tar_roundtrip"].format(
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 46 (published quality-rule bundles: Gopher, C4,
+    # RefinedWeb URL scoring)
+    "doc_gopher_rules",
+    "doc_c4_filters",
+    "crawl_url_softscore",
     # new in batch 45 (real ustar shard roundtrip)
     "img_shard_tar_roundtrip",
     # new in batch 44 (ExactSubstr cut ranges)
