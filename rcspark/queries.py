@@ -16599,6 +16599,220 @@ def crawl_url_softscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 47 (round 5): aesthetic linear probe + incremental (wave-vs-history)
+# MinHash dedup — the two curation shapes a CONTINUOUS image+caption crawl
+# runs every wave.
+# =============================================================================
+
+# -- LAION-style aesthetic linear probe -----------------------------------------
+# [U LAION-Aesthetics predictor (linear/MLP head over CLIP embeddings);
+# improved-aesthetic-predictor]: curation gates pairs on a learned scalar
+# head applied to the image embedding. The head here is a frozen linear
+# probe whose weights both engines RE-DERIVE from the digest60 plane
+# family (plane index 900 — outside the LSH band range), so the oracle
+# genuinely recomputes the projection rather than restating a class truth.
+# Spark embeds the weights as array literals (the constant-folding lesson
+# on plane_weight_py); score = round-after-fixed-fold like sim.cosine.
+# Pure zip_with/aggregate projection — zero exchanges at any scale.
+
+_AESTHETIC_PLANE = 900
+_AESTHETIC_BIAS = 5.0
+_AESTHETIC_KEEP = 5.0
+
+
+@register(
+    "emb_aesthetic_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             round({_AESTHETIC_BIAS} + list_sum(list_transform(
+               range(1, {_EMB_DIM + 1}),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * ({sim.sql_plane_weight(str(_AESTHETIC_PLANE), 'i - 1')}))),
+               6) AS aesthetic
+      FROM embeddings)
+    SELECT vec_id, aesthetic,
+           CAST(floor(aesthetic) AS BIGINT) AS score_bucket,
+           (aesthetic >= {_AESTHETIC_KEEP}) AS keep
+    FROM s
+    """,
+)
+def emb_aesthetic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aesthetic-score gate (section comment): frozen linear probe over the
+    image embedding, integer-plane weights re-derived by both engines,
+    round(…,6) after a strict left-to-right fold; keep at >= 5.0."""
+    emb = load(spark, sf_dir, "embeddings")
+    w = F.array(*[
+        F.lit(sim.plane_weight_py(_AESTHETIC_PLANE, d)) for d in range(_EMB_DIM)
+    ])
+    proj = F.aggregate(
+        F.zip_with(F.col("embedding"), w, lambda x, wd: x.cast("double") * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    s = emb.select(
+        "vec_id",
+        F.round(F.lit(_AESTHETIC_BIAS) + proj, 6).alias("aesthetic"),
+    )
+    return s.select(
+        "vec_id", "aesthetic",
+        F.floor("aesthetic").cast("long").alias("score_bucket"),
+        (F.col("aesthetic") >= _AESTHETIC_KEEP).alias("keep"),
+    )
+
+
+# -- incremental dedup: new wave vs the historical corpus ------------------------
+# [U MinHash-LSH dedup applied incrementally (CCNet/RefinedWeb per-snapshot
+# practice); Lee et al. 2022 §4]: a continuous crawl dedups each NEW wave
+# against the ACCUMULATED corpus — never all-pairs within the union. The
+# fixture derives waves from doc_id%4 (waves 0-2 = history, wave 3 = new)
+# and PLANTS true duplicates: every doc_id%8==3 new doc carries the text
+# of history doc (doc_id-1), so the verify tier must find jaccard = 1.0
+# with dup_of = doc_id-1 while unplanted new docs sail through admitted.
+# Scale shape: band join is new×bounded-history (bucket cap on the BIG
+# side), exact Jaccard only over band candidates (the MinHash→verify
+# pattern), winner election by max(struct) — no window, no all-pairs.
+
+_INCR_JACCARD_MIN = 0.5
+
+
+def _sql_bands_over(src: str) -> str:
+    """The _BANDS_SQL CTE parameterized over a (doc_id, text) source."""
+    toks = tx.sql_tokens("text")
+    return f"""
+      SELECT doc_id, CAST(r.band_id AS BIGINT) AS band_id,
+             list_min(list_transform(
+               sh,
+               s -> {dd.sql_band_mix(f"{sql_digest60('s')} % {dd.MINHASH_P}", "r.band_id")})) AS band_hash
+      FROM (SELECT doc_id, list_distinct({tx.sql_shingles('toks')}) AS sh
+            FROM (SELECT doc_id, {toks} AS toks FROM {src}) t0) t,
+           range({dd.MINHASH_K}) r(band_id)"""
+
+
+@register(
+    "doc_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 3 THEN h.text ELSE d.text END AS text,
+             d.doc_id % 4 = 3 AS is_new
+      FROM documents d
+      LEFT JOIN documents h ON h.doc_id = d.doc_id - 1),
+    bands0 AS ({{bands}}),
+    bands AS (
+      SELECT b.doc_id, b.band_id, b.band_hash, c.is_new
+      FROM bands0 b JOIN corpus c USING (doc_id)
+      WHERE band_hash IS NOT NULL),
+    hsz AS (
+      SELECT band_id, band_hash, count(*) AS hb
+      FROM bands WHERE NOT is_new GROUP BY 1, 2),
+    cand AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM bands n
+      JOIN bands h USING (band_id, band_hash)
+      JOIN hsz USING (band_id, band_hash)
+      WHERE n.is_new AND NOT h.is_new AND hb <= 1000
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id, list_distinct({tx.sql_shingles('toks')}) AS s
+      FROM (SELECT doc_id, {tx.sql_tokens('text')} AS toks FROM corpus) t0),
+    rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY 1),
+    inter AS (
+      SELECT c.new_id, c.hist_id, count(*) AS inter
+      FROM cand c
+      JOIN rows_ a ON a.doc_id = c.new_id
+      JOIN rows_ b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT new_id, hist_id,
+             round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = new_id
+      JOIN sizes sb ON sb.doc_id = hist_id),
+    ver AS (SELECT * FROM jac WHERE jaccard >= {_INCR_JACCARD_MIN}),
+    nc AS (SELECT new_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+    el AS (
+      SELECT new_id, count(*) AS n_dups,
+             max(struct_pack(j := jaccard, nb := -hist_id)) AS w
+      FROM ver GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(el.n_dups, 0) AS BIGINT) AS n_dups,
+           (el.w).j AS best_jaccard,
+           CAST(-((el.w).nb) AS BIGINT) AS dup_of,
+           el.new_id IS NULL AS admitted
+    FROM corpus c
+    LEFT JOIN nc ON nc.new_id = c.doc_id
+    LEFT JOIN el ON el.new_id = c.doc_id
+    WHERE c.is_new
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental wave-vs-history MinHash dedup (section comment): band
+    candidates new×history with the bucket cap on the history side, exact
+    Jaccard verify over candidates only, deterministic max(struct) dup
+    election, and 0-candidate new docs admitted via the left join."""
+    docs = load(spark, sf_dir, "documents")
+    hist_text = docs.select(
+        (F.col("doc_id") + 1).alias("_tgt"), F.col("text").alias("_htext")
+    )
+    corpus = (
+        docs.join(hist_text, F.col("doc_id") == F.col("_tgt"), "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 8 == 3) & F.col("_htext").isNotNull(),
+                   F.col("_htext"))
+            .otherwise(F.col("text")).alias("text"),
+            (F.col("doc_id") % 4 == 3).alias("is_new"),
+        )
+    )
+    new_docs = corpus.filter("is_new")
+    hist_docs = corpus.filter(~F.col("is_new"))
+    nb = dd.minhash_rows(new_docs)
+    hb = dd.minhash_rows(hist_docs).persist()  # sizes + join side below
+    hsz = hb.groupBy("band_id", "band_hash").agg(F.count("*").alias("_hb"))
+    bounded_h = hb.join(
+        hsz.filter(F.col("_hb") <= 1000), ["band_id", "band_hash"]
+    ).drop("_hb")
+    cand = (
+        nb.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+        .join(bounded_h.select("band_id", "band_hash",
+                               F.col("doc_id").alias("doc_b")),
+              ["band_id", "band_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    jac = dd.jaccard_pairs(corpus, candidates=cand)
+    ver = jac.filter(F.col("jaccard") >= _INCR_JACCARD_MIN)
+    nc = cand.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
+    el = ver.groupBy("doc_a").agg(
+        F.count("*").alias("n_dups"),
+        F.max(F.struct(F.col("jaccard").alias("j"),
+                       (-F.col("doc_b")).alias("nb"))).alias("w"),
+    )
+    out = (
+        new_docs.select("doc_id")
+        .join(nc.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .join(el.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+    )
+    res = out.select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        F.col("w.j").alias("best_jaccard"),
+        (-F.col("w.nb")).cast("long").alias("dup_of"),
+        F.col("w").isNull().alias("admitted"),
+    )
+    return res
+
+
+ORACLE["doc_incremental_dedup"] = ORACLE["doc_incremental_dedup"].format(
+    bands=_sql_bands_over("corpus")
+)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -16615,6 +16829,9 @@ def crawl_url_softscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 47 (aesthetic linear probe + incremental wave dedup)
+    "emb_aesthetic_score",
+    "doc_incremental_dedup",
     # new in batch 46 (published quality-rule bundles: Gopher, C4,
     # RefinedWeb URL scoring)
     "doc_gopher_rules",
