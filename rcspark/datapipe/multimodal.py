@@ -213,6 +213,82 @@ def media_quarantine(ids: DataFrame) -> DataFrame:
     return ids.select("image_id", "cls").mapInPandas(run, QUARANTINE_SCHEMA)
 
 
+def parse_image_header(data: bytes) -> tuple[str, "int | None", "int | None"]:
+    """Decode-FREE dimension probe — the img2dataset pre-decode step: read
+    (fmt, w, h) from container headers alone, touching only the first few
+    hundred bytes. Dims come back None when the container carries no
+    frame header this runtime can validate (lossy/extended WebP stubs) or
+    the header itself is damaged. Never raises.
+
+    Notably, a PNG truncated mid-IDAT still yields its IHDR dims here
+    while decode_or_quarantine routes it 'corrupt' — the probe lets the
+    scheduler budget/bucket an arrival before spending a decode on it.
+    """
+    fmt = sniff_format(data)
+    try:
+        if fmt == "png" and len(data) >= 24 and data[12:16] == b"IHDR":
+            return (fmt, int.from_bytes(data[16:20], "big"),
+                    int.from_bytes(data[20:24], "big"))
+        if fmt == "jpeg":
+            i = 2
+            while i + 9 <= len(data) and data[i] == 0xFF:
+                marker = data[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # baseline/ext/progressive SOF
+                    return (fmt, int.from_bytes(data[i + 7:i + 9], "big"),
+                            int.from_bytes(data[i + 5:i + 7], "big"))
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg = int.from_bytes(data[i + 2:i + 4], "big")
+                if seg < 2:
+                    break
+                i += 2 + seg
+        elif fmt == "gif" and len(data) >= 10:
+            return (fmt, int.from_bytes(data[6:8], "little"),
+                    int.from_bytes(data[8:10], "little"))
+        elif fmt == "bmp" and len(data) >= 26:
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = int.from_bytes(data[22:26], "little", signed=True)
+            return fmt, abs(w), abs(h)
+        elif fmt == "webp_vp8l" and len(data) >= 25 and data[20] == 0x2F:
+            b = int.from_bytes(data[21:25], "little")
+            return fmt, (b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1
+    except Exception:
+        pass
+    return fmt, None, None
+
+
+HEADER_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("probe_fmt", T.StringType(), False),
+        T.StructField("probe_w", T.IntegerType(), True),
+        T.StructField("probe_h", T.IntegerType(), True),
+        T.StructField("dims_available", T.BooleanType(), False),
+    ]
+)
+
+
+def header_probe(ids: DataFrame) -> DataFrame:
+    """Header-only (fmt, w, h) probe over the mixed wire batch — same
+    arrival fixture as media_quarantine so the two operators' contrast is
+    testable (trunc_png: dims HERE, 'corrupt' THERE). Arrow-batched
+    mapInPandas; input needs (image_id, cls)."""
+    from ..fixtures import make_mixed_arrival
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, cls in zip(pdf["image_id"], pdf["cls"]):
+                fmt, w, h = parse_image_header(make_mixed_arrival(iid, int(cls)))
+                out.append((iid, fmt, w, h, w is not None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in HEADER_PROBE_SCHEMA.fields]
+            )
+
+    return ids.select("image_id", "cls").mapInPandas(run, HEADER_PROBE_SCHEMA)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """(image_id, bytes) → decoded metadata + channel means + phash.
 

@@ -691,6 +691,107 @@ def _assign_cells_join(q: DataFrame, cents: dict[int, list[int]], *extra_cols: s
     )
 
 
+PCA_QUANT = 1000  # milli-unit quantization for exact-integer power iteration
+PCA_ITERS = 4
+
+
+def pca_v0(dim: int = 64) -> list[int]:
+    """Deterministic power-iteration start vector in milli units —
+    digest-derived like the LSH plane family, re-derivable by the oracle:
+    v0_d = (digest60('pca:' || d) % 2001) - 1000."""
+    from .hashing import digest60_py
+
+    return [(digest60_py(f"pca:{d}") % 2001) - 1000 for d in range(dim)]
+
+
+def power_iteration_topvec(
+    emb: DataFrame,
+    iters: int = PCA_ITERS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Top singular direction of the (uncentered) embedding matrix via
+    exact-integer power iteration — the distributed-linear-algebra sibling
+    of kmeans_centroids, and like the BPE trainer each iteration collects
+    ONE aggregated 64-value model row, never data rows.
+
+    Arithmetic contract (both engines): embeddings quantize to milli
+    units (round half-away — matches DuckDB round); per-row score
+    s = Σ x_d·v_d and the per-dim accumulations u_d = Σ s·x_d stay in
+    int64 (|x| ≲ 10³, |v| ≤ 10³, dim 64 ⇒ |s| ≤ 6.4e7, row term ≤ 6.4e10;
+    safe to ~10⁷ rows per job — production re-blocks/renormalizes per
+    partition beyond that); renormalization is Chebyshev (divide by
+    max|u|, _div_half_away) so no sqrt ever crosses the engines.
+
+    On a near-flat synthetic spectrum ``iters=4`` lands ≥0.85 of the top
+    Rayleigh quotient (pinned in pytest); real corpora with a dominant
+    direction converge geometrically in the spectral gap.
+    """
+    xq = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * PCA_QUANT).cast("long"),
+        ).alias("xq")
+    ).persist()
+    v = pca_v0(dim)
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(int(c)) for c in v])
+        s = F.aggregate(
+            F.zip_with(F.col("xq"), vlit, lambda x, vd: x * vd),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        scored = xq.select("xq", s.alias("_s"))
+        row = scored.agg(
+            *[
+                F.sum(F.element_at("xq", d + 1) * F.col("_s")).alias(f"u{d}")
+                for d in range(dim)
+            ]
+        ).collect()[0]  # ONE 64-value model row per iteration — not data
+        u = [int(row[f"u{d}"]) for d in range(dim)]
+        m = max(abs(c) for c in u) or 1
+        v = [_div_half_away(c * PCA_QUANT, m) for c in u]
+    xq.unpersist()
+    return v
+
+
+def sql_power_iteration(src: str, iters: int = PCA_ITERS, dim: int = 64) -> str:
+    """DuckDB twin: the same iterations unrolled as CTE text (the BPE-
+    trainer oracle pattern). ``src`` must expose (vec_id, embedding).
+    Yields CTE body text ending in a `vfin(d, v)` relation."""
+    from .hashing import sql_digest60
+
+    d60 = sql_digest60("'pca:' || CAST(r.d AS VARCHAR)")
+    ctes = [
+        f"q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {PCA_QUANT}) AS BIGINT)) AS xq "
+        f"FROM {src})",
+        f"x AS (SELECT vec_id, CAST(r.d AS BIGINT) AS d, xq[CAST(r.d AS INT) + 1] AS xv "
+        f"FROM q, range({dim}) r(d))",
+        f"v0 AS (SELECT CAST(r.d AS BIGINT) AS d, "
+        f"({d60}) % 2001 - 1000 AS v "
+        f"FROM range({dim}) r(d))",
+    ]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, CAST(sum(x.xv * {prev}.v) AS BIGINT) AS s "
+            f"FROM x JOIN {prev} USING (d) GROUP BY 1)"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT d, CAST(sum(s{i}.s * x.xv) AS BIGINT) AS u "
+            f"FROM x JOIN s{i} USING (vec_id) GROUP BY 1)"
+        )
+        ctes.append(f"m{i} AS (SELECT greatest(max(abs(u)), 1) AS m FROM u{i})")
+        nxt = f"v{i}" if i < iters else "vfin"
+        ctes.append(
+            f"{nxt} AS (SELECT d, {_sql_div_half_away(f'u * {PCA_QUANT}', 'm')} AS v "
+            f"FROM u{i}, m{i})"
+        )
+        prev = nxt
+    return ",\n    ".join(ctes)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     ncells: int | None = IVF_CELLS,

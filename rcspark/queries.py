@@ -16813,6 +16813,88 @@ ORACLE["doc_incremental_dedup"] = ORACLE["doc_incremental_dedup"].format(
 
 
 # =============================================================================
+# Batch 48 (round 5): exact-integer distributed power iteration (top PCA
+# direction) + decode-free image header probe.
+# =============================================================================
+
+# -- top singular direction by power iteration ----------------------------------
+# [U power method (Mises & Pollaczek-Geiringer 1929); spark.mllib PCA
+# practice; LAION dedup's PCA-whitening preprocessing]: curation pipelines
+# project embeddings onto dominant directions (whitening, drift axes,
+# cheap 1-D buckets). Each iteration is one distributed agg — per-row
+# score Σx·v in codegen, 64 map-side-combinable sums, ONE collected model
+# row (the BPE-trainer exception); the oracle RE-DERIVES all 4 iterations
+# in unrolled CTEs, so quantization, Chebyshev renorm and the final
+# per-vector projection are all cross-checked end to end.
+
+@register(
+    "emb_power_iteration",
+    oracle=f"""
+    WITH {sim.sql_power_iteration('embeddings')}
+    SELECT x.vec_id, CAST(sum(x.xv * vfin.v) AS BIGINT) AS proj,
+           CAST(sum(x.xv * vfin.v) AS BIGINT) >= 0 AS side
+    FROM x JOIN vfin USING (d)
+    GROUP BY 1
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer power iteration (section comment): 4 fixed iterations
+    of u = Xᵀ(Xv) in milli units with max-norm renormalization, then each
+    vector's projection onto the learned direction; side = the 1-bit
+    partition of the corpus the direction induces."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = sim.power_iteration_topvec(emb)
+    vlit = F.array(*[F.lit(int(c)) for c in v])
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * sim.PCA_QUANT).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(xq, vlit, lambda x, vd: x * vd),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return emb.select(
+        "vec_id", proj.alias("proj"), (proj >= 0).alias("side")
+    )
+
+
+# -- decode-free header probe ----------------------------------------------------
+# [U img2dataset pre-decode header read; PNG IHDR / JPEG SOF / GIF screen
+# descriptor / BMP info header / VP8L frame-tag public layouts]: the
+# acquisition plane budgets and buckets arrivals by (fmt, w, h) BEFORE
+# paying a decode. Same mixed wire batch as img_media_quarantine, so the
+# contrast is pinned: the truncated PNG yields IHDR dims here while the
+# quarantine routes it 'corrupt'; the undecodable WebP stubs yield fmt
+# with NULL dims. Twin: an independent struct.unpack parser
+# (scripts/gen_media_expected.py expected_img_header).
+
+@register(
+    "img_header_probe",
+    oracle=f"""
+    SELECT e.image_id, e.probe_fmt,
+           CAST(e.probe_w AS INT) AS probe_w, CAST(e.probe_h AS INT) AS probe_h,
+           e.dims_available
+    FROM '{_MEDIA_EXPECTED}/img_header.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 25 = 0) i USING (image_id)
+    """,
+)
+def img_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only (fmt, w, h) probe (section comment) — Arrow-batched
+    byte-slice reads, no decode; never raises on hostile arrivals."""
+    from .datapipe.multimodal import header_probe
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string"))
+        .alias("image_id"),
+        F.expr("p_partkey div 25 % 9").cast("int").alias("cls"),
+    )
+    return header_probe(ids)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -16829,6 +16911,9 @@ ORACLE["doc_incremental_dedup"] = ORACLE["doc_incremental_dedup"].format(
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 48 (integer power iteration + decode-free header probe)
+    "emb_power_iteration",
+    "img_header_probe",
     # new in batch 47 (aesthetic linear probe + incremental wave dedup)
     "emb_aesthetic_score",
     "doc_incremental_dedup",

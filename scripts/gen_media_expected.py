@@ -1536,6 +1536,73 @@ def expected_img_quarantine() -> pd.DataFrame:
     ).astype({"w": "Int32", "h": "Int32"})
 
 
+def expected_img_header() -> pd.DataFrame:
+    """img_header_probe twin: an INDEPENDENT struct.unpack-based header
+    parser over the same mixed arrivals (the engine reader uses
+    int.from_bytes slices). Classes with decodable frames also cross-check
+    the parsed dims against the shared generator's ground truth; the
+    lossy/extended WebP stubs and garbage pin (fmt, NULL, NULL); the
+    truncated PNG must still yield IHDR dims."""
+    import struct as _s
+
+    from rcspark.fixtures import _ARRIVAL_CLASSES, make_mixed_arrival, make_smooth_image
+
+    def twin_parse(data: bytes) -> tuple[str, "int | None", "int | None"]:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(data) >= 24 and data[12:16] == b"IHDR":
+                w, h = _s.unpack_from(">II", data, 16)
+                return "png", int(w), int(h)
+            return "png", None, None
+        if data[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 9 <= len(data) and data[pos] == 0xFF:
+                marker = data[pos + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    _, h, w = _s.unpack_from(">BHH", data, pos + 4)
+                    return "jpeg", int(w), int(h)
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                (seg,) = _s.unpack_from(">H", data, pos + 2)
+                if seg < 2:
+                    break
+                pos += 2 + seg
+            return "jpeg", None, None
+        if data[:3] == b"GIF":
+            w, h = _s.unpack_from("<HH", data, 6)
+            return "gif", int(w), int(h)
+        if data[:2] == b"BM":
+            w, h = _s.unpack_from("<ii", data, 18)
+            return "bmp", abs(int(w)), abs(int(h))
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            four = data[12:16]
+            if four == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+                (b,) = _s.unpack_from("<I", data, 21)
+                return "webp_vp8l", (b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1
+            return {
+                b"VP8L": "webp_vp8l", b"VP8 ": "webp_vp8", b"VP8X": "webp_vp8x",
+            }.get(four, "webp_unknown"), None, None
+        return "unknown", None, None
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 25):
+        iid = f"img{k}"
+        cls = (k // 25) % len(_ARRIVAL_CLASSES)
+        kind = _ARRIVAL_CLASSES[cls]
+        fmt, w, h = twin_parse(make_mixed_arrival(iid, cls))
+        if kind in ("png", "jpeg", "gif", "bmp", "webp_vp8l", "trunc_png"):
+            ph, pw = make_smooth_image(iid).shape[:2]
+            assert (w, h) == (pw, ph), (iid, kind, w, h, pw, ph)
+        else:
+            assert w is None and h is None, (iid, kind, w, h)
+        rows.append((iid, fmt, w, h, w is not None))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "probe_fmt", "probe_w", "probe_h",
+                 "dims_available"],
+    ).astype({"probe_w": "Int32", "probe_h": "Int32"})
+
+
 def _twin_read_thumbnail(data: bytes) -> tuple[bytes | None, int]:
     """Independent APP1/IFD0→IFD1 walk (struct.unpack_from based) for the
     embedded-thumbnail span — not the engine's int.from_bytes reader."""
@@ -1723,6 +1790,7 @@ def main() -> None:
         ("img_quarantine", expected_img_quarantine),
         ("img_exif_thumb", expected_img_exif_thumb),
         ("img_skin", expected_img_skin),
+        ("img_header", expected_img_header),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
