@@ -289,6 +289,53 @@ def header_probe(ids: DataFrame) -> DataFrame:
     return ids.select("image_id", "cls").mapInPandas(run, HEADER_PROBE_SCHEMA)
 
 
+BOMB_MAX_PIXELS = 50_000_000  # the PIL MAX_IMAGE_PIXELS-style ceiling
+BOMB_MAX_RATIO = 1000         # declared-raw-bytes : container-bytes
+
+BOMB_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("nbytes", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("pixels", T.LongType(), True),
+        T.StructField("flag_reason", T.StringType(), True),
+        T.StructField("admitted", T.BooleanType(), False),
+    ]
+)
+
+
+def bomb_gate(ids: DataFrame) -> DataFrame:
+    """Decompression-bomb defense [U PIL MAX_IMAGE_PIXELS; img2dataset
+    guards]: admit an arrival only when its header-DECLARED pixel count
+    and declared-raw-to-container byte ratio are sane — runs on the
+    header probe alone, before any decode allocates w·h·3 bytes.
+    First-failing order: too_many_pixels → suspicious_ratio. Arrivals
+    whose header yields no dims are admitted here (the quarantine route
+    owns undecodables). Input needs (image_id, cls)."""
+    from ..fixtures import make_bomb_arrival
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, cls in zip(pdf["image_id"], pdf["cls"]):
+                data = make_bomb_arrival(iid, int(cls))
+                _, w, h = parse_image_header(data)
+                px = None if w is None else w * h
+                if px is not None and px > BOMB_MAX_PIXELS:
+                    reason = "too_many_pixels"
+                elif px is not None and px * 3 > BOMB_MAX_RATIO * len(data):
+                    reason = "suspicious_ratio"
+                else:
+                    reason = None
+                out.append((iid, len(data), w, h, px, reason, reason is None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BOMB_GATE_SCHEMA.fields]
+            )
+
+    return ids.select("image_id", "cls").mapInPandas(run, BOMB_GATE_SCHEMA)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """(image_id, bytes) → decoded metadata + channel means + phash.
 

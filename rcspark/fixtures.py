@@ -391,6 +391,34 @@ def make_mixed_arrival(image_id: str, cls: int) -> bytes:
     return b"\x00\x01" + rng.integers(0, 256, 62, dtype=np.uint8).tobytes()
 
 
+BOMB_CLASSES = ("normal", "pixel_bomb", "ratio_bomb")
+
+
+def make_bomb_arrival(image_id: str, cls: int) -> bytes:
+    """Shared data GENERATOR (batch 49, bomb-gate plane): a real PNG of the
+    smooth fixture whose IHDR *declared* dims are patched per class —
+    'pixel_bomb' declares 64-96 Mpx (the PIL decompression-bomb shape),
+    'ratio_bomb' declares ~16 Mpx in a ~1.5 KB file (zip-bomb ratio),
+    'normal' is untouched. The patch deliberately leaves the IHDR CRC
+    stale: the gate must act on DECLARED dims before any decode (a real
+    bomb carries a valid CRC; the stale one only matters to a decoder,
+    which the gate exists to protect)."""
+    from .png import encode_png
+
+    data = bytearray(encode_png(make_smooth_image(image_id)))
+    kind = BOMB_CLASSES[cls % len(BOMB_CLASSES)]
+    if kind == "normal":
+        return bytes(data)
+    h64 = xxh64(image_id.encode())
+    if kind == "pixel_bomb":
+        w, h = 8000 + (h64 % 5) * 1000, 8000
+    else:
+        w, h = 2300, 2300
+    data[16:20] = w.to_bytes(4, "big")
+    data[20:24] = h.to_bytes(4, "big")
+    return bytes(data)
+
+
 def make_watermarked(image_id: str) -> "np.ndarray":
     """Shared data GENERATOR (batch 22, like make_smooth_image): the smooth
     fixture with a deterministic solid watermark stamped into the

@@ -16689,6 +16689,71 @@ def _sql_bands_over(src: str) -> str:
            range({dd.MINHASH_K}) r(band_id)"""
 
 
+def _incr_corpus(docs: DataFrame, copy_src: DataFrame) -> DataFrame:
+    """(doc_id, text, is_new) with the planted copies: doc%8==3 carries
+    copy_src(doc_id-1).text. ``copy_src`` is the same table in the batch
+    query and the STATIC table in the streaming twin (so both worlds plant
+    identical corpora)."""
+    hist_text = copy_src.select(
+        (F.col("doc_id") + 1).alias("_tgt"), F.col("text").alias("_htext")
+    )
+    return (
+        docs.join(hist_text, F.col("doc_id") == F.col("_tgt"), "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 8 == 3) & F.col("_htext").isNotNull(),
+                   F.col("_htext"))
+            .otherwise(F.col("text")).alias("text"),
+            (F.col("doc_id") % 4 == 3).alias("is_new"),
+        )
+    )
+
+
+def _incr_dedup_result(new_docs: DataFrame, hist_docs: DataFrame) -> DataFrame:
+    """The incremental-dedup core over (doc_id, text) frames: band
+    candidates new×bounded-history, Jaccard verify over candidates only,
+    max(struct) dup election, left-join admission."""
+    nb = dd.minhash_rows(new_docs)
+    hb = dd.minhash_rows(hist_docs).persist()  # sizes + join side below
+    hsz = hb.groupBy("band_id", "band_hash").agg(F.count("*").alias("_hb"))
+    bounded_h = hb.join(
+        hsz.filter(F.col("_hb") <= 1000), ["band_id", "band_hash"]
+    ).drop("_hb")
+    cand = (
+        nb.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+        .join(bounded_h.select("band_id", "band_hash",
+                               F.col("doc_id").alias("doc_b")),
+              ["band_id", "band_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    corpus = new_docs.select("doc_id", "text").unionByName(
+        hist_docs.select("doc_id", "text")
+    )
+    jac = dd.jaccard_pairs(corpus, candidates=cand)
+    ver = jac.filter(F.col("jaccard") >= _INCR_JACCARD_MIN)
+    nc = cand.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
+    el = ver.groupBy("doc_a").agg(
+        F.count("*").alias("n_dups"),
+        F.max(F.struct(F.col("jaccard").alias("j"),
+                       (-F.col("doc_b")).alias("nb"))).alias("w"),
+    )
+    out = (
+        new_docs.select("doc_id")
+        .join(nc.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .join(el.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        F.col("w.j").alias("best_jaccard"),
+        (-F.col("w.nb")).cast("long").alias("dup_of"),
+        F.col("w").isNull().alias("admitted"),
+    )
+
+
+
 @register(
     "doc_incremental_dedup",
     oracle=f"""
@@ -16754,57 +16819,10 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify over candidates only, deterministic max(struct) dup
     election, and 0-candidate new docs admitted via the left join."""
     docs = load(spark, sf_dir, "documents")
-    hist_text = docs.select(
-        (F.col("doc_id") + 1).alias("_tgt"), F.col("text").alias("_htext")
+    corpus = _incr_corpus(docs, docs)
+    return _incr_dedup_result(
+        corpus.filter("is_new"), corpus.filter(~F.col("is_new"))
     )
-    corpus = (
-        docs.join(hist_text, F.col("doc_id") == F.col("_tgt"), "left")
-        .select(
-            "doc_id",
-            F.when((F.col("doc_id") % 8 == 3) & F.col("_htext").isNotNull(),
-                   F.col("_htext"))
-            .otherwise(F.col("text")).alias("text"),
-            (F.col("doc_id") % 4 == 3).alias("is_new"),
-        )
-    )
-    new_docs = corpus.filter("is_new")
-    hist_docs = corpus.filter(~F.col("is_new"))
-    nb = dd.minhash_rows(new_docs)
-    hb = dd.minhash_rows(hist_docs).persist()  # sizes + join side below
-    hsz = hb.groupBy("band_id", "band_hash").agg(F.count("*").alias("_hb"))
-    bounded_h = hb.join(
-        hsz.filter(F.col("_hb") <= 1000), ["band_id", "band_hash"]
-    ).drop("_hb")
-    cand = (
-        nb.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-        .join(bounded_h.select("band_id", "band_hash",
-                               F.col("doc_id").alias("doc_b")),
-              ["band_id", "band_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_bands"))
-    )
-    jac = dd.jaccard_pairs(corpus, candidates=cand)
-    ver = jac.filter(F.col("jaccard") >= _INCR_JACCARD_MIN)
-    nc = cand.groupBy("doc_a").agg(F.count("*").alias("n_candidates"))
-    el = ver.groupBy("doc_a").agg(
-        F.count("*").alias("n_dups"),
-        F.max(F.struct(F.col("jaccard").alias("j"),
-                       (-F.col("doc_b")).alias("nb"))).alias("w"),
-    )
-    out = (
-        new_docs.select("doc_id")
-        .join(nc.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
-        .join(el.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
-    )
-    res = out.select(
-        "doc_id",
-        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
-        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-        F.col("w.j").alias("best_jaccard"),
-        (-F.col("w.nb")).cast("long").alias("dup_of"),
-        F.col("w").isNull().alias("admitted"),
-    )
-    return res
 
 
 ORACLE["doc_incremental_dedup"] = ORACLE["doc_incremental_dedup"].format(
@@ -16895,6 +16913,242 @@ def img_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 49 (round 5): streaming twin of incremental dedup, TDM-Rep opt-out
+# channels, decompression-bomb gate.
+# =============================================================================
+
+# -- streaming incremental dedup -------------------------------------------------
+# The batch-47 core (_incr_dedup_result) reruns inside foreachBatch over
+# the arriving new-wave docs against the STATIC history — registered with
+# the IDENTICAL oracle as doc_incremental_dedup, so the driver hash itself
+# pins streaming == batch (the stream_pair_manifest / stream_safety_gate
+# pattern). Per-batch parquet writes are batch-id-keyed (replay-
+# idempotent, the streaming house rule).
+
+@register("stream_incremental_dedup", oracle=ORACLE["doc_incremental_dedup"])
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of doc_incremental_dedup (section comment)."""
+    import tempfile
+
+    from .streaming import file_stream_dir
+
+    docs_static = load(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs_static.schema).parquet(
+        file_stream_dir(sf_dir, "documents")
+    )
+    hist = _incr_corpus(docs_static, docs_static).filter(~F.col("is_new"))
+    out_dir = tempfile.mkdtemp(prefix="rcspark_incr_stream_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = _incr_corpus(batch_df, docs_static).filter("is_new")
+        res = _incr_dedup_result(new_docs, hist)
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="rcspark_incr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
+
+
+# -- TDM reservation protocol ----------------------------------------------------
+# [U W3C TDM Reservation Protocol (tdmrep.json / tdm-reservation header /
+# HTML meta); EU DSM art. 4 machine-readable opt-out practice]: beyond
+# robots.txt (crawl_ai_optout), publishers reserve text-and-data-mining
+# rights through three channels. Channel precedence here: a /.well-known/
+# tdmrep.json rule whose location prefix matches the probe path, else the
+# HTTP header, else the HTML meta, else not reserved. Both engines parse
+# the SAME planted channel strings with the SAME regexes (genuine
+# cross-engine parse); pure codegen regexp projection, zero shuffles.
+
+@register(
+    "crawl_tdm_reservation",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey AS k, 'h' || c_custkey AS host,
+             CASE CAST(c_custkey % 4 AS INT)
+               WHEN 0 THEN '/images/pic.jpg'
+               WHEN 1 THEN '/images/public/p.jpg'
+               WHEN 2 THEN '/docs/page.html'
+               ELSE '/index.html' END AS path
+      FROM customer),
+    b AS (
+      SELECT k, host, path,
+             CASE WHEN k % 5 = 0 THEN
+               '{"policies":[{"location":"/images/","reservation":'
+               || CAST(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+               || ',"policy":"https://h' || k || '.example/tdmpolicy"}]}'
+             END AS wk,
+             CASE WHEN k % 3 = 0 THEN
+               'Server: x' || chr(10) || 'tdm-reservation: '
+               || CAST(CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+               || CASE WHEN k % 6 = 0
+                    THEN chr(10) || 'tdm-policy: https://h' || k
+                         || '.example/hpolicy'
+                    ELSE '' END
+             END AS hdr,
+             CASE WHEN k % 2 = 0 THEN
+               '<html><head><meta name="tdm-reservation" content="'
+               || CAST(CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END AS VARCHAR)
+               || '"></head></html>'
+             END AS html
+      FROM h),
+    p AS (
+      SELECT k, host, host || path AS url, wk, hdr, html,
+             CASE WHEN wk IS NULL THEN NULL
+                  WHEN path NOT LIKE regexp_extract(wk,
+                    '"location":"([^"]*)"', 1) || '%' THEN NULL
+                  ELSE regexp_extract(wk, '"reservation":([01])', 1) = '1'
+             END AS res_wellknown,
+             CASE WHEN hdr IS NULL THEN NULL
+                  ELSE regexp_extract(hdr,
+                    'tdm-reservation: ([01])', 1) = '1' END AS res_header,
+             CASE WHEN html IS NULL THEN NULL
+                  ELSE regexp_extract(html,
+                    'content="([01])"', 1) = '1' END AS res_meta
+      FROM b),
+    v AS (
+      SELECT *,
+             coalesce(res_wellknown, res_header, res_meta, FALSE)
+               AS reservation,
+             CASE WHEN res_wellknown IS NOT NULL THEN 'wellknown'
+                  WHEN res_header IS NOT NULL THEN 'header'
+                  WHEN res_meta IS NOT NULL THEN 'meta' END AS channel
+      FROM p)
+    SELECT host, url, res_wellknown, res_header, res_meta, reservation,
+           channel,
+           CASE WHEN reservation AND channel = 'wellknown'
+                  THEN regexp_extract(wk, '"policy":"([^"]*)"', 1)
+                WHEN reservation AND channel = 'header'
+                  THEN regexp_extract(hdr, 'tdm-policy: ([^\n]+)', 1)
+           END AS policy_url
+    FROM v
+    """,
+)
+def crawl_tdm_reservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TDM-Rep reservation audit (section comment): well-known JSON rule
+    (path-prefix scoped) > HTTP header > HTML meta; emits each channel's
+    verdict, the effective reservation, the deciding channel, and the
+    policy URL the winning channel declares."""
+    customer = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    path = (
+        F.when(k % 4 == 0, F.lit("/images/pic.jpg"))
+        .when(k % 4 == 1, F.lit("/images/public/p.jpg"))
+        .when(k % 4 == 2, F.lit("/docs/page.html"))
+        .otherwise(F.lit("/index.html"))
+    )
+    wk = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit('{"policies":[{"location":"/images/","reservation":'),
+            F.when(k % 10 == 0, F.lit("1")).otherwise(F.lit("0")),
+            F.lit(',"policy":"https://h'), k.cast("string"),
+            F.lit('.example/tdmpolicy"}]}'),
+        ),
+    )
+    hdr = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("Server: x\ntdm-reservation: "),
+            F.when(k % 6 == 0, F.lit("1")).otherwise(F.lit("0")),
+            F.when(k % 6 == 0,
+                   F.concat(F.lit("\ntdm-policy: https://h"),
+                            k.cast("string"), F.lit(".example/hpolicy")))
+            .otherwise(F.lit("")),
+        ),
+    )
+    html = F.when(
+        k % 2 == 0,
+        F.concat(
+            F.lit('<html><head><meta name="tdm-reservation" content="'),
+            F.when(k % 4 == 2, F.lit("1")).otherwise(F.lit("0")),
+            F.lit('"></head></html>'),
+        ),
+    )
+    b = customer.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        path.alias("path"), wk.alias("wk"), hdr.alias("hdr"),
+        html.alias("html"),
+    )
+    wk_loc = F.regexp_extract("wk", r'"location":"([^"]*)"', 1)
+    p = b.select(
+        "host",
+        F.concat("host", "path").alias("url"),
+        "path", "wk", "hdr", "html",
+        F.when(F.col("wk").isNull(), F.lit(None).cast("boolean"))
+        .when(~F.col("path").startswith(wk_loc),
+              F.lit(None).cast("boolean"))
+        .otherwise(F.regexp_extract("wk", r'"reservation":([01])', 1) == "1")
+        .alias("res_wellknown"),
+        F.when(F.col("hdr").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(
+            F.regexp_extract("hdr", r"tdm-reservation: ([01])", 1) == "1")
+        .alias("res_header"),
+        F.when(F.col("html").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.regexp_extract("html", r'content="([01])"', 1) == "1")
+        .alias("res_meta"),
+    )
+    v = p.select(
+        "*",
+        F.coalesce("res_wellknown", "res_header", "res_meta", F.lit(False))
+        .alias("reservation"),
+        F.when(F.col("res_wellknown").isNotNull(), F.lit("wellknown"))
+        .when(F.col("res_header").isNotNull(), F.lit("header"))
+        .when(F.col("res_meta").isNotNull(), F.lit("meta"))
+        .alias("channel"),
+    )
+    return v.select(
+        "host", "url", "res_wellknown", "res_header", "res_meta",
+        "reservation", "channel",
+        F.when(F.col("reservation") & (F.col("channel") == "wellknown"),
+               F.regexp_extract("wk", r'"policy":"([^"]*)"', 1))
+        .when(F.col("reservation") & (F.col("channel") == "header"),
+              F.regexp_extract("hdr", "tdm-policy: ([^\n]+)", 1))
+        .alias("policy_url"),
+    )
+
+
+# -- decompression-bomb gate -----------------------------------------------------
+# [U PIL MAX_IMAGE_PIXELS / DecompressionBombError; img2dataset size
+# guards]: admit arrivals on header-DECLARED dims before any decode
+# allocates w·h·3 bytes — a crafted 96-Mpx IHDR in a 1.5 KB file must be
+# rejected without ever reaching a decoder. Twin: independent
+# struct.unpack dim parse + re-derived verdict
+# (scripts/gen_media_expected.py expected_img_bomb).
+
+@register(
+    "img_bomb_gate",
+    oracle=f"""
+    SELECT e.image_id, CAST(e.nbytes AS BIGINT) AS nbytes,
+           CAST(e.w AS INT) AS w, CAST(e.h AS INT) AS h,
+           CAST(e.pixels AS BIGINT) AS pixels, e.flag_reason, e.admitted
+    FROM '{_MEDIA_EXPECTED}/img_bomb.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 25 = 0) i USING (image_id)
+    """,
+)
+def img_bomb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decompression-bomb gate (section comment): header-probe dims →
+    pixel-ceiling and raw-to-container-ratio checks, first-failing."""
+    from .datapipe.multimodal import bomb_gate
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 25 == 0).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string"))
+        .alias("image_id"),
+        F.expr("p_partkey div 25 % 3").cast("int").alias("cls"),
+    )
+    return bomb_gate(ids)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -16911,6 +17165,10 @@ def img_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 49 (streaming dedup twin, TDM-Rep channels, bomb gate)
+    "stream_incremental_dedup",
+    "crawl_tdm_reservation",
+    "img_bomb_gate",
     # new in batch 48 (integer power iteration + decode-free header probe)
     "emb_power_iteration",
     "img_header_probe",

@@ -1603,6 +1603,40 @@ def expected_img_header() -> pd.DataFrame:
     ).astype({"probe_w": "Int32", "probe_h": "Int32"})
 
 
+def expected_img_bomb() -> pd.DataFrame:
+    """img_bomb_gate twin: rebuild each arrival, independently parse the
+    DECLARED IHDR dims with struct.unpack, and re-derive the verdict from
+    the same published limits; class truth asserted per kind."""
+    import struct as _s
+
+    from rcspark.fixtures import BOMB_CLASSES, make_bomb_arrival
+
+    rows = []
+    for k in range(0, MAX_PARTKEY, 25):
+        iid = f"img{k}"
+        cls = (k // 25) % len(BOMB_CLASSES)
+        kind = BOMB_CLASSES[cls]
+        data = make_bomb_arrival(iid, cls)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR"
+        w, h = _s.unpack_from(">II", data, 16)
+        px = int(w) * int(h)
+        if px > 50_000_000:
+            reason = "too_many_pixels"
+        elif px * 3 > 1000 * len(data):
+            reason = "suspicious_ratio"
+        else:
+            reason = None
+        assert reason == {"normal": None, "pixel_bomb": "too_many_pixels",
+                          "ratio_bomb": "suspicious_ratio"}[kind], (iid, kind)
+        rows.append((iid, len(data), int(w), int(h), px, reason,
+                     reason is None))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "nbytes", "w", "h", "pixels", "flag_reason",
+                 "admitted"],
+    ).astype({"w": "Int32", "h": "Int32"})
+
+
 def _twin_read_thumbnail(data: bytes) -> tuple[bytes | None, int]:
     """Independent APP1/IFD0→IFD1 walk (struct.unpack_from based) for the
     embedded-thumbnail span — not the engine's int.from_bytes reader."""
@@ -1791,6 +1825,7 @@ def main() -> None:
         ("img_exif_thumb", expected_img_exif_thumb),
         ("img_skin", expected_img_skin),
         ("img_header", expected_img_header),
+        ("img_bomb", expected_img_bomb),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
