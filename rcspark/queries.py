@@ -17149,6 +17149,232 @@ def img_bomb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 50 (round 5): SSRF address guard, media dup clusters, reciprocal
+# rank fusion.
+# =============================================================================
+
+# -- SSRF / private-address fetch guard ------------------------------------------
+# [U RFC 1918 / RFC 3927 / RFC 6598 reserved ranges; scrapy+requests SSRF
+# hardening practice; cloud-metadata 169.254.169.254 incidents]: a crawler
+# must refuse to fetch URLs whose host resolves into private, loopback,
+# link-local or carrier-NAT space — the classic server-side request
+# forgery hole. Both engines parse the SAME dotted-quad strings to an
+# int32 and classify by integer range checks (including the 172.15/172.16
+# and 172.31/172.32 boundary traps planted by the fixture). Pure codegen
+# projection on the resolver output — zero shuffles.
+
+@register(
+    "crawl_ssrf_guard",
+    oracle="""
+    WITH r AS (
+      SELECT s_suppkey AS k, 'h' || s_suppkey AS host,
+             CASE CAST(s_suppkey % 8 AS INT)
+               WHEN 0 THEN '10.' || (s_suppkey % 256) || '.0.7'
+               WHEN 1 THEN '172.' || (16 + s_suppkey % 16) || '.4.9'
+               WHEN 2 THEN '192.168.' || (s_suppkey % 256) || '.3'
+               WHEN 3 THEN '127.0.0.1'
+               WHEN 4 THEN '169.254.169.254'
+               WHEN 5 THEN '100.' || (64 + s_suppkey % 64) || '.0.2'
+               WHEN 6 THEN '172.' || (CASE WHEN s_suppkey % 2 = 0
+                                           THEN 15 ELSE 32 END) || '.0.1'
+               ELSE (1 + s_suppkey % 8) || '.' || (s_suppkey % 223) || '.5.6'
+             END AS ip
+      FROM supplier),
+    o AS (
+      SELECT k, host, ip,
+             CAST(regexp_extract(ip, '^(\\d+)[.](\\d+)[.](\\d+)[.](\\d+)$', 1)
+                  AS BIGINT) AS a,
+             CAST(regexp_extract(ip, '^(\\d+)[.](\\d+)[.](\\d+)[.](\\d+)$', 2)
+                  AS BIGINT) AS b
+      FROM r),
+    c AS (
+      SELECT host, ip, a * 16777216 + b * 65536
+               + CAST(regexp_extract(ip, '[.](\\d+)[.](\\d+)$', 1) AS BIGINT)
+                 * 256
+               + CAST(regexp_extract(ip, '[.](\\d+)[.](\\d+)$', 2) AS BIGINT)
+               AS ip32,
+             CASE WHEN a = 127 THEN 'loopback'
+                  WHEN a = 169 AND b = 254 THEN 'link_local'
+                  WHEN a = 10 OR (a = 172 AND b BETWEEN 16 AND 31)
+                       OR (a = 192 AND b = 168) THEN 'private'
+                  WHEN a = 100 AND b BETWEEN 64 AND 127 THEN 'cgnat'
+             END AS block_reason
+      FROM o)
+    SELECT host, ip, ip32, block_reason,
+           block_reason IS NULL AS fetch_allowed
+    FROM c
+    """,
+)
+def crawl_ssrf_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSRF fetch guard (section comment): dotted-quad → int32 and
+    integer range classification (loopback > link-local > private >
+    CGNAT); fetch_allowed only for public space."""
+    supplier = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ip = (
+        F.when(k % 8 == 0,
+               F.concat(F.lit("10."), (k % 256).cast("string"), F.lit(".0.7")))
+        .when(k % 8 == 1,
+              F.concat(F.lit("172."), (16 + k % 16).cast("string"),
+                       F.lit(".4.9")))
+        .when(k % 8 == 2,
+              F.concat(F.lit("192.168."), (k % 256).cast("string"),
+                       F.lit(".3")))
+        .when(k % 8 == 3, F.lit("127.0.0.1"))
+        .when(k % 8 == 4, F.lit("169.254.169.254"))
+        .when(k % 8 == 5,
+              F.concat(F.lit("100."), (64 + k % 64).cast("string"),
+                       F.lit(".0.2")))
+        .when(k % 8 == 6,
+              F.concat(F.lit("172."),
+                       F.when(k % 2 == 0, F.lit("15")).otherwise(F.lit("32")),
+                       F.lit(".0.1")))
+        .otherwise(F.concat((1 + k % 8).cast("string"), F.lit("."),
+                            (k % 223).cast("string"), F.lit(".5.6")))
+    )
+    r = supplier.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"), ip.alias("ip")
+    )
+    quad = r"^(\d+)[.](\d+)[.](\d+)[.](\d+)$"
+    o = r.select(
+        "host", "ip",
+        F.regexp_extract("ip", quad, 1).cast("long").alias("a"),
+        F.regexp_extract("ip", quad, 2).cast("long").alias("b"),
+        F.regexp_extract("ip", r"[.](\d+)[.](\d+)$", 1).cast("long").alias("c"),
+        F.regexp_extract("ip", r"[.](\d+)[.](\d+)$", 2).cast("long").alias("d"),
+    )
+    a, b = F.col("a"), F.col("b")
+    reason = (
+        F.when(a == 127, F.lit("loopback"))
+        .when((a == 169) & (b == 254), F.lit("link_local"))
+        .when((a == 10) | ((a == 172) & b.between(16, 31))
+              | ((a == 192) & (b == 168)), F.lit("private"))
+        .when((a == 100) & b.between(64, 127), F.lit("cgnat"))
+    )
+    c = o.select(
+        "host", "ip",
+        (a * 16777216 + b * 65536 + F.col("c") * 256 + F.col("d"))
+        .alias("ip32"),
+        reason.alias("block_reason"),
+    )
+    return c.select(
+        "host", "ip", "ip32", "block_reason",
+        F.col("block_reason").isNull().alias("fetch_allowed"),
+    )
+
+
+# -- media duplicate clusters ----------------------------------------------------
+# [U pHash near-dup practice; LAION dedup clustering]: the pair list
+# (img_phash_neardup) becomes dedup CLUSTERS via the repo's
+# fixed-iteration min-label CC — the media sibling of doc_dedup_clusters.
+# By construction each o:/q: pair collapses to one cluster; chains can
+# merge further via shared buckets. Oracle composes the registered pair
+# oracle as the edge relation and re-derives every CC round.
+
+@register(
+    "img_dup_clusters",
+    oracle=f"""
+    WITH {_sql_cc_ctes(
+        "SELECT 'o:img' || p_partkey AS node FROM part WHERE p_partkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT 'q:img' || p_partkey AS node FROM part WHERE p_partkey % 10 = 0",
+        f"SELECT id_a AS src, id_b AS dst FROM ({ORACLE['img_phash_neardup']})",
+    )}
+    SELECT cluster, count(*) AS n_items FROM ccF GROUP BY 1
+    """,
+)
+def img_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dup clusters (section comment): min-label CC over the phash
+    near-dup pair graph; readout is per-cluster member counts (the
+    canonical keeper is the min item_id — the cluster label itself)."""
+    from .relational import connected_components
+
+    pairs = img_phash_neardup(spark, sf_dir)
+    ids = _image_ids(spark, sf_dir).select(
+        F.col("image_id").cast("string").alias("image_id")
+    )
+    nodes = ids.select(
+        F.concat(F.lit("o:"), "image_id").alias("node")
+    ).unionByName(ids.select(F.concat(F.lit("q:"), "image_id").alias("node")))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(nodes, edges)
+    return cc.groupBy("cluster").agg(F.count("*").alias("n_items"))
+
+
+# -- reciprocal rank fusion ------------------------------------------------------
+# [U Cormack, Clarke & Buettcher 2009 (RRF, k=60); hybrid-retrieval
+# practice]: fuse the exact-cosine ranking with the binary-sketch ranking
+# per probe. Scores are exact integers: rrf_ppm = Σ div_half_away(1e6,
+# 60 + rank), absent list ⇒ 0 contribution; fused order breaks ties by
+# vec_id. The per-probe window is bounded by the two top-5 lists (≤10
+# rows) — partitioned by probe, never global.
+
+_RRF_K = 60
+
+
+@register(
+    "emb_rank_fusion",
+    oracle=f"""
+    WITH ca AS ({ORACLE['emb_cosine_topk']}),
+    cb AS ({ORACLE['emb_binary_sign_topk']}),
+    u AS (
+      SELECT coalesce(ca.probe_id, cb.probe_id) AS probe_id,
+             coalesce(ca.vec_id, cb.vec_id) AS vec_id,
+             ca.rnk AS rnk_cos, cb.rnk AS rnk_bin
+      FROM ca FULL OUTER JOIN cb
+        ON ca.probe_id = cb.probe_id AND ca.vec_id = cb.vec_id),
+    s AS (
+      SELECT probe_id, vec_id, rnk_cos, rnk_bin,
+             CAST(coalesce({sim._sql_div_half_away('1000000',
+                                                   f'({_RRF_K} + rnk_cos)')}, 0)
+                  + coalesce({sim._sql_div_half_away('1000000',
+                                                     f'({_RRF_K} + rnk_bin)')}, 0)
+               AS BIGINT) AS rrf_ppm
+      FROM u)
+    SELECT probe_id, vec_id, rnk_cos, rnk_bin, rrf_ppm,
+           CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY rrf_ppm DESC, vec_id ASC)
+             AS BIGINT) AS fused_rank
+    FROM s
+    """,
+)
+def emb_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (section comment) of the exact-cosine and
+    binary-sketch top-5 lists; integer ppm scores, bounded per-probe
+    window for the fused order."""
+    ca = emb_cosine_topk(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rnk").alias("rnk_cos")
+    )
+    cb = emb_binary_sign_topk(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rnk").alias("rnk_bin")
+    )
+    u = ca.join(cb, ["probe_id", "vec_id"], "full_outer")
+
+    def rrf(rnk):
+        # div_half_away(1e6, K + rnk) columnar: (2s+n) // 2n computed as
+        # exact floor division (strip the remainder with pmod so the one
+        # double division is an exact integer ≤ 2^53)
+        n2 = 2 * (F.lit(_RRF_K).cast("long") + rnk)
+        q = F.lit(2_000_000).cast("long") + (F.lit(_RRF_K) + rnk)
+        return F.coalesce(
+            ((q - F.pmod(q, n2)) / n2).cast("long"), F.lit(0).cast("long")
+        )
+
+    s = u.select(
+        "probe_id", "vec_id", "rnk_cos", "rnk_bin",
+        (rrf(F.col("rnk_cos")) + rrf(F.col("rnk_bin")))
+        .cast("long").alias("rrf_ppm"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("vec_id").asc()
+    )
+    return s.select(
+        "probe_id", "vec_id", "rnk_cos", "rnk_bin", "rrf_ppm",
+        F.row_number().over(w).cast("long").alias("fused_rank"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17165,6 +17391,10 @@ def img_bomb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 50 (SSRF guard, media dup clusters, rank fusion)
+    "crawl_ssrf_guard",
+    "img_dup_clusters",
+    "emb_rank_fusion",
     # new in batch 49 (streaming dedup twin, TDM-Rep channels, bomb gate)
     "stream_incremental_dedup",
     "crawl_tdm_reservation",
