@@ -17375,6 +17375,157 @@ def emb_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 51 (round 5): distributed integer perceptron TRAINING for the
+# quality classifier.
+# =============================================================================
+# [U fastText-style quality classifiers (CCNet, LLaMA corpus filter);
+# Rosenblatt perceptron; hashed n-gram features]: doc_fasttext_quality
+# gates on a FROZEN hashed-ngram model — this is the missing TRAINING
+# half, the fourth distributed-learning operator (after k-means, BPE, and
+# power iteration) and like them: per-iteration work is two shuffled aggs
+# (per-doc margins, per-bucket averaged updates), ONE collected 64-row
+# model relation per iteration, all arithmetic exact int64 (averaged
+# batch update via div-half-away — the raw batch perceptron oscillates,
+# measured), and the oracle RE-DERIVES every iteration in unrolled CTEs.
+# The planted salts make the two classes linearly separable in the hashed
+# space; convergence to training accuracy 1.0 at all three scales is
+# measured and pinned in pytest — not assumed.
+
+_PERC_DIM = 64
+_PERC_ITERS = 3
+_PERC_SALT_POS = " excellent prose flows here."
+_PERC_SALT_NEG = " spam casino pills now."
+
+
+def _sql_perceptron(iters: int = _PERC_ITERS) -> str:
+    """Unrolled perceptron-training CTE text ending in weights `wF(j, w)`
+    and features `feats(doc_id, y, j, cnt)`."""
+    composed = (
+        f"text || repeat('{_PERC_SALT_POS}', 5)"
+    )
+    composed_neg = f"text || repeat('{_PERC_SALT_NEG}', 5)"
+    tri = tx.sql_char_trigrams(
+        f"CASE WHEN doc_id % 2 = 0 THEN {composed} ELSE {composed_neg} END"
+    )
+    d60 = sql_digest60("'pf:' || tri")
+    ctes = [
+        f"tr AS (SELECT doc_id, unnest({tri}) AS tri FROM documents)",
+        f"feats AS (SELECT doc_id, "
+        f"CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y, "
+        f"({d60}) % {_PERC_DIM} AS j, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM tr GROUP BY 1, 2, 3)",
+        f"w0 AS (SELECT CAST(r.d AS BIGINT) AS j, CAST(0 AS BIGINT) AS w "
+        f"FROM range({_PERC_DIM}) r(d))",
+    ]
+    prev = "w0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT f.doc_id, f.y, "
+            f"CAST(sum(f.cnt * {prev}.w) AS BIGINT) AS m "
+            f"FROM feats f JOIN {prev} USING (j) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"mis{i} AS (SELECT doc_id, y FROM m{i} WHERE y * m <= 0)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT greatest(count(*), 1) AS n FROM mis{i})"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT f.j, CAST(sum(f.y * f.cnt) AS BIGINT) AS u "
+            f"FROM feats f JOIN mis{i} USING (doc_id) GROUP BY 1)"
+        )
+        nxt = f"w{i}" if i < iters else "wF"
+        ctes.append(
+            f"{nxt} AS (SELECT {prev}.j, {prev}.w + "
+            f"coalesce({sim._sql_div_half_away('u.u', 'n.n')}, 0) AS w "
+            f"FROM {prev} LEFT JOIN u{i} u USING (j) CROSS JOIN n{i} n)"
+        )
+        prev = nxt
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "doc_perceptron_train",
+    oracle=f"""
+    WITH {_sql_perceptron()}
+    SELECT f.doc_id, CAST(max(f.y) AS BIGINT) AS y,
+           CAST(sum(f.cnt * wF.w) AS BIGINT) AS margin,
+           CAST(CASE WHEN sum(f.cnt * wF.w) > 0 THEN 1 ELSE -1 END AS BIGINT)
+             AS pred,
+           max(f.y) * sum(f.cnt * wF.w) > 0 AS correct
+    FROM feats f JOIN wF USING (j)
+    GROUP BY 1
+    """,
+)
+def doc_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training (section comment): averaged batch
+    perceptron over hashed char-trigram counts, 3 exact-integer
+    iterations; output is each doc's final margin/prediction under the
+    learned weights."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    y = F.when(k % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    composed = F.concat(
+        F.col("text"),
+        F.when(k % 2 == 0, F.lit(_PERC_SALT_POS * 5))
+        .otherwise(F.lit(_PERC_SALT_NEG * 5)),
+    )
+    b = docs.select("doc_id", y.alias("y"), tx.trigram_norm(composed).alias("nrm"))
+    tr = b.select(
+        "doc_id", "y", F.explode(tx.char_trigrams(F.col("nrm"))).alias("tri")
+    )
+    feats = (
+        tr.select(
+            "doc_id", "y",
+            F.pmod(digest60(F.concat(F.lit("pf:"), F.col("tri"))),
+                   F.lit(_PERC_DIM)).alias("j"),
+        )
+        .groupBy("doc_id", "y", "j")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # margins + updates per iteration + final readout
+    )
+    w = [0] * _PERC_DIM
+
+    def margins(wvec):
+        wlit = F.array(*[F.lit(int(c)) for c in wvec])
+        return feats.groupBy("doc_id", "y").agg(
+            F.sum(F.col("cnt")
+                  * F.element_at(wlit, (F.col("j") + 1).cast("int")))
+            .alias("m")
+        )
+
+    for _ in range(_PERC_ITERS):
+        mis = (
+            margins(w).filter(F.col("y") * F.col("m") <= 0)
+            .select("doc_id").persist()
+        )
+        mis_count = mis.count()  # scalar count, not a data collect
+        if mis_count:
+            upd_rows = (
+                feats.join(mis, "doc_id")
+                .groupBy("j")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("u"))
+                .collect()  # <= 64 model rows per iteration — not data
+            )
+            upd = {int(r["j"]): int(r["u"]) for r in upd_rows}
+            w = [
+                wj + sim._div_half_away(upd.get(j, 0), mis_count)
+                for j, wj in enumerate(w)
+            ]
+        mis.unpersist()
+    out = margins(w)
+    feats.unpersist()
+    return out.select(
+        "doc_id",
+        F.col("y").cast("long").alias("y"),
+        F.col("m").cast("long").alias("margin"),
+        F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("pred"),
+        (F.col("y") * F.col("m") > 0).alias("correct"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17391,6 +17542,8 @@ def emb_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 51 (integer perceptron training for the quality gate)
+    "doc_perceptron_train",
     # new in batch 50 (SSRF guard, media dup clusters, rank fusion)
     "crawl_ssrf_guard",
     "img_dup_clusters",
