@@ -289,6 +289,74 @@ def header_probe(ids: DataFrame) -> DataFrame:
     return ids.select("image_id", "cls").mapInPandas(run, HEADER_PROBE_SCHEMA)
 
 
+DIHEDRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("phash_plain", T.LongType(), False),
+        T.StructField("dihedral_key", T.LongType(), False),
+    ]
+)
+
+_DIHEDRAL_PLANTS = ("rot90", "rot180", "rot270", "fliplr", "flipud")
+
+
+def dihedral_key(pix) -> int:
+    """min over the 8 dihedral transforms of phash64 — a rotation/flip-
+    INVARIANT dedup key: for any g in D4, the transform set of g(I) is the
+    transform set of I, so the min is EXACTLY equal (no hamming tolerance
+    needed; decode and rotation are both lossless)."""
+    from ..codecs import phash64
+
+    best = None
+    for t in range(4):
+        p = np.rot90(pix, t)
+        for q in (p, np.fliplr(p)):
+            v = phash64(np.ascontiguousarray(q))
+            if best is None or v < best:
+                best = v
+    return best
+
+
+def dihedral_phash(ids: DataFrame) -> DataFrame:
+    """A17 rotation-invariant tier [U imagededup / milvus rotation-robust
+    pHash practice]: emit each original (o:) and, for planted ids, one
+    rotated/flipped copy (r:) with (plain phash, dihedral key). Plain
+    phash differs across the plant; the dihedral key matches exactly —
+    the group-by-key dedup that catches rotated reposts exact/cheap.
+    Input needs (image_id, rot_cls); rot_cls 0 = no plant, 1..5 pick the
+    transform."""
+    from ..codecs import phash64
+    from ..fixtures import make_smooth_image
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, rc in zip(pdf["image_id"], pdf["rot_cls"]):
+                pix = make_smooth_image(iid)
+                out.append((iid, "o:" + iid, phash64(pix), dihedral_key(pix)))
+                rc = int(rc)
+                if rc:
+                    kind = _DIHEDRAL_PLANTS[rc - 1]
+                    if kind == "rot90":
+                        q = np.rot90(pix, 1)
+                    elif kind == "rot180":
+                        q = np.rot90(pix, 2)
+                    elif kind == "rot270":
+                        q = np.rot90(pix, 3)
+                    elif kind == "fliplr":
+                        q = np.fliplr(pix)
+                    else:
+                        q = np.flipud(pix)
+                    q = np.ascontiguousarray(q)
+                    out.append((iid, "r:" + iid, phash64(q), dihedral_key(q)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DIHEDRAL_SCHEMA.fields]
+            )
+
+    return ids.select("image_id", "rot_cls").mapInPandas(run, DIHEDRAL_SCHEMA)
+
+
 BOMB_MAX_PIXELS = 50_000_000  # the PIL MAX_IMAGE_PIXELS-style ceiling
 BOMB_MAX_RATIO = 1000         # declared-raw-bytes : container-bytes
 

@@ -17526,6 +17526,143 @@ def doc_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 52 (round 5): Iceberg snapshot refs / Write-Audit-Publish +
+# rotation-invariant media dedup.
+# =============================================================================
+
+# -- A19 extension: snapshot refs + the WAP workflow -----------------------------
+# [U Iceberg spec Snapshot References; the Write-Audit-Publish pattern]:
+# a staged wave is committed to an `audit` BRANCH while `main` serves
+# readers at the validated head and a release TAG stays frozen; after
+# validation the publish step fast-forwards main. Refs are a refs.json
+# sidecar (atomic tmp+rename like the manifest); branches only move
+# forward, tags never move (both raise — pinned in pytest). The oracle
+# restates each ref read's expected contents from the wave arithmetic.
+
+@register(
+    "warehouse_wap_publish",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey % 3 AS wave,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    agg AS (SELECT wave, count(*) AS n, sum(cents) AS s FROM src GROUP BY 1),
+    cum AS (
+      SELECT CAST(w.w AS BIGINT) AS through_wave,
+             CAST(sum(a.n) AS BIGINT) AS n_rows,
+             CAST(sum(a.s) AS BIGINT) AS sum_cents
+      FROM (VALUES (0), (1), (2)) w(w)
+      JOIN agg a ON a.wave <= w.w
+      GROUP BY 1)
+    SELECT 'pre' AS stage, 'main' AS ref, n_rows, sum_cents
+    FROM cum WHERE through_wave = 1
+    UNION ALL
+    SELECT 'pre', 'audit', n_rows, sum_cents FROM cum WHERE through_wave = 2
+    UNION ALL
+    SELECT 'pre', 'v1', n_rows, sum_cents FROM cum WHERE through_wave = 0
+    UNION ALL
+    SELECT 'post', 'main', n_rows, sum_cents FROM cum WHERE through_wave = 2
+    """,
+)
+def warehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP over snapshot refs (section comment): waves 0-2 written; tag
+    v1 pins wave 0, main serves wave 1, the staged wave 2 lands on the
+    audit branch; fast_forward publishes main to the audited head."""
+    import tempfile
+
+    from .tables import Warehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("wave"),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcspark_wap_"))
+    schema = src.select("k", "cents").schema
+    for w in (0, 1, 2):
+        wh.write_wave("wap_t", src.filter(F.col("wave") == w)
+                      .select("k", "cents"), w)
+        wh.commit(w, {})
+    wh.set_tag("v1", 0)
+    wh.set_branch("main", 0)
+    wh.set_branch("main", 1)       # validated head before the staged wave
+    wh.set_branch("audit", 2)      # the staged (write) side of WAP
+
+    def read_at(stage: str, ref: str) -> DataFrame:
+        return (
+            wh.read_ref("wap_t", ref, schema)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").cast("long").alias("sum_cents"))
+            .select(F.lit(stage).alias("stage"), F.lit(ref).alias("ref"),
+                    "n_rows", "sum_cents")
+        )
+
+    # ref heads resolve EAGERLY in read_ref (the plan reads fixed wave
+    # dirs), so the pre-publish plans stay correct after the mutation
+    pre = (
+        read_at("pre", "main")
+        .unionByName(read_at("pre", "audit"))
+        .unionByName(read_at("pre", "v1"))
+    )
+    wh.fast_forward("main", "audit")  # the publish step
+    return pre.unionByName(read_at("post", "main"))
+
+
+# -- A17 extension: rotation-invariant media dedup -------------------------------
+# [U imagededup rotation-robust pHash practice; D4 (dihedral) group
+# trick]: key(I) = min over the 8 dihedral transforms of phash64 — for
+# any rotation/flip g, the transform SET of g(I) equals that of I, so a
+# rotated repost matches its original EXACTLY (no hamming tolerance).
+# Plain phash differs across the plant (that is what breaks naive
+# dedup); the key groups them. Twin: independent index-mapping transforms
+# + twin_phash (scripts/gen_media_expected.py expected_img_dihedral, the
+# invariance law asserted for every planted transform).
+
+@register(
+    "img_phash_dihedral",
+    oracle=f"""
+    WITH ids AS (SELECT 'img' || p_partkey AS image_id FROM part
+                 WHERE p_partkey % 10 = 0),
+    t AS (
+      SELECT e.item_id, e.phash_plain, e.dihedral_key
+      FROM '{_MEDIA_EXPECTED}/img_dihedral.parquet' e JOIN ids USING (image_id)),
+    g AS (
+      SELECT dihedral_key, CAST(count(*) AS BIGINT) AS group_size,
+             min(item_id) AS canon
+      FROM t GROUP BY 1)
+    SELECT t.item_id, t.phash_plain, t.dihedral_key, g.group_size,
+           t.item_id = g.canon AS is_canonical
+    FROM t JOIN g USING (dihedral_key)
+    """,
+)
+def img_phash_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-invariant dedup (section comment): per item the plain
+    phash and the D4-min key; groups by exact key with min-item canonical
+    election."""
+    from .datapipe.multimodal import dihedral_phash
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ids = part.filter(k % 10 == 0).select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        F.when(k % 20 == 0, (F.floor(k / 20) % 5 + 1))
+        .otherwise(F.lit(0)).cast("int").alias("rot_cls"),
+    )
+    items = dihedral_phash(ids).select(
+        "item_id", "phash_plain", "dihedral_key"
+    )
+    g = items.groupBy("dihedral_key").agg(
+        F.count("*").alias("group_size"),
+        F.min("item_id").alias("_canon"),
+    )
+    return items.join(g, "dihedral_key").select(
+        "item_id", "phash_plain", "dihedral_key", "group_size",
+        (F.col("item_id") == F.col("_canon")).alias("is_canonical"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17542,6 +17679,9 @@ def doc_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 52 (Iceberg refs/WAP + rotation-invariant dedup)
+    "warehouse_wap_publish",
+    "img_phash_dihedral",
     # new in batch 51 (integer perceptron training for the quality gate)
     "doc_perceptron_train",
     # new in batch 50 (SSRF guard, media dup clusters, rank fusion)

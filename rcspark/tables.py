@@ -150,6 +150,74 @@ class Warehouse:
             json.dump({"wave": wave, "meta": meta}, f)
         os.replace(tmp, self._manifest_path)  # atomic on POSIX
 
+    # -- named refs: tags + branches (Iceberg snapshot-ref semantics) -------
+    # [U Iceberg spec §Snapshot References; the Write-Audit-Publish
+    # workflow]: a TAG is an immutable named snapshot; a BRANCH is a
+    # mutable named head that only moves FORWARD along the linear wave
+    # log (this warehouse has no divergent lineages — fast-forward is the
+    # only publish operation, exactly the WAP shape). Refs live in a
+    # refs.json sidecar with the same atomic tmp+rename protocol as the
+    # manifest.
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "refs.json")
+
+    def _load_refs(self) -> dict[str, dict[str, Any]]:
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _save_refs(self, refs: dict[str, dict[str, Any]]) -> None:
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path)
+
+    def set_tag(self, name: str, wave: int) -> None:
+        """Create an immutable tag at `wave`; re-tagging raises."""
+        refs = self._load_refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists "
+                             f"({refs[name]['kind']} at {refs[name]['wave']})")
+        refs[name] = {"kind": "tag", "wave": int(wave)}
+        self._save_refs(refs)
+
+    def set_branch(self, name: str, wave: int) -> None:
+        """Create a branch, or advance it FORWARD; moving a branch
+        backward (or touching a tag) raises."""
+        refs = self._load_refs()
+        cur = refs.get(name)
+        if cur is not None:
+            if cur["kind"] != "branch":
+                raise ValueError(f"ref {name!r} is a {cur['kind']}, not a branch")
+            if int(wave) < cur["wave"]:
+                raise ValueError(
+                    f"branch {name!r} cannot move backward "
+                    f"({cur['wave']} -> {wave})"
+                )
+        refs[name] = {"kind": "branch", "wave": int(wave)}
+        self._save_refs(refs)
+
+    def ref_head(self, name: str) -> tuple[str, int]:
+        refs = self._load_refs()
+        if name not in refs:
+            raise KeyError(f"unknown ref {name!r}")
+        return refs[name]["kind"], refs[name]["wave"]
+
+    def fast_forward(self, branch: str, to_ref: str) -> int:
+        """Publish: move `branch` forward to `to_ref`'s head (the WAP
+        publish step). Returns the new head wave."""
+        _, target = self.ref_head(to_ref)
+        self.set_branch(branch, target)
+        return target
+
+    def read_ref(self, table: str, name: str, schema: T.StructType) -> DataFrame:
+        """Read the table as of a ref's head (appends through that wave)."""
+        _, wave = self.ref_head(name)
+        return self.read_appends(table, wave, schema)
+
     # -- writes ------------------------------------------------------------
     def _wave_dir(self, table: str, wave: int) -> str:
         return os.path.join(self.root, table, f"wave={wave:06d}")

@@ -1637,6 +1637,58 @@ def expected_img_bomb() -> pd.DataFrame:
     ).astype({"w": "Int32", "h": "Int32"})
 
 
+def expected_img_dihedral() -> pd.DataFrame:
+    """img_phash_dihedral twin: transforms re-implemented as explicit
+    index-mapping fancy indexing (NOT np.rot90/fliplr) and hashes via
+    twin_phash; asserts the invariance law — a planted transform's
+    dihedral key equals its original's."""
+    from rcspark.fixtures import make_smooth_image
+
+    def xform(pix: np.ndarray, kind: str) -> np.ndarray:
+        h, w = pix.shape[:2]
+        ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        if kind == "id":
+            return pix
+        if kind == "rot90":  # np.rot90 k=1: out[i,j] = in[j, w_out-1-i]... derive by size
+            oi, oj = np.meshgrid(np.arange(w), np.arange(h), indexing="ij")
+            return pix[oj, w - 1 - oi]
+        if kind == "rot180":
+            return pix[h - 1 - ii, w - 1 - jj]
+        if kind == "rot270":
+            oi, oj = np.meshgrid(np.arange(w), np.arange(h), indexing="ij")
+            return pix[h - 1 - oj, oi]
+        if kind == "fliplr":
+            return pix[ii, w - 1 - jj]
+        if kind == "flipud":
+            return pix[h - 1 - ii, jj]
+        raise ValueError(kind)
+
+    def key(pix: np.ndarray) -> int:
+        vals = []
+        for base in ("id", "rot90", "rot180", "rot270"):
+            p = xform(pix, base)
+            vals.append(twin_phash(p))
+            vals.append(twin_phash(xform(p, "fliplr")))
+        return min(vals)
+
+    plants = ("rot90", "rot180", "rot270", "fliplr", "flipud")
+    rows = []
+    for k in range(0, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid)
+        k0 = key(pix)
+        rows.append((iid, "o:" + iid, twin_phash(pix), k0))
+        if k % 20 == 0:
+            kind = plants[(k // 20) % 5]
+            q = xform(pix, kind)
+            kq = key(q)
+            assert kq == k0, (iid, kind, kq, k0)  # the invariance law
+            rows.append((iid, "r:" + iid, twin_phash(q), kq))
+    return pd.DataFrame(
+        rows, columns=["image_id", "item_id", "phash_plain", "dihedral_key"]
+    )
+
+
 def _twin_read_thumbnail(data: bytes) -> tuple[bytes | None, int]:
     """Independent APP1/IFD0→IFD1 walk (struct.unpack_from based) for the
     embedded-thumbnail span — not the engine's int.from_bytes reader."""
@@ -1826,6 +1878,7 @@ def main() -> None:
         ("img_skin", expected_img_skin),
         ("img_header", expected_img_header),
         ("img_bomb", expected_img_bomb),
+        ("img_dihedral", expected_img_dihedral),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
