@@ -302,6 +302,46 @@ BENCH_QUERIES = [
     "crawl_fingerprint_audit",
     # round-5 batch 38: media quarantine routing
     "img_media_quarantine",
+    # round-5 batch 39: acquisition/compliance plane
+    "crawl_ai_optout",
+    "doc_license_detect",
+    "img_alt_text_mine",
+    # round-5 batch 40: corpus-construction plane
+    "emb_diversity_sample",
+    "img_shard_layout",
+    "doc_dsir_weights",
+    # round-5 batch 41-43: privacy/safety gates, compliance capstone, drift
+    "img_exif_thumbnail",
+    "img_pair_safety_gate",
+    "stream_safety_gate",
+    "img_pair_compliance",
+    "doc_ccnet_buckets",
+    "emb_cell_drift",
+    # round-5 batch 44-45: ExactSubstr cuts + real tar shards
+    "doc_exact_substring_cut",
+    "img_shard_tar_roundtrip",
+    # round-5 batch 46: published quality-rule bundles
+    "doc_gopher_rules",
+    "doc_c4_filters",
+    "crawl_url_softscore",
+    # round-5 batch 47-48: aesthetic probe, incremental dedup, power
+    # iteration, header probe
+    "emb_aesthetic_score",
+    "doc_incremental_dedup",
+    "emb_power_iteration",
+    "img_header_probe",
+    # round-5 batch 49-50: streaming dedup twin, TDM-Rep, bomb gate,
+    # SSRF guard, dup clusters, rank fusion
+    "stream_incremental_dedup",
+    "crawl_tdm_reservation",
+    "img_bomb_gate",
+    "crawl_ssrf_guard",
+    "img_dup_clusters",
+    "emb_rank_fusion",
+    # round-5 batch 51-52: perceptron training, WAP refs, dihedral dedup
+    "doc_perceptron_train",
+    "warehouse_wap_publish",
+    "img_phash_dihedral",
 ]
 
 

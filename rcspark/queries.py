@@ -17663,6 +17663,189 @@ def img_phash_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 53 (round 5): fill-in-middle training splits + Unicode script
+# composition.
+# =============================================================================
+
+# -- FIM splits -----------------------------------------------------------------
+# [U Bavarian et al. 2022 "Efficient Training of Language Models to Fill
+# in the Middle" (PSM format, ~50% FIM rate)]: the pre-tokenization
+# transform that turns a document into <PRE>prefix<SUF>suffix<MID>middle.
+# Split points are digest-derived (deterministic, re-derivable by the
+# oracle), both guaranteed interior so all three spans are non-empty;
+# the 50% apply rate is a digest coin. Pure substr arithmetic in codegen;
+# prefix‖middle‖suffix == text is pinned in pytest (lossless).
+
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<|pre|>", "<|suf|>", "<|mid|>"
+
+
+@register(
+    "doc_fim_splits",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             ({sql_digest60("'fimr:' || CAST(doc_id AS VARCHAR)")}) % 2 = 0
+               AS apply_fim
+      FROM documents),
+    p AS (
+      SELECT doc_id, text, n, apply_fim,
+             1 + ({sql_digest60("'fim1:' || CAST(doc_id AS VARCHAR)")})
+                 % (n - 2) AS p1
+      FROM d),
+    q AS (
+      SELECT doc_id, text, n, apply_fim, p1,
+             p1 + 1 + ({sql_digest60("'fim2:' || CAST(doc_id AS VARCHAR)")})
+                      % (n - p1 - 1) AS p2
+      FROM p)
+    SELECT doc_id, apply_fim, CAST(p1 AS BIGINT) AS p1,
+           CAST(p2 AS BIGINT) AS p2,
+           CASE WHEN apply_fim THEN
+             '{_FIM_PRE}' || substr(text, 1, CAST(p1 AS INT))
+             || '{_FIM_SUF}' || substr(text, CAST(p2 + 1 AS INT))
+             || '{_FIM_MID}'
+             || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))
+           ELSE text END AS out_text
+    FROM q
+    """,
+)
+def doc_fim_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM transform (section comment): digest-derived interior split
+    points, PSM reordering at a 50% digest coin, else passthrough."""
+    docs = load(spark, sf_dir, "documents")
+    kstr = F.col("doc_id").cast("string")
+    n = F.length("text")
+    d = docs.select(
+        "doc_id", "text", n.alias("n"),
+        (digest60(F.concat(F.lit("fimr:"), kstr)) % 2 == 0).alias("apply_fim"),
+        (1 + F.pmod(digest60(F.concat(F.lit("fim1:"), kstr)), n - 2))
+        .alias("p1"),
+    )
+    q = d.withColumn(
+        "p2",
+        F.col("p1") + 1
+        + F.pmod(digest60(F.concat(F.lit("fim2:"),
+                                   F.col("doc_id").cast("string"))),
+                 F.col("n") - F.col("p1") - 1),
+    )
+    t, p1, p2 = F.col("text"), F.col("p1"), F.col("p2")
+    psm = F.concat(
+        F.lit(_FIM_PRE), t.substr(F.lit(1), p1),
+        F.lit(_FIM_SUF), t.substr(p2 + 1, F.col("n") - p2),
+        F.lit(_FIM_MID), t.substr(p1 + 1, p2 - p1),
+    )
+    return q.select(
+        "doc_id", "apply_fim",
+        p1.cast("long").alias("p1"), p2.cast("long").alias("p2"),
+        F.when(F.col("apply_fim"), psm).otherwise(t).alias("out_text"),
+    )
+
+
+# -- Unicode script composition ---------------------------------------------------
+# [U CommonCrawl/CCNet script-ID practice; Unicode block ranges]: the
+# cheap pre-langid signal — per-doc character counts in Latin / Cyrillic
+# / CJK / Arabic blocks as exact ppm of length, plus the dominant script
+# under a fixed tie precedence. Counting is length-minus-replace (one
+# regexp per script, whole-stage codegen); the planted salts make each
+# class's dominant script its own. Engine and oracle spell the ranges in
+# their regex dialects (\\uXXXX vs \\x{XXXX}) — same semantics.
+
+# repeats sized so the planted script outnumbers the longest testdata
+# doc's ~490 Latin chars (max n_chars 577) — dominant flips per class
+_SCRIPT_SALTS = {
+    1: (" привет мир служба данных сеть", 20),   # ~600 Cyrillic chars
+    2: (" 数据处理引擎网络爬虫系统", 50),            # ~600 CJK chars
+    3: (" بيانات الشبكة محرك المعالجة", 25),      # ~600 Arabic chars
+}
+
+
+@register(
+    "doc_script_ratio",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 1 THEN repeat('{_SCRIPT_SALTS[1][0]}', {_SCRIPT_SALTS[1][1]})
+               WHEN 2 THEN repeat('{_SCRIPT_SALTS[2][0]}', {_SCRIPT_SALTS[2][1]})
+               WHEN 3 THEN repeat('{_SCRIPT_SALTS[3][0]}', {_SCRIPT_SALTS[3][1]})
+               ELSE '' END AS body
+      FROM documents),
+    c AS (
+      SELECT doc_id, length(body) AS n,
+             length(body) - length(regexp_replace(body, '[A-Za-z]', '', 'g'))
+               AS lat,
+             length(body) - length(regexp_replace(body,
+               '[\\x{{0400}}-\\x{{04FF}}]', '', 'g')) AS cyr,
+             length(body) - length(regexp_replace(body,
+               '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+             length(body) - length(regexp_replace(body,
+               '[\\x{{0600}}-\\x{{06FF}}]', '', 'g')) AS ara
+      FROM b)
+    SELECT doc_id,
+           CAST({sim._sql_div_half_away('1000000 * lat', 'n')} AS BIGINT)
+             AS latin_ppm,
+           CAST({sim._sql_div_half_away('1000000 * cyr', 'n')} AS BIGINT)
+             AS cyrillic_ppm,
+           CAST({sim._sql_div_half_away('1000000 * cjk', 'n')} AS BIGINT)
+             AS cjk_ppm,
+           CAST({sim._sql_div_half_away('1000000 * ara', 'n')} AS BIGINT)
+             AS arabic_ppm,
+           CASE WHEN lat >= cyr AND lat >= cjk AND lat >= ara THEN 'latin'
+                WHEN cyr >= cjk AND cyr >= ara THEN 'cyrillic'
+                WHEN cjk >= ara THEN 'cjk'
+                ELSE 'arabic' END AS dominant_script
+    FROM c
+    """,
+)
+def doc_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script composition (section comment): per-block char counts as
+    exact ppm + fixed-precedence dominant script."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.when(k % 4 == 1, F.lit(_SCRIPT_SALTS[1][0] * _SCRIPT_SALTS[1][1]))
+        .when(k % 4 == 2, F.lit(_SCRIPT_SALTS[2][0] * _SCRIPT_SALTS[2][1]))
+        .when(k % 4 == 3, F.lit(_SCRIPT_SALTS[3][0] * _SCRIPT_SALTS[3][1]))
+        .otherwise(F.lit("")),
+    )
+    b = docs.select("doc_id", body.alias("body"))
+
+    def script_count(pattern: str):
+        return F.length("body") - F.length(
+            F.regexp_replace("body", pattern, "")
+        )
+
+    c = b.select(
+        "doc_id",
+        F.length("body").alias("n"),
+        script_count("[A-Za-z]").alias("lat"),
+        script_count("[\\u0400-\\u04FF]").alias("cyr"),
+        script_count("[\\u4E00-\\u9FFF]").alias("cjk"),
+        script_count("[\\u0600-\\u06FF]").alias("ara"),
+    )
+
+    def ppm(cnt):
+        # div_half_away(1e6*cnt, n) columnar (numerator non-negative)
+        s = 2 * (1000000 * cnt) + F.col("n")
+        n2 = 2 * F.col("n")
+        return ((s - F.pmod(s, n2)) / n2).cast("long")
+
+    lat, cyr, cjk, ara = (F.col(x) for x in ("lat", "cyr", "cjk", "ara"))
+    return c.select(
+        "doc_id",
+        ppm(lat).alias("latin_ppm"),
+        ppm(cyr).alias("cyrillic_ppm"),
+        ppm(cjk).alias("cjk_ppm"),
+        ppm(ara).alias("arabic_ppm"),
+        F.when((lat >= cyr) & (lat >= cjk) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= cjk) & (cyr >= ara), F.lit("cyrillic"))
+        .when(cjk >= ara, F.lit("cjk"))
+        .otherwise(F.lit("arabic"))
+        .alias("dominant_script"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17679,6 +17862,9 @@ def img_phash_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 53 (FIM splits + script composition)
+    "doc_fim_splits",
+    "doc_script_ratio",
     # new in batch 52 (Iceberg refs/WAP + rotation-invariant dedup)
     "warehouse_wap_publish",
     "img_phash_dihedral",
