@@ -357,6 +357,55 @@ def dihedral_phash(ids: DataFrame) -> DataFrame:
     return ids.select("image_id", "rot_cls").mapInPandas(run, DIHEDRAL_SCHEMA)
 
 
+CLIP_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("clip_idx", T.IntegerType(), False),
+        T.StructField("start_frame", T.IntegerType(), False),
+        T.StructField("end_frame", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_clips", T.IntegerType(), False),
+        T.StructField("rep_phash", T.LongType(), False),
+    ]
+)
+
+
+def video_clip_windows(
+    ids: DataFrame, clip_len: int = 8, stride: int = 4, id_col: str = "video_id"
+) -> DataFrame:
+    """Video-training clip sampler [U video-LLM pretraining practice
+    (fixed-length clip windows, strided)]: full windows of `clip_len`
+    frames every `stride`, each with its middle frame's phash as the
+    representative thumbnail key (the clip-level dedup handle). Videos
+    shorter than a window emit nothing (dropped, not padded). One
+    Arrow-batched decode per video."""
+    from ..codecs import phash64
+
+    videos = synthesize_videos(ids, id_col=id_col)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_video as _dec
+
+        for pdf in batches:
+            out = []
+            for vid, data, n in zip(pdf["video_id"], pdf["bytes"],
+                                    pdf["n_frames"]):
+                n = int(n)
+                if n < clip_len:
+                    continue
+                frames = _dec(bytes(data))
+                n_clips = (n - clip_len) // stride + 1
+                for c in range(n_clips):
+                    s = c * stride
+                    rep = phash64(frames[s + clip_len // 2])
+                    out.append((vid, c, s, s + clip_len, n, n_clips, rep))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in CLIP_WINDOW_SCHEMA.fields]
+            )
+
+    return videos.mapInPandas(run, CLIP_WINDOW_SCHEMA)
+
+
 BOMB_MAX_PIXELS = 50_000_000  # the PIL MAX_IMAGE_PIXELS-style ceiling
 BOMB_MAX_RATIO = 1000         # declared-raw-bytes : container-bytes
 

@@ -17846,6 +17846,106 @@ def doc_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 54 (round 5): pair-level exact dedup + video clip sampling.
+# =============================================================================
+
+# -- pair-level dedup: (rotation-invariant image key, caption digest) ------------
+# [U LAION dedup practice — the same meme reposted rotated with the same
+# alt text]: the PAIR identity for an image+caption corpus is the
+# dihedral image key × the caption digest; grouping on the composite key
+# catches rotated reposts that caption-only or plain-phash dedup both
+# miss. Composes batch 52's dihedral tier with the caption plane; one
+# groupBy on a 2-part key, canonical = min item.
+
+@register(
+    "img_pair_dedup",
+    oracle=f"""
+    WITH ids AS (
+      SELECT p_partkey, 'img' || p_partkey AS image_id,
+             {_CAPTION_SQL} AS caption
+      FROM part WHERE p_partkey % 10 = 0),
+    t AS (
+      SELECT e.item_id, e.dihedral_key, i.caption,
+             {sql_digest60('i.caption')} AS cap_digest
+      FROM '{_MEDIA_EXPECTED}/img_dihedral.parquet' e
+      JOIN ids i USING (image_id)),
+    g AS (
+      SELECT dihedral_key, cap_digest,
+             CAST(count(*) AS BIGINT) AS pair_group_size,
+             min(item_id) AS canon
+      FROM t GROUP BY 1, 2)
+    SELECT t.item_id, t.dihedral_key, t.cap_digest, g.pair_group_size,
+           t.item_id = g.canon AS is_pair_canonical
+    FROM t JOIN g USING (dihedral_key, cap_digest)
+    """,
+)
+def img_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level dedup (section comment): composite (D4 image key,
+    caption digest) grouping with min-item canonical election."""
+    from .datapipe.multimodal import dihedral_phash
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = part.filter(k % 10 == 0)
+    ids = base.select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        F.when(k % 20 == 0, (F.floor(k / 20) % 5 + 1))
+        .otherwise(F.lit(0)).cast("int").alias("rot_cls"),
+    )
+    caps = base.select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        _caption_col().alias("caption"),
+    )
+    items = dihedral_phash(ids)
+    p = items.join(caps, "image_id").select(
+        "item_id", "dihedral_key",
+        digest60(F.col("caption")).alias("cap_digest"),
+    )
+    g = p.groupBy("dihedral_key", "cap_digest").agg(
+        F.count("*").alias("pair_group_size"),
+        F.min("item_id").alias("_canon"),
+    )
+    return p.join(g, ["dihedral_key", "cap_digest"]).select(
+        "item_id", "dihedral_key", "cap_digest", "pair_group_size",
+        (F.col("item_id") == F.col("_canon")).alias("is_pair_canonical"),
+    )
+
+
+# -- video clip windows ----------------------------------------------------------
+# [U video-LLM pretraining clip sampling]: fixed-length strided windows
+# over each video's frames with the middle frame's phash as the clip's
+# dedup/thumbnail key; short videos drop. Twin re-derives the window
+# arithmetic and the representative hashes from the shared generator
+# (scripts/gen_media_expected.py expected_video_clips).
+
+@register(
+    "video_clip_windows",
+    oracle=f"""
+    SELECT e.video_id, CAST(e.clip_idx AS INT) AS clip_idx,
+           CAST(e.start_frame AS INT) AS start_frame,
+           CAST(e.end_frame AS INT) AS end_frame,
+           CAST(e.n_frames AS INT) AS n_frames,
+           CAST(e.n_clips AS INT) AS n_clips,
+           e.rep_phash
+    FROM '{_MEDIA_EXPECTED}/video_clips.parquet' e
+    JOIN (SELECT 'vid' || p_partkey AS video_id FROM part
+          WHERE p_partkey % 20 = 0) i USING (video_id)
+    """,
+)
+def video_clip_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided clip windows (section comment): one decode per video,
+    pure arithmetic windows, per-clip representative phash."""
+    from .datapipe.multimodal import video_clip_windows as _clips
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.concat(F.lit("vid"), F.col("p_partkey").cast("string"))
+        .alias("video_id")
+    )
+    return _clips(ids)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17862,6 +17962,9 @@ def doc_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 54 (pair-level dedup + video clip windows)
+    "img_pair_dedup",
+    "video_clip_windows",
     # new in batch 53 (FIM splits + script composition)
     "doc_fim_splits",
     "doc_script_ratio",

@@ -1689,6 +1689,36 @@ def expected_img_dihedral() -> pd.DataFrame:
     )
 
 
+def expected_video_clips(clip_len: int = 8, stride: int = 4,
+                         max_frames: int = 24) -> pd.DataFrame:
+    """video_clip_windows twin: window arithmetic re-derived directly and
+    the representative (middle-frame) phash via twin_phash over the
+    id-seeded generator frames."""
+    rows = []
+    for k in range(0, MAX_PARTKEY, 20):
+        vid = f"vid{k}"
+        h64 = xxh64(vid.encode())
+        n = 4 + h64 % (max_frames - 3)
+        if n < clip_len:
+            continue
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        frames = rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8)
+        n_clips = (n - clip_len) // stride + 1
+        for c in range(n_clips):
+            s = c * stride
+            rows.append(
+                (vid, np.int32(c), np.int32(s), np.int32(s + clip_len),
+                 np.int32(n), np.int32(n_clips),
+                 np.int64(twin_phash(frames[s + clip_len // 2]))))
+    return pd.DataFrame(
+        rows,
+        columns=["video_id", "clip_idx", "start_frame", "end_frame",
+                 "n_frames", "n_clips", "rep_phash"],
+    ).astype({"clip_idx": "int32", "start_frame": "int32",
+              "end_frame": "int32", "n_frames": "int32", "n_clips": "int32",
+              "rep_phash": "int64"})
+
+
 def _twin_read_thumbnail(data: bytes) -> tuple[bytes | None, int]:
     """Independent APP1/IFD0→IFD1 walk (struct.unpack_from based) for the
     embedded-thumbnail span — not the engine's int.from_bytes reader."""
@@ -1879,6 +1909,7 @@ def main() -> None:
         ("img_header", expected_img_header),
         ("img_bomb", expected_img_bomb),
         ("img_dihedral", expected_img_dihedral),
+        ("video_clips", expected_video_clips),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
