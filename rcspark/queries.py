@@ -17946,6 +17946,147 @@ def video_clip_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 55 (round 5): Iceberg v2 merge-on-read row-level deletes.
+# =============================================================================
+# [U Iceberg spec §Row-level deletes, format-version=2]: a DELETE that does
+# not rewrite data files — it writes a small delete file and every reader
+# subtracts it on the fly (merge-on-read).  The two flavors the spec
+# defines are pinned by one query each, over the REAL Warehouse read path
+# (tables.Warehouse.read_mor), with the delete-application rules restated
+# by the oracle in pure SQL over the same source rows.
+
+# -- position deletes -----------------------------------------------------------
+# A position delete names physical rows as (data file, ordinal).  Here the
+# data file is the wave dir and `pos` is the row's ordinal within its wave
+# (Iceberg readers synthesize it as the _pos metadata column; this writer
+# persists it at write time).  pos is assigned SCALABLY: one global
+# range-partitioned sequence over (wave, k) — assign_global_seq, no
+# single-partition window — then per-wave ordinals via a broadcast join of
+# the 3-row per-wave min-seq offsets.  The read path never looks at keys:
+# survivors = data ANTI JOIN deletes ON (wave, pos), delete side broadcast
+# (delete files are tiny relative to data — that is the point of MoR).
+
+
+@register(
+    "warehouse_position_deletes",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderkey % 3 AS BIGINT) AS wave
+      FROM orders),
+    p AS (
+      SELECT k, cents, wave,
+             CAST(row_number() OVER (PARTITION BY wave ORDER BY k) - 1
+                  AS BIGINT) AS pos
+      FROM src),
+    d AS (SELECT wave, pos FROM p
+          WHERE {sql_digest60("'pdel:' || CAST(k AS VARCHAR)")} % 5 = 0)
+    SELECT k, cents, wave, pos
+    FROM p ANTI JOIN d USING (wave, pos)
+    """,
+)
+def warehouse_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read position deletes (section comment): waves 0-2 are
+    written with persisted `pos` ordinals, a position-delete file lands at
+    wave 3 naming digest-chosen (wave, pos) rows, and read_mor returns the
+    survivors without touching the data files."""
+    import tempfile
+
+    from .tables import Warehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).cast("long").alias("wave"),
+    )
+    seqd = assign_global_seq(src, ["wave", "k"], 0, npartitions=8)
+    offs = seqd.groupBy("wave").agg(F.min("seq").alias("_off"))
+    pos = seqd.join(F.broadcast(offs), "wave").select(
+        "k", "cents", "wave", (F.col("seq") - F.col("_off")).alias("pos")
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcspark_mor_pos_"))
+    for w in (0, 1, 2):
+        wh.write_wave("t", pos.filter(F.col("wave") == w), w)
+        wh.commit(w, {})
+    dels = pos.filter(
+        digest60(F.concat(F.lit("pdel:"), F.col("k").cast("string"))) % 5 == 0
+    ).select("wave", "pos")
+    wh.write_delete_file("t", dels, 3, "position")
+    wh.commit(3, {})
+    schema = pos.schema
+    return wh.read_mor("t", 3, schema).select("k", "cents", "wave", "pos")
+
+
+# -- equality deletes -----------------------------------------------------------
+# An equality delete stores KEY VALUES plus the delete's data sequence
+# number, and per the spec applies only to data files with a STRICTLY
+# SMALLER sequence number — so a key re-inserted at a wave ≥ the delete's
+# dseq survives.  The fixture makes that rule observable: the logical key
+# (o_orderkey % 97) recurs across all three waves, one delete file lands
+# at dseq=1 (kills wave-0 rows only) and one at dseq=2 (kills waves 0-1),
+# and survivors keep every later re-insertion.  Read path: broadcast
+# anti-join on (key equal AND dseq > wave).
+
+
+@register(
+    "warehouse_equality_deletes",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS rid,
+             CAST(o_orderkey % 97 AS BIGINT) AS key,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderkey % 3 AS BIGINT) AS wave
+      FROM orders),
+    d AS (
+      SELECT CAST(k AS BIGINT) AS key, CAST(dseq AS BIGINT) AS dseq
+      FROM (SELECT unnest(range(0, 97)) AS k)
+      CROSS JOIN (VALUES (1), (2)) s(dseq)
+      WHERE {sql_digest60("'edel' || CAST(dseq AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 4 = 0)
+    SELECT rid, key, cents, wave
+    FROM src
+    WHERE NOT EXISTS (SELECT 1 FROM d
+                      WHERE d.key = src.key AND d.dseq > src.wave)
+    """,
+)
+def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (section comment): recurring logical
+    keys across waves 0-2, delete files at dseq 1 and 2, survivors pinned
+    to the spec's strictly-smaller-sequence rule via read_mor."""
+    import tempfile
+
+    from .tables import Warehouse
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").cast("long").alias("rid"),
+        (F.col("o_orderkey") % 97).cast("long").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 3).cast("long").alias("wave"),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rcspark_mor_eq_"))
+    # data files carry (wave, pos) for the shared read path; pos is unused
+    # by equality deletes but read_mor's position anti-join needs the column
+    data = src.withColumn("pos", F.col("rid"))
+    for w in (0, 1, 2):
+        wh.write_wave("t", data.filter(F.col("wave") == w), w)
+        wh.commit(w, {})
+    keys = spark.range(0, 97).select(F.col("id").cast("long").alias("key"))
+    for dseq in (1, 2):
+        dels = keys.filter(
+            digest60(
+                F.concat(F.lit(f"edel{dseq}:"), F.col("key").cast("string"))
+            ) % 4 == 0
+        ).select("key", F.lit(dseq).cast("long").alias("dseq"))
+        wh.write_delete_file("t", dels, dseq, "equality")
+    wh.commit(3, {})
+    return wh.read_mor("t", 3, data.schema, eq_key="key").select(
+        "rid", "key", "cents", "wave"
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -17962,6 +18103,9 @@ def video_clip_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 55 (Iceberg v2 merge-on-read deletes)
+    "warehouse_position_deletes",
+    "warehouse_equality_deletes",
     # new in batch 54 (pair-level dedup + video clip windows)
     "img_pair_dedup",
     "video_clip_windows",

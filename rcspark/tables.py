@@ -456,6 +456,91 @@ class Warehouse:
             )
         return self.spark.read.schema(schema).parquet(*dirs)
 
+    # -- merge-on-read row-level deletes (Iceberg v2 analogue) --------------
+    # [U Iceberg spec §Row-level deletes / format-version=2]: instead of
+    # rewriting data files, a delete WRITES a small delete file and readers
+    # subtract it on the fly.  Two flavors, matching the spec:
+    #   position deletes — (wave, pos) pairs naming physical rows.  `pos`
+    #     is the row's ordinal in its wave file (Iceberg readers get it as
+    #     the _pos metadata column; here the writer persists it, computed
+    #     scalably — see queries.warehouse_position_deletes).  A position
+    #     delete applies to rows in waves ≤ its own commit wave.
+    #   equality deletes — key values + the delete's data sequence number
+    #     (dseq = the wave it was committed in).  Per the spec an equality
+    #     delete applies ONLY to data files with a strictly SMALLER
+    #     sequence number, so a key re-inserted at wave ≥ dseq survives.
+    # Delete files live under <table>/deletes-<kind>/wave=NNNNNN with the
+    # same tmp+rename atomicity as data waves.
+
+    def _delete_dir(self, table: str, kind: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"deletes-{kind}", f"wave={wave:06d}")
+
+    def write_delete_file(
+        self, table: str, df: DataFrame, wave: int, kind: str
+    ) -> None:
+        """Write one wave's delete file (kind: 'position' | 'equality')."""
+        if kind not in ("position", "equality"):
+            raise ValueError(f"unknown delete kind {kind!r}")
+        final = self._delete_dir(table, kind, wave)
+        tmp = final + ".inprogress"
+        for p in (final, tmp):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def read_delete_files(
+        self, table: str, kind: str, through_wave: int, schema: T.StructType
+    ) -> DataFrame:
+        dirs = [
+            self._delete_dir(table, kind, w)
+            for w in range(0, through_wave + 1)
+            if os.path.exists(self._delete_dir(table, kind, w))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def read_mor(
+        self,
+        table: str,
+        through_wave: int,
+        schema: T.StructType,
+        eq_key: str | None = None,
+    ) -> DataFrame:
+        """Merge-on-read: data waves ≤ through_wave minus position deletes
+        (anti-join on (wave, pos)) minus applicable equality deletes
+        (key match AND delete dseq > row's wave).  Delete sets are tiny
+        relative to data (that is the point of MoR), so both anti-joins
+        broadcast the delete side."""
+        from pyspark.sql import functions as F
+
+        data = self.read_appends(table, through_wave, schema)
+        pos_schema = T.StructType(
+            [
+                T.StructField("wave", T.LongType(), False),
+                T.StructField("pos", T.LongType(), False),
+            ]
+        )
+        pdel = self.read_delete_files(table, "position", through_wave, pos_schema)
+        data = data.join(F.broadcast(pdel), ["wave", "pos"], "left_anti")
+        if eq_key is not None:
+            eq_schema = T.StructType(
+                [
+                    T.StructField(eq_key, T.LongType(), False),
+                    T.StructField("dseq", T.LongType(), False),
+                ]
+            )
+            edel = self.read_delete_files(
+                table, "equality", through_wave, eq_schema
+            ).withColumnRenamed(eq_key, "_ek")
+            data = data.join(
+                F.broadcast(edel),
+                (F.col(eq_key) == F.col("_ek")) & (F.col("dseq") > F.col("wave")),
+                "left_anti",
+            )
+        return data
+
 
 # ---------------------------------------------------------------------------
 # Partition-spec evolution (batch 22) — the Iceberg behavior the fallback
