@@ -1560,6 +1560,81 @@ def audio_features(clips: DataFrame) -> DataFrame:
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+# -- real RIFF/WAVE audio (batch 56) ------------------------------------------
+# Same deterministic clip law as synthesize_audio (0.5 s @ 8 kHz sine at an
+# id-derived frequency + id-seeded noise), but carried in the REAL
+# interchange container (rcspark.wav — stdlib-`wave`-interoperable RIFF)
+# with an INFO/INAM title chunk the decoder's chunk walker must parse past.
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    list(AUDIO_FEATURES_SCHEMA.fields)
+    + [T.StructField("title", T.StringType(), False)]
+)
+
+
+def synthesize_wav(ids: DataFrame, id_col: str = "audio_id") -> DataFrame:
+    """Deterministic clips as real RIFF/WAVE bytes (title = 'clip:<id>')."""
+    from ..wav import encode_wav
+    from ..xxh import xxh64
+
+    out_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+    src = ids.select(F.col(id_col).cast("string").alias("audio_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf["audio_id"]:
+                h64 = xxh64(aid.encode())
+                rate = 8000
+                n = rate // 2
+                freq = 100.0 + (h64 % 1900)
+                t = np.arange(n) / rate
+                rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+                wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+                samples = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+                rows.append((aid, encode_wav(samples, rate, title=f"clip:{aid}")))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    return src.mapInPandas(run, out_schema)
+
+
+def wav_features(clips: DataFrame) -> DataFrame:
+    """(audio_id, bytes=RIFF/WAVE) → metadata + RMS/ZCR/dominant-frequency
+    (the audio_features math over the real container) + the INAM title."""
+    from ..wav import decode_wav
+
+    src = clips.select("audio_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate, title = decode_wav(bytes(data))
+                n = len(s)
+                s64 = s.astype(np.int64)
+                ss = int(np.dot(s64, s64))
+                rms = float(np.sqrt(ss / n) / 32767.0)
+                zcr = float(np.mean((s[1:] < 0) != (s[:-1] < 0)))
+                x = s.astype(np.float64) / 32767.0
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0
+                dom = float(np.argmax(spec) * rate / n)
+                rows.append(
+                    (aid, rate, n, round(n / rate, 6), round(rms, 6),
+                     round(zcr, 6), round(dom, 3), title or "")
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
 PHASH_MAX_BUCKET = 10_000  # shared with the DuckDB oracle's guard CTE
 
 

@@ -18087,6 +18087,138 @@ def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 56 (round 5): image-sitemap acquisition seeds + real RIFF/WAV audio.
+# =============================================================================
+
+# -- Google image-sitemap extension ---------------------------------------------
+# [U sitemaps.org protocol; Google image sitemap extension]: publishers
+# list image URLs WITH CAPTIONS under each page's <url> entry — for an
+# image+caption corpus crawl this is the highest-yield seed source there
+# is (licensed caption text, no HTML fetch needed).  Per-host sitemap
+# bodies are assembled deterministically from orders (sorted string_agg,
+# identical in both engines, with XML-escaped captions and real xmlns
+# declarations so a conforming XML parser agrees — pinned in pytest);
+# rcspark.relational.sitemap_image_entries parses them back with the
+# two-level codegen explode.  The oracle never parses XML: it constructs
+# the expected (page, image, caption) rows arithmetically.
+
+
+@register(
+    "crawl_sitemap_images",
+    oracle="""
+    WITH src AS (
+      SELECT 'h' || (o_custkey % 12) AS host,
+             'http://h' || (o_custkey % 12) || '.example/o/' || o_orderkey
+               AS page_loc,
+             o_custkey % 12 AS hn,
+             o_orderkey AS k,
+             unnest(range(0, 1 + o_orderkey % 3)) AS j
+      FROM orders)
+    SELECT host, page_loc, CAST(j + 1 AS BIGINT) AS img_seq,
+           'http://cdn.h' || hn || '.example/im/' || k || '_' || j || '.jpg'
+             AS img_loc,
+           'part ' || (k * 3 + j) || ' & co "fine"' AS caption
+    FROM src
+    """,
+)
+def crawl_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-sitemap seed extraction (section comment): per-host XML with
+    1-3 <image:image> entries per page, captions XML-escaped; parsed back
+    via the two-level codegen explode with entity unescape."""
+    from .relational import sitemap_image_entries
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 12).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("page"),
+        F.concat(
+            F.lit("http://cdn.h"),
+            (F.col("o_custkey") % 12).cast("string"),
+            F.lit(".example/im/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+        ).alias("img_base"),
+        F.col("o_orderkey").alias("k"),
+        (F.lit(1) + F.col("o_orderkey") % 3).cast("int").alias("n_img"),
+    )
+    img = lambda j: F.concat(  # noqa: E731 — per-element entry builder
+        F.lit("<image:image><image:loc>"),
+        F.col("img_base"),
+        j.cast("string"),
+        F.lit(".jpg</image:loc><image:caption>part "),
+        (F.col("k") * 3 + j).cast("string"),
+        F.lit(" &amp; co &quot;fine&quot;</image:caption></image:image>"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.col("page"),
+        F.lit("</loc>"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.col("n_img") - 1), img), ""
+        ),
+        F.lit("</url>"),
+    )
+    pages = (
+        base.select("host", entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                    ' xmlns:image='
+                    '"http://www.google.com/schemas/sitemap-image/1.1">'
+                ),
+                F.array_join(F.array_sort(F.collect_list("_e")), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    return sitemap_image_entries(pages)
+
+
+# -- real RIFF/WAV audio --------------------------------------------------------
+# [U RIFF/WAVE spec; stdlib wave]: the audio plane's container goes from
+# the sandbox RCA1 stand-in to the REAL interchange format — encoder and
+# chunk-walking decoder in rcspark/wav.py, stdlib-`wave` interop pinned in
+# BOTH directions by pytest (batch 56).  Clip content keeps the documented
+# synthesize_audio law, so the expected-values twin
+# (scripts/gen_media_expected.py expected_wav_features) re-derives every
+# feature from the spec without touching the engine's codec; the INAM
+# title proves the walker parses PAST the LIST metadata chunk.
+
+
+@register(
+    "audio_wav_riff",
+    oracle=f"""
+    SELECT e.audio_id, e.rate, e.n_samples, e.duration_s, e.rms,
+           e.zero_cross_rate, e.dominant_hz, e.title
+    FROM '{_MEDIA_EXPECTED}/wav_features.parquet' e
+    JOIN (SELECT 'wav' || p_partkey AS audio_id FROM part
+          WHERE p_partkey % 20 = 5) i USING (audio_id)
+    """,
+)
+def audio_wav_riff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container audio features (section comment): synthesize → real
+    RIFF/WAVE bytes → chunk-walk decode → exact-integer feature math."""
+    from .datapipe.multimodal import synthesize_wav, wav_features
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 5).select(
+        F.concat(F.lit("wav"), F.col("p_partkey").cast("string")).alias(
+            "audio_id"
+        )
+    )
+    return wav_features(synthesize_wav(ids))
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -18103,6 +18235,9 @@ def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 56 (image-sitemap seeds + real RIFF/WAV audio)
+    "crawl_sitemap_images",
+    "audio_wav_riff",
     # new in batch 55 (Iceberg v2 merge-on-read deletes)
     "warehouse_position_deletes",
     "warehouse_equality_deletes",

@@ -243,6 +243,62 @@ def sitemap_entries(pages: DataFrame, body_col: str = "body") -> DataFrame:
     )
 
 
+def sitemap_image_entries(pages: DataFrame, body_col: str = "body") -> DataFrame:
+    """pages(..., body: string) → one row per image entry of the Google
+    image-sitemap extension: original columns + (page_loc, img_seq,
+    img_loc, caption).
+
+    [U sitemaps.org protocol + Google image sitemap extension
+    (<image:image> with <image:loc>/<image:caption> nested under <url>)]
+
+    Two-level pure-codegen parse, no UDF:
+      1. split the body into <url> blocks (regexp_extract_all + posexplode);
+      2. per block — in its OWN select, so the extracted attributes feed
+         the next Generate instead of re-evaluating per exploded row (the
+         batch-30 plan lesson) — extract the page <loc>, the
+         <image:loc> array and the <image:caption> array, then zip +
+         posexplode.
+    Captions are XML-unescaped (&lt; &gt; &quot; &apos; first, &amp;
+    LAST — the standard order, so '&amp;lt;' decodes to '&lt;')."""
+    keep = [c for c in pages.columns if c != body_col]
+    blocks = F.regexp_extract_all(
+        F.col(body_col), F.lit("<url>(.*?)</url>"), 1
+    )
+    per_block = pages.select(
+        *keep, F.posexplode(blocks).alias("_bi", "_block")
+    ).select(
+        *keep,
+        F.regexp_extract(F.col("_block"), "<loc>([^<]*)</loc>", 1).alias(
+            "page_loc"
+        ),
+        F.regexp_extract_all(
+            F.col("_block"), F.lit("<image:loc>([^<]*)</image:loc>"), 1
+        ).alias("_ilocs"),
+        F.regexp_extract_all(
+            F.col("_block"),
+            F.lit("<image:caption>([^<]*)</image:caption>"),
+            1,
+        ).alias("_caps"),
+    )
+    cap = F.col("_e").getField("_caps")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST
+    ):
+        cap = F.replace(cap, F.lit(ent), F.lit(ch))
+    return per_block.select(
+        *keep,
+        "page_loc",
+        F.posexplode(F.arrays_zip("_ilocs", "_caps")).alias("_i", "_e"),
+    ).select(
+        *keep,
+        "page_loc",
+        (F.col("_i") + 1).cast("long").alias("img_seq"),
+        F.col("_e").getField("_ilocs").alias("img_loc"),
+        cap.alias("caption"),
+    )
+
+
 # -- Connected components (dedup-cluster resolution) ---------------------------
 
 CC_ITERS = 4  # label-propagation rounds (near-dup clusters are cliquish)

@@ -206,6 +206,44 @@ def expected_audio_features() -> pd.DataFrame:
     ).astype({"rate": "int32", "n_samples": "int32"})
 
 
+def expected_wav_features() -> pd.DataFrame:
+    """Real-RIFF/WAV twin (batch 56): clip content per the documented
+    synthesize_audio law (0.5 s @ 8 kHz sine + noise) regenerated from the
+    spec; features over exact-integer reductions as in
+    expected_audio_features; title per the documented 'clip:<id>' law.
+    The CONTAINER side is pinned separately in tests/test_batch56.py:
+    stdlib `wave` reads the engine's RIFF bytes sample-exact and the
+    engine decodes stdlib-written bytes — so this twin only restates the
+    decoded-content contract, never touching rcspark.wav."""
+    rows = []
+    for k in range(5, MAX_PARTKEY, 20):
+        aid = f"wav{k}"
+        h64 = xxh64(aid.encode())
+        rate, n = 8000, 4000
+        freq = 100.0 + (h64 % 1900)
+        t = np.arange(n) / rate
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        s64 = s.astype(np.int64)
+        ss = int((s64 * s64).sum())
+        rms = float(np.sqrt(ss / n) / 32767.0)
+        neg = s < 0
+        zcr = float(int((neg[1:] != neg[:-1]).sum()) / (n - 1))
+        x = s.astype(np.float64) / 32767.0
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0
+        dom = float(np.argmax(spec) * rate / n)
+        rows.append(
+            (aid, np.int32(rate), np.int32(n), round(n / rate, 6),
+             round(rms, 6), round(zcr, 6), round(dom, 3), f"clip:{aid}"))
+    return pd.DataFrame(
+        rows,
+        columns=["audio_id", "rate", "n_samples", "duration_s", "rms",
+                 "zero_cross_rate", "dominant_hz", "title"],
+    ).astype({"rate": "int32", "n_samples": "int32"})
+
+
 def expected_img_patchify(patch: int = 12) -> pd.DataFrame:
     """Patchify twin: same shared make_image generator; the crop / patch-sum
     reduction is re-implemented via np.add.reduceat block sums (the engine
@@ -1910,6 +1948,7 @@ def main() -> None:
         ("img_bomb", expected_img_bomb),
         ("img_dihedral", expected_img_dihedral),
         ("video_clips", expected_video_clips),
+        ("wav_features", expected_wav_features),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
