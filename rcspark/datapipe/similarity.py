@@ -1312,3 +1312,194 @@ def sql_pq_ctes(iters: int = KMEANS_ITERS, dim: int = 64, sample_mod: int | None
                row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, cell) AS rn
         FROM distF) WHERE rn = 1)""")
     return ",\n    ".join(ctes)
+
+
+# -- NN-descent (graph-refinement ANN) ------------------------------------------
+# [U Dong, Moses & Li 2011 "Efficient K-Nearest Neighbor Graph Construction
+# for Generic Similarity Measures" (WWW'11) — the NN-descent local join:
+# "a neighbor of a neighbor is also likely to be a neighbor"]: start from a
+# RANDOM kNN graph (the paper's B_0; a partitioned seed like within-LSH-
+# bucket top-k can never escape its buckets — neighbors-of-neighbors stay
+# inside, measured in tests/test_batch57.py) and refine it by re-electing
+# each node's top-k from its current neighborhood's forward ∪ reverse
+# neighbors-of-neighbors.  Candidates always include the current graph, so
+# per-node neighborhood quality is MONOTONE non-decreasing round over
+# round; fixed round count + digest-derived seed ⇒ deterministic, so the
+# DuckDB oracle re-derives the identical graph CTE-by-CTE.
+#
+# Scale shape: the dense rank comes from assign_global_seq (range-
+# partitioned, no single-partition window); each round is equi-joins on
+# node id + a groupBy-free top-k window partitioned by the HIGH-CARDINALITY
+# node id.  Candidate growth per round is bounded by 2k + (2k)² per node.
+
+
+def nn_descent(
+    emb: DataFrame,
+    k: int = 5,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, rnk, neighbor_id, cos_sim): the kNN graph after `rounds`
+    NN-descent refinements of a digest-random seed graph."""
+    from pyspark.sql import Window
+
+    from ..schedule import assign_global_seq
+    from .hashing import digest60
+
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    ranked = assign_global_seq(v, ["vec_id"], 0, npartitions=8).select(
+        "vec_id", "_v", F.col("seq").alias("_rk")
+    )
+    n = ranked.groupBy().agg(F.count("*").alias("_n"))
+    seed = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "_rk",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            (
+                digest60(
+                    F.concat(
+                        F.lit("nnd:"),
+                        F.col("_rk").cast("string"),
+                        F.lit(":"),
+                        F.col("_j").cast("string"),
+                    )
+                )
+                % F.col("_n")
+            ).alias("_drk"),
+            F.col("_rk").alias("_srk"),
+        )
+        .filter(F.col("_drk") != F.col("_srk"))
+        .join(
+            ranked.select(F.col("_rk").alias("_drk"), F.col("vec_id").alias("dst")),
+            "_drk",
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    ids = ranked.select("vec_id", "_v")
+    # iterative graph: materialize each round (persist + count), or the
+    # final plan embeds ~4^rounds copies of the seed lineage (the e1/e2
+    # self-join references und twice per round) — the standard iterative-
+    # algorithm checkpoint discipline at any scale
+    g = seed.persist()
+    g.count()
+    for _ in range(rounds):
+        und = g.unionByName(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        nn2 = (
+            und.alias("e1")
+            .join(
+                und.select(
+                    F.col("src").alias("_x"), F.col("dst").alias("dst2")
+                ).alias("e2"),
+                F.col("e1.dst") == F.col("_x"),
+            )
+            .filter(F.col("e1.src") != F.col("dst2"))
+            .select(F.col("e1.src").alias("src"), F.col("dst2").alias("dst"))
+        )
+        cand = und.unionByName(nn2).distinct()
+        scored = (
+            cand.join(
+                ids.select(F.col("vec_id").alias("src"), F.col("_v").alias("_sv")),
+                "src",
+            )
+            .join(
+                ids.select(F.col("vec_id").alias("dst"), F.col("_v").alias("_dv")),
+                "dst",
+            )
+            .select("src", "dst", cosine(F.col("_sv"), F.col("_dv")).alias("cos_sim"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cos_sim").desc(), F.col("dst").asc()
+        )
+        prev = g
+        g = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("src", "dst")
+            .persist()
+        )
+        g.count()
+        prev.unpersist()
+    final = (
+        g.join(
+            ids.select(F.col("vec_id").alias("src"), F.col("_v").alias("_sv")), "src"
+        )
+        .join(ids.select(F.col("vec_id").alias("dst"), F.col("_v").alias("_dv")), "dst")
+        .select("src", "dst", cosine(F.col("_sv"), F.col("_dv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return final.withColumn("_r", F.row_number().over(w)).select(
+        F.col("src").alias("vec_id"),
+        F.col("_r").cast("long").alias("rnk"),
+        F.col("dst").alias("neighbor_id"),
+        "cos_sim",
+    )
+
+
+def sql_nn_descent_ctes(dim: int = 64, k: int = 5, rounds: int = 3) -> str:
+    """DuckDB re-derivation of nn_descent (same rule, unrolled CTEs)."""
+    from .hashing import sql_digest60
+
+    drk = sql_digest60("'nnd:' || CAST(r.rk AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    parts = [
+        f"""
+    ranked AS (SELECT vec_id, embedding,
+                      row_number() OVER (ORDER BY vec_id) - 1 AS rk
+               FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM ranked),
+    g0 AS (
+      SELECT DISTINCT r.vec_id AS src, d.vec_id AS dst
+      FROM ranked r CROSS JOIN nn
+      CROSS JOIN (SELECT unnest(range(0, {k})) AS j)
+      JOIN ranked d ON d.rk = {drk} % nn.n
+      WHERE {drk} % nn.n <> r.rk)"""
+    ]
+    prev = "g0"
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+    und{t} AS (SELECT DISTINCT src, dst FROM
+               (SELECT src, dst FROM {prev}
+                UNION ALL SELECT dst AS src, src AS dst FROM {prev})),
+    cand{t} AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM und{t}
+                 UNION ALL
+                 SELECT e1.src AS src, e2.dst AS dst
+                 FROM und{t} e1 JOIN und{t} e2 ON e1.dst = e2.src
+                 WHERE e1.src <> e2.dst)),
+    sc{t} AS (
+      SELECT c.src, c.dst,
+             {sql_cosine("sv.embedding", "dv.embedding", dim)} AS cos_sim
+      FROM cand{t} c
+      JOIN embeddings sv ON sv.vec_id = c.src
+      JOIN embeddings dv ON dv.vec_id = c.dst),
+    g{t} AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, dst ASC) AS r
+        FROM sc{t}) WHERE r <= {k})"""
+        )
+        prev = f"g{t}"
+    parts.append(
+        f"""
+    refined AS (
+      SELECT src AS vec_id, CAST(r AS BIGINT) AS rnk, dst AS neighbor_id,
+             cos_sim
+      FROM (SELECT g.src, g.dst, sc.cos_sim,
+                   row_number() OVER (PARTITION BY g.src
+                                      ORDER BY sc.cos_sim DESC, g.dst ASC) AS r
+            FROM {prev} g JOIN sc{rounds} sc
+              ON sc.src = g.src AND sc.dst = g.dst)
+      WHERE r <= {k})"""
+    )
+    return ",".join(parts)

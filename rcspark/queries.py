@@ -18219,6 +18219,117 @@ def audio_wav_riff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 57 (round 5): NN-descent graph-refinement ANN + integer readability.
+# =============================================================================
+
+# -- NN-descent -----------------------------------------------------------------
+# [U Dong/Moses/Li WWW'11 NN-descent]: refine a digest-random kNN seed
+# graph by local-join rounds (score each node against its neighborhood's
+# forward ∪ reverse neighbors-of-neighbors, re-elect top-k).  The missing
+# tier between the one-shot blocked searches (emb_ann_lsh / emb_ann_ivf)
+# and brute force: recall improves monotonically round-over-round WITHOUT
+# any index build — the scale path for graph-based ANN (HNSW-family)
+# construction.  Full rule + scale shape + why the seed must be random
+# (a partitioned LSH seed can never escape its buckets):
+# rcspark/datapipe/similarity.py nn_descent; the oracle re-derives the
+# identical refined graph with unrolled CTEs (sql_nn_descent_ctes);
+# monotone recall-vs-bruteforce convergence pinned in tests/test_batch57.py
+# (measured here: seed 0.009 → 0.19 → 0.33 → 0.40 recall@5 over 3 rounds).
+
+
+@register(
+    "emb_nn_descent",
+    oracle=f"""
+    WITH {sim.sql_nn_descent_ctes(dim=_EMB_DIM, k=5, rounds=3)}
+    SELECT vec_id, rnk, neighbor_id, cos_sim FROM refined
+    """,
+)
+def emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three NN-descent refinement rounds over the digest-random seed
+    graph (section comment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.nn_descent(emb, k=5, rounds=3)
+
+
+# -- readability ----------------------------------------------------------------
+# [U Flesch 1948 / Kincaid 1975 readability formulas; used as corpus
+# quality filters alongside the Gopher/C4 bundles]: grade level and
+# reading ease from words-per-sentence and syllables-per-word, with the
+# classic vowel-run syllable heuristic.  All-integer ppm arithmetic
+# (positive-operand DIV only, constants applied last), so both engines
+# agree bit-for-bit — no float division crosses the engine boundary.
+#   fk_grade_ppm = 390000·W DIV S + 11800000·Y DIV W − 15590000
+#   ease_ppm     = 206835000 − 1015000·W DIV S − 84600000·Y DIV W
+#   band: ease ≥ 70M 'easy', ≥ 50M 'standard', else 'difficult'.
+
+
+@register(
+    "doc_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents),
+    g AS (SELECT * FROM f WHERE n_words > 0)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           390000 * n_words // n_sentences + 11800000 * n_syllables // n_words
+             - 15590000 AS fk_grade_ppm,
+           206835000 - 1015000 * n_words // n_sentences
+             - 84600000 * n_syllables // n_words AS ease_ppm,
+           CASE WHEN 206835000 - 1015000 * n_words // n_sentences
+                     - 84600000 * n_syllables // n_words >= 70000000 THEN 'easy'
+                WHEN 206835000 - 1015000 * n_words // n_sentences
+                     - 84600000 * n_syllables // n_words >= 50000000
+                  THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM g
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch/Kincaid readability in exact ppm integers (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    f = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0))).cast("long").alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        ).cast("long").alias("n_sentences"),
+        F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0))).cast("long").alias(
+            "n_syllables"
+        ),
+    ).filter(F.col("n_words") > 0)
+    ease = (
+        F.lit(206835000)
+        - F.expr("1015000 * n_words div n_sentences")
+        - F.expr("84600000 * n_syllables div n_words")
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.expr("390000 * n_words div n_sentences")
+            + F.expr("11800000 * n_syllables div n_words")
+            - F.lit(15590000)
+        ).cast("long").alias("fk_grade_ppm"),
+        ease.cast("long").alias("ease_ppm"),
+        F.when(ease >= 70000000, "easy")
+        .when(ease >= 50000000, "standard")
+        .otherwise("difficult")
+        .alias("band"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -18235,6 +18346,9 @@ def audio_wav_riff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 57 (NN-descent ANN + integer readability)
+    "emb_nn_descent",
+    "doc_readability",
     # new in batch 56 (image-sitemap seeds + real RIFF/WAV audio)
     "crawl_sitemap_images",
     "audio_wav_riff",
