@@ -18330,6 +18330,136 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 58 (round 5): JSON-LD caption mining + pivot/unpivot roundtrip.
+# =============================================================================
+
+# -- schema.org JSON-LD ImageObject extraction ----------------------------------
+# [U schema.org ImageObject; Google structured-data (JSON-LD in
+# <script type="application/ld+json">) practice]: after image-sitemaps
+# (batch 56) and OpenGraph/srcset/alt-text (round 4), the fourth caption
+# source an image+caption crawler mines — structured publisher metadata.
+# Pages carry one LD block (ImageObject with contentUrl/caption/width, or
+# an Organization decoy) plus a non-LD <script> that must NOT match; the
+# caption exercises REAL JSON decoding: an escaped quote (\\") and a
+# unicode escape (\\u00e9).  Spark parses with regexp block extraction +
+# get_json_object; the oracle never parses JSON — it constructs the
+# expected decoded fields arithmetically, so the whole build→embed→
+# extract→unescape pipeline is cross-checked.
+
+
+@register(
+    "crawl_jsonld_captions",
+    oracle="""
+    SELECT 'http://h' || (o_custkey % 10) || '.example/p/' || o_orderkey
+             AS page_url,
+           'http://cdn.example/im/' || o_orderkey || '.jpg' AS img_url,
+           'part "' || o_orderkey || '" étude ' || (o_orderkey % 7)
+             AS caption,
+           CAST(200 + o_orderkey % 800 AS BIGINT) AS w_px
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+)
+def crawl_jsonld_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD ImageObject caption mining (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ld = F.when(
+        k % 3 != 0,
+        F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"ImageObject",'
+                  '"contentUrl":"http://cdn.example/im/'),
+            k.cast("string"),
+            F.lit('.jpg","caption":"part \\"'),
+            k.cast("string"),
+            F.lit('\\" \\u00e9tude '),
+            (k % 7).cast("string"),
+            F.lit('","width":'),
+            (F.lit(200) + k % 800).cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"Organization",'
+                  '"name":"org '),
+            k.cast("string"),
+            F.lit('"}'),
+        )
+    )
+    body = F.concat(
+        F.lit("<html><head><script type=\"text/javascript\">var x=1;"
+              "</script><script type=\"application/ld+json\">"),
+        ld,
+        F.lit("</script></head><body>page</body></html>"),
+    )
+    pages = orders.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 10).cast("string"),
+            F.lit(".example/p/"),
+            k.cast("string"),
+        ).alias("page_url"),
+        body.alias("_body"),
+    )
+    block = F.regexp_extract(
+        F.col("_body"),
+        '<script type="application/ld\\+json">(.*?)</script>',
+        1,
+    )
+    parsed = pages.select(
+        "page_url",
+        F.get_json_object(block, "$.@type").alias("_t"),
+        F.get_json_object(block, "$.contentUrl").alias("img_url"),
+        F.get_json_object(block, "$.caption").alias("caption"),
+        F.get_json_object(block, "$.width").cast("long").alias("w_px"),
+    )
+    return parsed.filter(F.col("_t") == "ImageObject").select(
+        "page_url", "img_url", "caption", "w_px"
+    )
+
+
+# -- UNPIVOT (wide → long) ------------------------------------------------------
+# The inverse of agg_pivot_events closes the reshaping pair in Table B:
+# per-user event counts pivoted wide (one column per event type), then
+# UNPIVOTed back to long with the ids/values/variableColumnName unpivot
+# operator (SQL UNPIVOT / melt), zero cells kept as 0 so the long grid is
+# dense.  The oracle never pivots: it builds the dense user×type grid
+# arithmetically (cross join + left join + coalesce), so the Spark
+# pivot→unpivot roundtrip is checked against first principles.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_unpivot_events",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(['{"','".join(_EVENT_TYPES)}']) AS event_type),
+    c AS (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+def agg_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot roundtrip to a dense long grid (section comment)."""
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="_n",
+    ).select("user_id", "event_type", F.col("_n").cast("long").alias("n_events"))
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -18346,6 +18476,9 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 58 (JSON-LD caption mining + unpivot)
+    "crawl_jsonld_captions",
+    "agg_unpivot_events",
     # new in batch 57 (NN-descent ANN + integer readability)
     "emb_nn_descent",
     "doc_readability",
