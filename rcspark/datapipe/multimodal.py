@@ -1635,6 +1635,60 @@ def wav_features(clips: DataFrame) -> DataFrame:
     return src.mapInPandas(run, WAV_FEATURES_SCHEMA)
 
 
+# -- text-overlay / meme detection (batch 59) ----------------------------------
+# [U LAION-style text-heavy-image filtering practice]: rendered glyph rows
+# produce dense short-run horizontal luma transitions; photographic
+# content does not.  Decode-free over the shared generator
+# (fixtures.make_text_overlay_image): integer luma (77r+150g+29b)>>8, a
+# row is text-like when its count of adjacent-pixel jumps >40 reaches
+# w/8, and the image is gated on the text-row ratio.  The raw per-image
+# counts are re-derived by the independent twin
+# (scripts/gen_media_expected.py expected_img_textdensity, per-row loop +
+# reduceat instead of the vectorized diff); the ppm + gate arithmetic is
+# restated by the oracle in SQL.
+
+TEXT_DENSITY_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("n_text_rows", T.IntegerType(), False),
+        T.StructField("text_ppm", T.LongType(), False),
+        T.StructField("is_text_heavy", T.BooleanType(), False),
+    ]
+)
+
+TEXT_JUMP_THRESH = 40   # luma delta that counts as a glyph-edge transition
+TEXT_ROW_FRAC = 8       # row is text-like when transitions ≥ w / this
+TEXT_HEAVY_PPM = 250_000  # gate: ≥ 25% text-like rows
+
+
+def text_overlay_density(ids: DataFrame, id_col: str = "item_id") -> DataFrame:
+    """(item_id) → per-image text-band statistics + the meme gate."""
+    from ..fixtures import make_text_overlay_image
+
+    src = ids.select(F.col(id_col).cast("string").alias("item_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid in pdf["item_id"]:
+                pix = make_text_overlay_image(iid).astype(np.int64)
+                h, w = pix.shape[:2]
+                luma = (77 * pix[:, :, 0] + 150 * pix[:, :, 1] + 29 * pix[:, :, 2]) >> 8
+                jumps = np.abs(np.diff(luma, axis=1)) > TEXT_JUMP_THRESH
+                text_rows = int((jumps.sum(axis=1) >= w // TEXT_ROW_FRAC).sum())
+                ppm = 1_000_000 * text_rows // h
+                rows.append(
+                    (iid, h, w, text_rows, ppm, ppm >= TEXT_HEAVY_PPM)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TEXT_DENSITY_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, TEXT_DENSITY_SCHEMA)
+
+
 PHASH_MAX_BUCKET = 10_000  # shared with the DuckDB oracle's guard CTE
 
 

@@ -432,3 +432,31 @@ def make_watermarked(image_id: str) -> "np.ndarray":
     color = ((h64 >> 32) & 255, (h64 >> 40) & 255, (h64 >> 48) & 255)
     pix[h - h // 4:, w - w // 4:] = color
     return pix
+
+
+def make_text_overlay_image(item_id: str) -> "np.ndarray":
+    """Shared data GENERATOR (batch 59): 'p:<id>' → the smooth fixture
+    unchanged; 'tx:<id>' → the same base with horizontal TEXT BANDS
+    stamped in: within each band row, short alternating dark/light runs
+    (run length 2 + h64%3 px) — the high-frequency horizontal transition
+    signature of rendered glyph rows that text-overlay/meme detectors key
+    on. Bands cover every other 3-row group in the middle half of the
+    image, so text-like rows are ~25-50% of the height."""
+    kind, _, base_id = item_id.partition(":")
+    if kind not in ("p", "tx"):
+        raise ValueError(f"unknown text-overlay item kind {item_id!r}")
+    pix = make_smooth_image(base_id).copy()
+    if kind == "p":
+        return pix
+    h, w = pix.shape[:2]
+    h64 = xxh64(base_id.encode())
+    run = 2 + h64 % 3
+    y0, y1 = h // 4, 3 * h // 4
+    xs = np.arange(w)
+    for y in range(y0, y1):
+        if ((y - y0) // 3) % 2 == 0:
+            vals = np.where((xs // run) % 2 == 0, 235, 20).astype(np.uint8)
+            pix[y, :, 0] = vals
+            pix[y, :, 1] = vals
+            pix[y, :, 2] = vals
+    return pix

@@ -18460,6 +18460,202 @@ def agg_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 59 (round 5): text-overlay (meme) gate + LLM-watermark detection.
+# =============================================================================
+
+# -- text-overlay / meme gate ---------------------------------------------------
+# Full rule + scale shape: rcspark/datapipe/multimodal.py
+# text_overlay_density (decode-free mapInPandas over the shared
+# generator); twin: scripts/gen_media_expected.py expected_img_textdensity
+# (raw counts, scalar re-implementation).  The oracle re-derives the ppm
+# ratio and the 25% gate in SQL from the twin's raw counts.
+
+
+@register(
+    "img_text_density",
+    oracle=f"""
+    WITH ids AS (
+      SELECT 'p:img' || p_partkey AS item_id FROM part WHERE p_partkey % 10 = 3
+      UNION ALL
+      SELECT 'tx:img' || p_partkey FROM part WHERE p_partkey % 20 = 3),
+    t AS (
+      SELECT e.item_id, e.h, e.w, e.n_text_rows
+      FROM '{_MEDIA_EXPECTED}/img_textdensity.parquet' e JOIN ids USING (item_id))
+    SELECT item_id, h, w, n_text_rows,
+           CAST(1000000 * n_text_rows // h AS BIGINT) AS text_ppm,
+           1000000 * n_text_rows // h >= 250000 AS is_text_heavy
+    FROM t
+    """,
+)
+def img_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-overlay density gate (section comment): plain items plus
+    'tx:' planted glyph-band variants."""
+    from .datapipe.multimodal import text_overlay_density
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    plain = part.filter(k % 10 == 3).select(
+        F.concat(F.lit("p:img"), k.cast("string")).alias("item_id")
+    )
+    planted = part.filter(k % 20 == 3).select(
+        F.concat(F.lit("tx:img"), k.cast("string")).alias("item_id")
+    )
+    return text_overlay_density(plain.unionByName(planted))
+
+
+# -- LLM-watermark detection ----------------------------------------------------
+# [U Kirchenbauer et al. 2023 "A Watermark for Large Language Models"
+# (greenlist bias + z-test detection)]: a watermarking LLM softly boosts a
+# pseudo-random "green" half of the vocabulary, and the detector flags
+# text whose green-token fraction is improbably high — here the z ≥ 4
+# test made EXACT-INTEGER via the identity  z ≥ 4  ⟺  2g > n ∧
+# (2g − n)² ≥ 16n  (z = (g − n/2)/√(n/4)).  Token t is green iff
+# digest60('wmg:'||t) is even — both engines re-derive membership per
+# token inside a higher-order filter, no list materialization.  Planted
+# 'wm:' docs are CONSTRUCTED green-biased from a fixed 32-word vocab
+# (per-position: first green candidate of three digest-picks, the
+# rejection-sampling shape of the watermark sampler, P(green) ≈ 0.94);
+# real documents sit at the null.  Training-data relevance: filtering
+# LLM-generated text out of a crawl corpus before training on it.
+
+_WM_VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "amber", "birch",
+    "cedar", "dune", "ember", "flint",
+]
+_WM_N_TOK = 64
+
+
+def _wm_sql() -> str:
+    v = "['" + "','".join(_WM_VOCAB) + "']"
+
+    def green(e: str) -> str:
+        return "(" + sql_digest60("'wmg:' || " + e) + ") % 2 = 0"
+
+    def w(i: int) -> str:  # candidate word i at position j
+        dig = sql_digest60(f"'wmt{i}:' || doc_id || ':' || CAST(j AS VARCHAR)")
+        return f"{v}[1 + ({dig}) % 32]"
+
+    return f"""
+    wm AS (
+      SELECT 'wm:' || doc_id AS doc_id,
+             array_to_string(list_transform(range(1, {_WM_N_TOK + 1}), j ->
+               CASE WHEN {green(w(1))} THEN {w(1)}
+                    WHEN {green(w(2))} THEN {w(2)}
+                    ELSE {w(3)} END), ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0),
+    corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM wm),
+    tok AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM corpus),
+    cnt AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ts, t -> {green('t')})) AS BIGINT)
+               AS n_green
+      FROM tok)
+    SELECT doc_id, n_tokens, n_green,
+           n_tokens > 0 AND 2 * n_green > n_tokens
+             AND (2 * n_green - n_tokens) * (2 * n_green - n_tokens)
+                 >= 16 * n_tokens AS watermarked
+    FROM cnt
+    """
+
+
+@register(
+    "doc_watermark_detect",
+    oracle=f"WITH {_wm_sql()}",
+)
+def doc_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark z-test (section comment) over real documents
+    plus constructed 'wm:' green-biased plants."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(t) for t in _WM_VOCAB])
+
+    def green(tok):
+        return (
+            digest60(F.concat(F.lit("wmg:"), tok)) % 2 == 0
+        )
+
+    def cand(i):
+        return lambda j: F.element_at(
+            vocab,
+            (
+                digest60(
+                    F.concat(
+                        F.lit(f"wmt{i}:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        j.cast("string"),
+                    )
+                )
+                % 32
+                + 1
+            ).cast("int"),
+        )
+
+    # decomposed into single-expression HOF projections: a when-chain with
+    # three distinct digest expressions inside ONE transform lambda
+    # miscompiles (measured: elements ≥48 come back outside the candidate
+    # set — the subexpression-elimination hazard class from the HOF
+    # gotchas); each step below is a verified-good shape
+    seq = F.sequence(F.lit(1), F.lit(_WM_N_TOK))
+    staged = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        *[
+            F.transform(seq, cand(i)).alias(f"_w{i}")
+            for i in (1, 2, 3)
+        ],
+    ).select(
+        "doc_id",
+        "_w1",
+        "_w2",
+        "_w3",
+        F.transform(F.col("_w1"), green).alias("_g1"),
+        F.transform(F.col("_w2"), green).alias("_g2"),
+    )
+    pick = lambda j: (  # noqa: E731 — element_at-only when-chain
+        F.when(F.element_at("_g1", j), F.element_at("_w1", j))
+        .when(F.element_at("_g2", j), F.element_at("_w2", j))
+        .otherwise(F.element_at("_w3", j))
+    )
+    wm = staged.select(
+        F.concat(F.lit("wm:"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array_join(F.transform(seq, pick), " ").alias("text"),
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).unionByName(wm)
+    toks = corpus.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)).alias(
+            "_ts"
+        ),
+    )
+    cnt = toks.select(
+        "doc_id",
+        F.size("_ts").cast("long").alias("n_tokens"),
+        F.size(F.filter("_ts", green)).cast("long").alias("n_green"),
+    )
+    d = F.lit(2) * F.col("n_green") - F.col("n_tokens")
+    return cnt.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        (
+            (F.col("n_tokens") > 0)
+            & (d > 0)
+            & (d * d >= F.lit(16) * F.col("n_tokens"))
+        ).alias("watermarked"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per

@@ -244,6 +244,42 @@ def expected_wav_features() -> pd.DataFrame:
     ).astype({"rate": "int32", "n_samples": "int32"})
 
 
+def expected_img_textdensity() -> pd.DataFrame:
+    """Text-overlay twin (batch 59): shared make_text_overlay_image
+    generator; the transition counting re-implemented row-by-row with
+    scalar int arithmetic (documented luma formula (77r+150g+29b)>>8,
+    jump >40, text row at >= w//8 transitions) instead of the engine's
+    vectorized diff. Emits RAW counts only — ppm + gate arithmetic is the
+    oracle SQL's job."""
+    from rcspark.fixtures import make_text_overlay_image
+
+    rows = []
+    for k in range(3, MAX_PARTKEY, 10):
+        item_ids = [f"p:img{k}"]
+        if k % 20 == 3:
+            item_ids.append(f"tx:img{k}")
+        for iid in item_ids:
+            pix = make_text_overlay_image(iid)
+            h, w = pix.shape[:2]
+            n_text = 0
+            for y in range(h):
+                prev = None
+                trans = 0
+                for x in range(w):
+                    r, g, b = (int(pix[y, x, 0]), int(pix[y, x, 1]),
+                               int(pix[y, x, 2]))
+                    lum = (77 * r + 150 * g + 29 * b) >> 8
+                    if prev is not None and abs(lum - prev) > 40:
+                        trans += 1
+                    prev = lum
+                if trans >= w // 8:
+                    n_text += 1
+            rows.append((iid, np.int32(h), np.int32(w), np.int32(n_text)))
+    return pd.DataFrame(
+        rows, columns=["item_id", "h", "w", "n_text_rows"]
+    ).astype({"h": "int32", "w": "int32", "n_text_rows": "int32"})
+
+
 def expected_img_patchify(patch: int = 12) -> pd.DataFrame:
     """Patchify twin: same shared make_image generator; the crop / patch-sum
     reduction is re-implemented via np.add.reduceat block sums (the engine
@@ -1949,6 +1985,7 @@ def main() -> None:
         ("img_dihedral", expected_img_dihedral),
         ("video_clips", expected_video_clips),
         ("wav_features", expected_wav_features),
+        ("img_textdensity", expected_img_textdensity),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
