@@ -18656,6 +18656,225 @@ def doc_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 60 (round 5): KMV sketch set operations + pair-corpus dataset card.
+# =============================================================================
+
+# -- KMV (k-minimum-values) sketch set ops --------------------------------------
+# [U Bar-Yossef et al. 2002 (KMV/bottom-k distinct sketch); Beyer et al.
+# SIGMOD'07 (KMV set operations)]: the third mergeable sketch family
+# beside CMS/HLL/histogram — and the one that supports SET OPERATIONS
+# exactly: union(KMV_A, KMV_B) = bottom-k of the merged value sets, and
+# Jaccard is estimated by the fraction of the union sketch present in
+# both sides — no inclusion-exclusion error stacking (HLL's weakness).
+# Estimator (integer): est = (k−1)·2⁶⁰ // kth_min, exact fallback when a
+# set is smaller than k.  Scale shape: the bottom-k is taken WITHOUT a
+# global sort — digests are uniform in [0, 2⁶⁰), so filtering below
+# T = 2⁶⁰·k·SAFETY/n (n from a broadcast one-row count) keeps ~k·SAFETY
+# rows per set and the per-set array fold is bounded; the same threshold
+# rule is restated in SQL so both engines select identical survivor sets.
+
+_KMV_K = 128
+_KMV_SAFETY = 8
+_KMV_RANGE = 1 << 60
+
+
+@register(
+    "agg_kmv_setops",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT (o_orderkey % 2 = 0) AS in_a,
+             'c' || o_custkey AS element
+      FROM orders),
+    d AS (SELECT in_a, element,
+                 {sql_digest60("'kmv:' || element")} AS dg
+          FROM e),
+    n AS (SELECT in_a, count(*) AS n_exact FROM d GROUP BY 1),
+    kept AS (
+      -- threshold rule in overflow-safe form: dg/(k·safety) < range/n
+      SELECT d.in_a, d.dg FROM d JOIN n USING (in_a)
+      WHERE d.dg // {_KMV_K * _KMV_SAFETY} < {_KMV_RANGE} // n.n_exact),
+    sk AS (
+      SELECT in_a, (list_sort(list(dg)))[1:{_KMV_K}] AS arr
+      FROM kept GROUP BY 1),
+    two AS (
+      SELECT a.arr AS arr_a, b.arr AS arr_b,
+             na.n_exact AS exact_a, nb.n_exact AS exact_b
+      FROM sk a, sk b, n na, n nb
+      WHERE a.in_a AND NOT b.in_a AND na.in_a AND NOT nb.in_a),
+    u AS (
+      SELECT *, (list_sort(list_distinct(arr_a || arr_b)))[1:{_KMV_K}] AS arr_u
+      FROM two),
+    s AS (
+      SELECT exact_a, exact_b, arr_a, arr_b, arr_u,
+             len(arr_a) AS ka, len(arr_b) AS kb, len(arr_u) AS ku,
+             len(list_filter(arr_u, x ->
+                 list_contains(arr_a, x) AND list_contains(arr_b, x)))
+               AS n_common
+      FROM u),
+    est AS (
+      -- estimator in 2^30 units so (k−1)·2^30 fits int64 comfortably:
+      -- est = (k−1)·2^30 // (kth_min // 2^30); exact fallback below k
+      SELECT exact_a, exact_b, ka, kb, ku, n_common,
+             CASE WHEN ka < {_KMV_K} THEN ka
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * 1073741824
+                       // greatest(arr_a[{_KMV_K}] // 1073741824, 1) END
+               AS est_a,
+             CASE WHEN kb < {_KMV_K} THEN kb
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * 1073741824
+                       // greatest(arr_b[{_KMV_K}] // 1073741824, 1) END
+               AS est_b,
+             CASE WHEN ku < {_KMV_K} THEN ku
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * 1073741824
+                       // greatest(arr_u[{_KMV_K}] // 1073741824, 1) END
+               AS est_union
+      FROM s)
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(est_a AS BIGINT) AS est_a,
+           CAST(est_b AS BIGINT) AS est_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(1000000 * n_common // ku AS BIGINT) AS jaccard_est_ppm
+    FROM est
+    """,
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches of two overlapping customer-URL sets + union/Jaccard
+    estimation (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    e = orders.select(
+        (F.col("o_orderkey") % 2 == 0).alias("in_a"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "element"
+        ),
+    ).distinct()
+    d = e.select(
+        "in_a", digest60(F.concat(F.lit("kmv:"), F.col("element"))).alias("dg")
+    )
+    n = d.groupBy("in_a").agg(F.count("*").alias("n_exact"))
+    kept = d.join(F.broadcast(n), "in_a").filter(
+        F.expr(f"dg div {_KMV_K * _KMV_SAFETY}")
+        < F.expr(f"{_KMV_RANGE} div n_exact")
+    )
+    sk = kept.groupBy("in_a").agg(
+        F.slice(F.array_sort(F.collect_list("dg")), 1, _KMV_K).alias("arr")
+    )
+    a = sk.filter(F.col("in_a")).select(F.col("arr").alias("arr_a"))
+    b = sk.filter(~F.col("in_a")).select(F.col("arr").alias("arr_b"))
+    na = n.filter(F.col("in_a")).select(F.col("n_exact").alias("exact_a"))
+    nb = n.filter(~F.col("in_a")).select(F.col("n_exact").alias("exact_b"))
+    two = a.crossJoin(b).crossJoin(na).crossJoin(nb)
+    u = two.withColumn(
+        "arr_u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("arr_a", "arr_b"))),
+            1,
+            _KMV_K,
+        ),
+    )
+    s = (
+        u.withColumn("ka", F.size("arr_a"))
+        .withColumn("kb", F.size("arr_b"))
+        .withColumn("ku", F.size("arr_u"))
+        .withColumn(
+            "n_common",
+            F.size(
+                F.filter(
+                    "arr_u",
+                    lambda x: F.array_contains("arr_a", x)
+                    & F.array_contains("arr_b", x),
+                )
+            ),
+        )
+    )
+
+    def est(arr, kcol):
+        kth30 = f"greatest(element_at({arr}, {_KMV_K}) div 1073741824, 1)"
+        return F.when(F.col(kcol) < _KMV_K, F.col(kcol).cast("long")).otherwise(
+            F.expr(f"CAST({(_KMV_K - 1) * 1073741824} div {kth30} AS BIGINT)")
+        )
+
+    return s.select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        est("arr_a", "ka").alias("est_a"),
+        est("arr_b", "kb").alias("est_b"),
+        est("arr_u", "ku").alias("est_union"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr(f"CAST(1000000 * n_common div ku AS BIGINT)").alias(
+            "jaccard_est_ppm"
+        ),
+    )
+
+
+# -- pair-corpus dataset card ---------------------------------------------------
+# [U LAION release stats; datasheets-for-datasets practice]: the one-row
+# release header for the image+caption PAIR corpus — the pair-plane
+# sibling of doc_dataset_card, aggregated from the SAME manifest rule the
+# capstone (img_pair_manifest / stream_pair_manifest) emits: totals,
+# keep rate, per-gate rejection counts (auditable, they partition the
+# rejects), placement spread, caption-length stats over kept pairs in
+# exact ppm.  One aggregation over the manifest plan — no new shuffles.
+
+
+@register(
+    "img_pair_dataset_card",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+           CAST(1000000 * count(*) FILTER (WHERE keep) // count(*) AS BIGINT)
+             AS keep_ppm,
+           CAST(count(*) FILTER (WHERE reason = 'caption_blocked') AS BIGINT)
+             AS n_caption_blocked,
+           CAST(count(*) FILTER (WHERE reason = 'caption_len') AS BIGINT)
+             AS n_caption_len,
+           CAST(count(*) FILTER (WHERE reason = 'dims') AS BIGINT) AS n_dims,
+           CAST(count(*) FILTER (WHERE reason = 'color_cast') AS BIGINT)
+             AS n_color_cast,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+           CAST(min(n_cap_tokens) FILTER (WHERE keep) AS BIGINT) AS cap_tok_min,
+           CAST(max(n_cap_tokens) FILTER (WHERE keep) AS BIGINT) AS cap_tok_max,
+           CAST(1000000 * sum(n_cap_tokens) FILTER (WHERE keep)
+                // count(*) FILTER (WHERE keep) AS BIGINT) AS cap_tok_mean_ppm
+    FROM ({_PAIR_MANIFEST_ORACLE}) m
+    """,
+)
+def img_pair_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pair-corpus release card aggregated from the manifest
+    (section comment)."""
+    m = img_pair_manifest(spark, sf_dir)
+    keep = F.col("keep")
+    reason = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, 1).otherwise(0)
+    ).cast("long")
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(keep.cast("long")).cast("long").alias("n_keep"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) "
+            "div count(1) AS BIGINT)"
+        ).alias("keep_ppm"),
+        reason("caption_blocked").alias("n_caption_blocked"),
+        reason("caption_len").alias("n_caption_len"),
+        reason("dims").alias("n_dims"),
+        reason("color_cast").alias("n_color_cast"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        F.min(F.when(keep, F.col("n_cap_tokens"))).cast("long").alias(
+            "cap_tok_min"
+        ),
+        F.max(F.when(keep, F.col("n_cap_tokens"))).cast("long").alias(
+            "cap_tok_max"
+        ),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN keep THEN n_cap_tokens END) "
+            "div sum(CASE WHEN keep THEN 1 END) AS BIGINT)"
+        ).alias("cap_tok_mean_ppm"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -18672,6 +18891,9 @@ def doc_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 60 (KMV set-op sketches + pair dataset card)
+    "agg_kmv_setops",
+    "img_pair_dataset_card",
     # new in batch 58 (JSON-LD caption mining + unpivot)
     "crawl_jsonld_captions",
     "agg_unpivot_events",
