@@ -18875,6 +18875,201 @@ def img_pair_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 61 (round 5): retry backoff w/ decorrelated jitter + SFT formatting.
+# =============================================================================
+
+# -- exponential backoff with decorrelated jitter -------------------------------
+# [U AWS Architecture Blog "Exponential Backoff And Jitter" (full-jitter);
+# Scrapy RetryMiddleware leaves timing to the reactor — a DISTRIBUTED
+# retrier must schedule explicitly]: at 1000 executors a deterministic
+# 2^n backoff resynchronizes every failed fetch of an outage into
+# thundering-herd retry waves; per-request digest jitter over the full
+# backoff window decorrelates them.  backoff_ms = base·2^retry + jitter,
+# jitter = digest60(event:attempt) % (base·2^retry) — deterministic,
+# replay-stable, and restated exactly by the oracle.  Only 'retry'
+# verdict rows (the crawl_retry_policy rule) get a schedule.
+
+
+@register(
+    "crawl_retry_backoff",
+    oracle=f"""
+    WITH s AS ({_STATUS_SQL}),
+    r AS (
+      SELECT event_id, status, retry_count
+      FROM s
+      WHERE status IN (500,502,503,504,522,524,408,429)
+        AND retry_count < {C.RETRY_TIMES}),
+    b AS (
+      SELECT event_id, CAST(status AS BIGINT) AS status,
+             CAST(retry_count AS BIGINT) AS retry_count,
+             1000 * (1 << retry_count) AS base_ms
+      FROM r)
+    SELECT event_id, status, retry_count,
+           CAST(base_ms AS BIGINT) AS base_ms,
+           CAST({sql_digest60("'rj:' || CAST(event_id AS VARCHAR) || ':' || CAST(retry_count + 1 AS VARCHAR)")}
+                % base_ms AS BIGINT) AS jitter_ms,
+           CAST(base_ms + {sql_digest60("'rj:' || CAST(event_id AS VARCHAR) || ':' || CAST(retry_count + 1 AS VARCHAR)")}
+                % base_ms AS BIGINT) AS backoff_ms
+    FROM b
+    """,
+)
+def crawl_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated-jitter retry scheduling (section comment)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 301)
+        .when(F.col("event_type") == "error", 503)
+        .when(F.col("event_type") == "signup", 404)
+        .otherwise(200)
+        .alias("status"),
+        (F.col("event_id") % 4).cast("int").alias("retry_count"),
+    )
+    r = s.filter(
+        F.col("status").isin(500, 502, 503, 504, 522, 524, 408, 429)
+        & (F.col("retry_count") < C.RETRY_TIMES)
+    )
+    base = F.expr("CAST(1000 * shiftleft(1, retry_count) AS BIGINT)")
+    jit = digest60(
+        F.concat(
+            F.lit("rj:"),
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            (F.col("retry_count") + 1).cast("string"),
+        )
+    ) % base
+    return r.select(
+        "event_id",
+        F.col("status").cast("long").alias("status"),
+        F.col("retry_count").cast("long").alias("retry_count"),
+        base.alias("base_ms"),
+        jit.alias("jitter_ms"),
+        (base + jit).alias("backoff_ms"),
+    )
+
+
+# -- SFT instruction formatting with loss-mask spans ----------------------------
+# [U chat-template practice (HF apply_chat_template); SFT loss masking —
+# the response span trains, the prompt span does not]: the formatting
+# operator between a curated corpus and supervised fine-tuning.  Each
+# document splits at its first sentence boundary into (prompt, response);
+# docs without a usable split are flagged and carry no spans.  The
+# formatted string is deterministic, so its digest60 plus the 1-based
+# mask_start / mask_len char span pin the whole serialization — both
+# engines compute the span ARITHMETICALLY (template prefix lengths), so a
+# drifting template breaks the hash loudly.
+
+_SFT_SYS = "<|system|>You are helpful.<|user|>"
+_SFT_ASST = "<|assistant|>"
+_SFT_END = "<|end|>"
+
+
+@register(
+    "doc_instruction_format",
+    oracle=f"""
+    WITH corpus AS (
+      -- the testdata corpus is punctuation-free word soup (measured), so
+      -- real docs all exercise the no-split flag; 'sft:' plants carry a
+      -- constructed first-sentence boundary and exercise the split+mask
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT 'sft:' || doc_id,
+             'Explain entry ' || doc_id || '. ' || substr(text, 1, 80)
+      FROM documents WHERE doc_id % 4 = 0),
+    p AS (
+      SELECT doc_id, text,
+             least(
+               CASE WHEN strpos(text, '.') > 0 THEN strpos(text, '.')
+                    ELSE 2147483647 END,
+               CASE WHEN strpos(text, '!') > 0 THEN strpos(text, '!')
+                    ELSE 2147483647 END,
+               CASE WHEN strpos(text, '?') > 0 THEN strpos(text, '?')
+                    ELSE 2147483647 END) AS cut
+      FROM corpus),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN cut < 2147483647 THEN substr(text, 1, cut) END
+               AS prompt,
+             CASE WHEN cut < 2147483647
+                  THEN ltrim(substr(text, cut + 1), ' ') END AS response
+      FROM p),
+    v AS (
+      SELECT doc_id, prompt, response,
+             prompt IS NOT NULL AND len(response) > 0 AS ok
+      FROM q)
+    SELECT doc_id, ok,
+           CASE WHEN ok THEN CAST(len(prompt) AS BIGINT) END AS prompt_len,
+           CASE WHEN ok THEN CAST(len(response) AS BIGINT) END AS mask_len,
+           CASE WHEN ok THEN CAST({len(_SFT_SYS)} + len(prompt)
+                + {len(_SFT_ASST)} + 1 AS BIGINT) END AS mask_start,
+           CASE WHEN ok THEN
+             {sql_digest60("'" + _SFT_SYS + "' || prompt || '" + _SFT_ASST + "' || response || '" + _SFT_END + "'")}
+           END AS fmt_digest
+    FROM v
+    """,
+)
+def doc_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template SFT formatting + loss-mask span (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    BIG = 2147483647
+    plants = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("sft:"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(
+            F.lit("Explain entry "),
+            F.col("doc_id").cast("string"),
+            F.lit(". "),
+            F.substring(F.col("text"), 1, 80),
+        ).alias("text"),
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).unionByName(plants)
+
+    def pos(ch):
+        p = F.instr(F.col("text"), ch)
+        return F.when(p > 0, p).otherwise(F.lit(BIG))
+
+    p = corpus.select(
+        "doc_id", "text", F.least(pos("."), pos("!"), pos("?")).alias("cut")
+    )
+    q = p.select(
+        "doc_id",
+        F.when(
+            F.col("cut") < BIG, F.expr("substr(text, 1, cut)")
+        ).alias("prompt"),
+        F.when(
+            F.col("cut") < BIG,
+            F.ltrim(F.expr("substr(text, cut + 1)")),
+        ).alias("response"),
+    )
+    ok = F.col("prompt").isNotNull() & (F.length("response") > 0)
+    fmt = F.concat(
+        F.lit(_SFT_SYS),
+        F.col("prompt"),
+        F.lit(_SFT_ASST),
+        F.col("response"),
+        F.lit(_SFT_END),
+    )
+    return q.select(
+        "doc_id",
+        ok.alias("ok"),
+        F.when(ok, F.length("prompt").cast("long")).alias("prompt_len"),
+        F.when(ok, F.length("response").cast("long")).alias("mask_len"),
+        F.when(
+            ok,
+            (
+                F.lit(len(_SFT_SYS))
+                + F.length("prompt")
+                + F.lit(len(_SFT_ASST))
+                + F.lit(1)
+            ).cast("long"),
+        ).alias("mask_start"),
+        F.when(ok, digest60(fmt)).alias("fmt_digest"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -18891,6 +19086,9 @@ def img_pair_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 61 (retry jitter + SFT formatting)
+    "crawl_retry_backoff",
+    "doc_instruction_format",
     # new in batch 60 (KMV set-op sketches + pair dataset card)
     "agg_kmv_setops",
     "img_pair_dataset_card",
