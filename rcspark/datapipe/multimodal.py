@@ -1635,6 +1635,115 @@ def wav_features(clips: DataFrame) -> DataFrame:
     return src.mapInPandas(run, WAV_FEATURES_SCHEMA)
 
 
+# -- exact-integer bicubic resize (batch 62) -----------------------------------
+# [U Catmull-Rom spline resampling (Keys 1981, a=−0.5) — what PIL
+# Image.BICUBIC / OpenCV INTER_CUBIC implement in float]: here in EXACT
+# fixed-point so both the engine and the scalar twin produce bit-identical
+# pixels.  With source fraction f ∈ [0,256) the four tap weights scaled by
+# 2²⁵ are integer polynomials in f:
+#     w₋₁ = −f³ +  512f² − 65536f
+#     w₀  =  3f³ − 1280f² + 33554432
+#     w₁  = −3f³ + 1024f² + 65536f
+#     w₂  =   f³ −  256f²
+# whose SUM is exactly 2²⁵ for every f (the f³/f²/f coefficients cancel) —
+# no normalization, no drift.  Separable: the horizontal pass keeps raw
+# Σw·p accumulators (≤2²⁵·255·2 per tap group), the vertical pass stacks a
+# second 2²⁵ factor (≤~2⁵⁹, safely int64), and ONE half-up rounding shift
+# (+2⁴⁹ ≫ 50) lands the final pixel.  Half-pixel centers, edge clamp.
+# Thumbs upgrade path: IMAGES_THUMBS uses integer block-mean (exact for
+# integer ratios); this is the quality kernel for arbitrary ratios.
+
+_BICUBIC_SHIFT = 25
+
+
+def _cubic_weights_256(frac: np.ndarray) -> np.ndarray:
+    """(n,) frac in [0,256) → (n, 4) int64 weights scaled by 2^25."""
+    f = frac.astype(np.int64)
+    f2 = f * f
+    f3 = f2 * f
+    return np.stack(
+        [
+            -f3 + 512 * f2 - 65536 * f,
+            3 * f3 - 1280 * f2 + 33554432,
+            -3 * f3 + 1024 * f2 + 65536 * f,
+            f3 - 256 * f2,
+        ],
+        axis=1,
+    )
+
+
+def _axis_taps(n_in: int, n_out: int) -> tuple[np.ndarray, np.ndarray]:
+    """Half-pixel source mapping → ((n_out, 4) clamped indices,
+    (n_out, 4) int64 weights)."""
+    xo = np.arange(n_out, dtype=np.int64)
+    x256 = ((2 * xo + 1) * n_in * 128) // n_out - 128
+    base = x256 >> 8
+    frac = x256 & 255
+    idx = base[:, None] + np.arange(-1, 3, dtype=np.int64)[None, :]
+    np.clip(idx, 0, n_in - 1, out=idx)
+    return idx, _cubic_weights_256(frac)
+
+
+def bicubic_resize(pix: np.ndarray, w_out: int, h_out: int) -> np.ndarray:
+    """uint8 (h, w, 3) → uint8 (h_out, w_out, 3), exact-integer separable
+    Catmull-Rom (module-section spec)."""
+    h, w = pix.shape[:2]
+    xi, xw = _axis_taps(w, w_out)
+    yi, yw = _axis_taps(h, h_out)
+    p = pix.astype(np.int64)
+    # horizontal: (h, w_out, 3) raw accumulators (scale 2^25)
+    gathered = p[:, xi, :]                       # (h, w_out, 4, 3)
+    hacc = (gathered * xw[None, :, :, None]).sum(axis=2)   # (h, w_out, 3)
+    gathered_v = hacc[yi, :, :]                  # (h_out, 4, w_out, 3)
+    acc = (gathered_v * yw[:, :, None, None]).sum(axis=1)  # (h_out, w_out, 3)
+    out = (acc + (1 << 49)) >> 50
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+BICUBIC_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w_in", T.IntegerType(), False),
+        T.StructField("h_in", T.IntegerType(), False),
+        T.StructField("w_out", T.IntegerType(), False),
+        T.StructField("h_out", T.IntegerType(), False),
+        T.StructField("px_digest", T.LongType(), False),
+        T.StructField("c_r", T.IntegerType(), False),
+        T.StructField("c_g", T.IntegerType(), False),
+        T.StructField("c_b", T.IntegerType(), False),
+    ]
+)
+
+
+def bicubic_half_features(ids: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Resize the smooth fixture to half dims with the exact-integer
+    bicubic kernel; emit dims + pixel digest + center pixel."""
+    from ..fixtures import make_smooth_image
+    from .hashing import digest60_py
+
+    src = ids.select(F.col(id_col).cast("string").alias("image_id"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid in pdf["image_id"]:
+                pix = make_smooth_image(iid)
+                h, w = pix.shape[:2]
+                wo, ho = w // 2, h // 2
+                out = bicubic_resize(pix, wo, ho)
+                c = out[ho // 2, wo // 2]
+                rows.append(
+                    (iid, w, h, wo, ho,
+                     digest60_py(out.tobytes().hex()),
+                     int(c[0]), int(c[1]), int(c[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BICUBIC_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, BICUBIC_SCHEMA)
+
+
 # -- text-overlay / meme detection (batch 59) ----------------------------------
 # [U LAION-style text-heavy-image filtering practice]: rendered glyph rows
 # produce dense short-run horizontal luma transitions; photographic

@@ -19070,6 +19070,117 @@ def doc_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 62 (round 5): incremental sitemap recrawl + integer bicubic resize.
+# =============================================================================
+
+# -- sitemap lastmod delta ------------------------------------------------------
+# [U sitemaps.org <lastmod>; incremental recrawl practice]: the efficient
+# revisit path a sitemap-publishing site enables — seed ONLY URLs whose
+# declared lastmod is newer than the URL's last successful fetch.  The
+# parse half reuses relational.sitemap_entries (crawl_sitemap_extract);
+# this operator is the WATERMARK JOIN on top: sitemap entries LEFT-join
+# the crawl history (url → last_fetch date), verdict new | changed |
+# unchanged, and only new|changed rows carry a seed priority (changed
+# outranks new — freshness beats discovery in a recrawl wave).  Dates
+# stay strings (yyyy-MM-dd renders identically in both engines; string
+# compare == date compare for ISO dates).
+
+
+@register(
+    "crawl_sitemap_lastmod_delta",
+    oracle="""
+    WITH sm AS (
+      SELECT 'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey AS loc,
+             strftime(o_orderdate, '%Y-%m-%d') AS lastmod
+      FROM orders),
+    hist AS (
+      SELECT 'http://h' || (o_custkey % 20) || '.example/o/' || o_orderkey AS loc,
+             strftime(o_orderdate + INTERVAL (o_orderkey % 3 - 1) DAY,
+                      '%Y-%m-%d') AS last_fetch
+      FROM orders WHERE o_orderkey % 4 <> 0),
+    j AS (
+      SELECT sm.loc, sm.lastmod, hist.last_fetch,
+             CASE WHEN hist.last_fetch IS NULL THEN 'new'
+                  WHEN sm.lastmod > hist.last_fetch THEN 'changed'
+                  ELSE 'unchanged' END AS verdict
+      FROM sm LEFT JOIN hist USING (loc))
+    SELECT loc, lastmod, last_fetch, verdict,
+           CASE verdict WHEN 'changed' THEN CAST(2 AS BIGINT)
+                        WHEN 'new' THEN CAST(1 AS BIGINT) END AS seed_priority
+    FROM j
+    """,
+)
+def crawl_sitemap_lastmod_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-gated sitemap reseeding (section comment): crawl history
+    shifts lastmod by −1/0/+1 days, so all three verdicts occur; every
+    4th URL is absent from history ('new')."""
+    orders = load(spark, sf_dir, "orders")
+    loc = F.concat(
+        F.lit("http://h"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    sm = orders.select(
+        loc.alias("loc"), F.date_format("o_orderdate", "yyyy-MM-dd").alias("lastmod")
+    )
+    hist = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        loc.alias("loc"),
+        F.date_format(
+            F.date_add(F.col("o_orderdate"), (F.col("o_orderkey") % 3 - 1).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("last_fetch"),
+    )
+    j = sm.join(hist, "loc", "left")
+    verdict = (
+        F.when(F.col("last_fetch").isNull(), "new")
+        .when(F.col("lastmod") > F.col("last_fetch"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        "loc",
+        "lastmod",
+        "last_fetch",
+        verdict.alias("verdict"),
+        F.when(verdict == "changed", F.lit(2).cast("long"))
+        .when(verdict == "new", F.lit(1).cast("long"))
+        .alias("seed_priority"),
+    )
+
+
+# -- exact-integer bicubic resize -----------------------------------------------
+# Full kernel spec + fixed-point derivation (weights sum to exactly 2²⁵):
+# rcspark/datapipe/multimodal.py bicubic section.  The quality-resampling
+# upgrade over IMAGES_THUMBS' integer block-mean; twin =
+# scripts/gen_media_expected.py expected_img_bicubic (scalar per-pixel
+# loops over the same documented polynomials, bit-identical required).
+
+
+@register(
+    "img_bicubic_resize",
+    oracle=f"""
+    SELECT e.image_id, e.w_in, e.h_in, e.w_out, e.h_out, e.px_digest,
+           e.c_r, e.c_g, e.c_b
+    FROM '{_MEDIA_EXPECTED}/img_bicubic.parquet' e
+    JOIN (SELECT 'img' || p_partkey AS image_id FROM part
+          WHERE p_partkey % 10 = 7) i USING (image_id)
+    """,
+)
+def img_bicubic_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-dimension bicubic resize with the exact-integer Catmull-Rom
+    kernel (section comment)."""
+    from .datapipe.multimodal import bicubic_half_features
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 10 == 7).select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias(
+            "image_id"
+        )
+    )
+    return bicubic_half_features(ids)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19086,6 +19197,9 @@ def doc_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 62 (incremental sitemap recrawl + bicubic resize)
+    "crawl_sitemap_lastmod_delta",
+    "img_bicubic_resize",
     # new in batch 61 (retry jitter + SFT formatting)
     "crawl_retry_backoff",
     "doc_instruction_format",

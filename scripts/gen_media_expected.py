@@ -280,6 +280,66 @@ def expected_img_textdensity() -> pd.DataFrame:
     ).astype({"h": "int32", "w": "int32", "n_text_rows": "int32"})
 
 
+def expected_img_bicubic() -> pd.DataFrame:
+    """Exact-integer bicubic twin (batch 62): shared make_smooth_image
+    generator; the Catmull-Rom fixed-point kernel re-implemented with
+    SCALAR per-pixel loops straight from the documented weight
+    polynomials (multimodal.py module-section spec) — no einsum/gather.
+    Must be bit-identical to the engine (single +2^49 >> 50 rounding)."""
+    from rcspark.datapipe.hashing import digest60_py
+    from rcspark.fixtures import make_smooth_image
+
+    def wts(f):
+        f2, f3 = f * f, f * f * f
+        return (
+            -f3 + 512 * f2 - 65536 * f,
+            3 * f3 - 1280 * f2 + 33554432,
+            -3 * f3 + 1024 * f2 + 65536 * f,
+            f3 - 256 * f2,
+        )
+
+    def taps(n_in, n_out, o):
+        x256 = ((2 * o + 1) * n_in * 128) // n_out - 128
+        base, frac = x256 >> 8, x256 & 255
+        idx = [min(max(base + d, 0), n_in - 1) for d in (-1, 0, 1, 2)]
+        return idx, wts(frac)
+
+    rows = []
+    for k in range(7, MAX_PARTKEY, 10):
+        iid = f"img{k}"
+        pix = make_smooth_image(iid).astype(int)
+        h, w = pix.shape[:2]
+        wo, ho = w // 2, h // 2
+        out = np.zeros((ho, wo, 3), dtype=np.uint8)
+        xtaps = [taps(w, wo, xo) for xo in range(wo)]
+        ytaps = [taps(h, ho, yo) for yo in range(ho)]
+        for yo in range(ho):
+            yi, yw = ytaps[yo]
+            for xo in range(wo):
+                xi, xw = xtaps[xo]
+                for c in range(3):
+                    acc = 0
+                    for ky in range(4):
+                        hacc = 0
+                        for kx in range(4):
+                            hacc += xw[kx] * int(pix[yi[ky], xi[kx], c])
+                        acc += yw[ky] * hacc
+                    v = (acc + (1 << 49)) >> 50
+                    out[yo, xo, c] = min(max(v, 0), 255)
+        cpx = out[ho // 2, wo // 2]
+        rows.append(
+            (iid, np.int32(w), np.int32(h), np.int32(wo), np.int32(ho),
+             digest60_py(out.tobytes().hex()),
+             np.int32(cpx[0]), np.int32(cpx[1]), np.int32(cpx[2]))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "w_in", "h_in", "w_out", "h_out", "px_digest",
+                 "c_r", "c_g", "c_b"],
+    ).astype({c: "int32" for c in ["w_in", "h_in", "w_out", "h_out",
+                                   "c_r", "c_g", "c_b"]})
+
+
 def expected_img_patchify(patch: int = 12) -> pd.DataFrame:
     """Patchify twin: same shared make_image generator; the crop / patch-sum
     reduction is re-implemented via np.add.reduceat block sums (the engine
@@ -1986,6 +2046,7 @@ def main() -> None:
         ("video_clips", expected_video_clips),
         ("wav_features", expected_wav_features),
         ("img_textdensity", expected_img_textdensity),
+        ("img_bicubic", expected_img_bicubic),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
