@@ -19181,6 +19181,153 @@ def img_bicubic_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 63 (round 5): CSV source roundtrip + BPE piece offset alignment.
+# =============================================================================
+
+# -- CSV source/sink roundtrip --------------------------------------------------
+# [U RFC 4180 quoting; Spark csv source multiLine/escape options]: the one
+# wire format the source surface was missing.  The fixture embeds every
+# CSV landmine — commas, RFC-doubled quotes, and NEWLINES inside quoted
+# fields — writes with quote-escape='"' (RFC style, not Spark's default
+# backslash), reads back with multiLine, and the oracle states the
+# expected decoded rows arithmetically, so the whole encode→parse loop is
+# pinned lossless.  Scale note: multiLine makes a CSV file NON-SPLITTABLE
+# (embedded newlines defeat line-boundary splits) — at corpus scale keep
+# CSV to ingest edges and convert to parquet on the first write, which is
+# exactly what this engine's warehouse does.
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS k,
+           'v' || (o_orderkey % 3) || ',"' || o_orderkey || '"'
+             || CASE o_orderkey % 3
+                  WHEN 0 THEN chr(10) || 'nl'
+                  WHEN 1 THEN ',x'
+                  ELSE '"q"' END AS field
+    FROM orders
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV write→read roundtrip over hostile field content
+    (section comment)."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    field = F.concat(
+        F.lit("v"),
+        (k % 3).cast("string"),
+        F.lit(',"'),
+        k.cast("string"),
+        F.lit('"'),
+        F.when(k % 3 == 0, F.concat(F.lit("\n"), F.lit("nl")))
+        .when(k % 3 == 1, F.lit(",x"))
+        .otherwise(F.lit('"q"')),
+    )
+    df = orders.select(k.cast("long").alias("k"), field.alias("field"))
+    tmp = tempfile.mkdtemp(prefix="rcspark_csv_")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(tmp)
+    )
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("k long, field string")
+        .csv(tmp)
+    )
+
+
+# -- BPE piece offset alignment -------------------------------------------------
+# [U tokenizer offset mapping (HF return_offsets_mapping)]: span-labeling
+# data prep needs every subword piece tied back to its character span.
+# Per word: pieces from the registered BPE merge table (doc_bpe_tokenize's
+# rule), start_in_word = 1 + Σ len(previous pieces) — computed as an
+# offsets ARRAY in its own projection before the explode (the batch-30
+# Generate lesson), prefix sums by slice+join (words are short, the O(n²)
+# is per-word-bounded).  Reassembly law: pieces concatenated == word,
+# pinned by construction through the spans in pytest.
+
+
+@register(
+    "doc_tokenize_offsets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tx.sql_tokens('text')} AS tk FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) + 1), i ->
+               struct_pack(wi := CAST(i AS BIGINT), word := tk[i]))) AS u
+      FROM t),
+    p AS (
+      SELECT doc_id, struct_extract(u, 'wi') AS word_idx,
+             struct_extract(u, 'word') AS word,
+             string_split({_bpe_sql("struct_extract(u, 'word')")}, ' ')
+               AS pieces
+      FROM w),
+    x AS (
+      SELECT doc_id, word_idx, word, pieces,
+             list_transform(range(1, len(pieces) + 1), i ->
+               1 + coalesce(len(list_aggregate(pieces[1:i-1], 'string_agg',
+                                               '')), 0)) AS offs
+      FROM p)
+    SELECT doc_id, word_idx,
+           CAST(struct_extract(e, 'pi') AS BIGINT) AS piece_idx,
+           struct_extract(e, 'piece') AS piece,
+           CAST(struct_extract(e, 'start') AS BIGINT) AS start_in_word,
+           CAST(len(struct_extract(e, 'piece')) AS BIGINT) AS piece_len
+    FROM (
+      SELECT doc_id, word_idx,
+             unnest(list_transform(range(1, len(pieces) + 1), i ->
+               struct_pack(pi := i, piece := pieces[i], start := offs[i])))
+               AS e
+      FROM x)
+    """,
+)
+def doc_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword piece → char-span alignment (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(tx.TOKEN_RE), F.lit(0)
+    )
+    w = docs.select(
+        "doc_id", F.posexplode(toks).alias("_wi0", "word")
+    ).select(
+        "doc_id", (F.col("_wi0") + 1).cast("long").alias("word_idx"), "word"
+    )
+    p = w.select(
+        "doc_id",
+        "word_idx",
+        F.split(_bpe_spark(F.col("word")), " ").alias("pieces"),
+    )
+    offs = F.transform(
+        F.sequence(F.lit(1), F.size("pieces")),
+        lambda i: F.lit(1)
+        + F.length(F.array_join(F.slice("pieces", 1, i - 1), "")),
+    )
+    x = p.select("doc_id", "word_idx", "pieces", offs.alias("offs"))
+    return x.select(
+        "doc_id",
+        "word_idx",
+        F.posexplode(F.arrays_zip("pieces", "offs")).alias("_i", "_e"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        (F.col("_i") + 1).cast("long").alias("piece_idx"),
+        F.col("_e").getField("pieces").alias("piece"),
+        F.col("_e").getField("offs").cast("long").alias("start_in_word"),
+        F.length(F.col("_e").getField("pieces")).cast("long").alias(
+            "piece_len"
+        ),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19197,6 +19344,9 @@ def img_bicubic_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 63 (CSV roundtrip + BPE offset alignment)
+    "source_csv_roundtrip",
+    "doc_tokenize_offsets",
     # new in batch 62 (incremental sitemap recrawl + bicubic resize)
     "crawl_sitemap_lastmod_delta",
     "img_bicubic_resize",
