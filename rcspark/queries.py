@@ -19328,6 +19328,198 @@ def doc_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 64 (round 5): packed-sequence attention boundaries + CUPED.
+# =============================================================================
+
+# -- packed-sequence boundaries -------------------------------------------------
+# [U sequence packing with cross-document attention masking (T5 /
+# GPT-style packed pretraining)]: doc_pack_sequences places each doc at a
+# stream offset; the TRAINER additionally needs, per fixed-length bin,
+# the exact segment spans so attention never crosses document boundaries.
+# A doc spanning bins b₀..b₁ emits one segment per bin (explode over
+# sequence(b₀, b₁)) with start_in_bin / seg_len from pure interval
+# arithmetic; is_split marks straddlers.  Law (pytest): per-bin segments
+# tile [0, seq_len) gaplessly within each lang stream, and each doc's
+# segments sum to its token count.
+
+
+@register(
+    "doc_pack_boundaries",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS stream_offset
+      FROM t),
+    b AS (
+      SELECT doc_id, lang, n_tokens, stream_offset,
+             stream_offset // {_PACK_SEQ_LEN} AS bin0,
+             (stream_offset + n_tokens - 1) // {_PACK_SEQ_LEN} AS bin1
+      FROM o WHERE n_tokens > 0)
+    SELECT doc_id, lang,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(greatest(stream_offset, bin * {_PACK_SEQ_LEN})
+                - bin * {_PACK_SEQ_LEN} AS BIGINT) AS start_in_bin,
+           CAST(least(stream_offset + n_tokens, (bin + 1) * {_PACK_SEQ_LEN})
+                - greatest(stream_offset, bin * {_PACK_SEQ_LEN}) AS BIGINT)
+             AS seg_len,
+           bin1 > bin0 AS is_split
+    FROM (SELECT *, unnest(range(bin0, bin1 + 1)) AS bin FROM b)
+    """,
+)
+def doc_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin attention-boundary segments for the packed stream
+    (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    o = tx.stratified_cumsum(t, "lang", "doc_id", "n_tokens").filter(
+        F.col("n_tokens") > 0
+    )
+    L = _PACK_SEQ_LEN
+    b = o.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stream_offset",
+        F.expr(f"stream_offset div {L}").alias("bin0"),
+        F.expr(f"(stream_offset + n_tokens - 1) div {L}").alias("bin1"),
+    )
+    e = b.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stream_offset",
+        "bin1",
+        "bin0",
+        F.explode(F.sequence(F.col("bin0"), F.col("bin1"))).alias("bin"),
+    )
+    seg_start = F.greatest(F.col("stream_offset"), F.col("bin") * L)
+    seg_end = F.least(
+        F.col("stream_offset") + F.col("n_tokens"), (F.col("bin") + 1) * L
+    )
+    return e.select(
+        "doc_id",
+        "lang",
+        F.col("bin").cast("long").alias("bin"),
+        (seg_start - F.col("bin") * L).cast("long").alias("start_in_bin"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+        (F.col("bin1") > F.col("bin0")).alias("is_split"),
+    )
+
+
+# -- CUPED variance reduction ---------------------------------------------------
+# [U Deng et al. WSDM'13 "Improving the Sensitivity of Online Controlled
+# Experiments by Utilizing Pre-Experiment Data" (CUPED)]: adjust each
+# user's experiment metric by their PRE-period baseline, θ = cov(pre,
+# post)/var(pre) — the A/B plane's variance-reduction tier beside lift
+# and SRM.  All-integer: per-user dollar sums (round(value), the
+# positive-round parity both engines already rely on), θ in milli via the
+# covariance/variance cross-products, adjusted metric kept in micro units
+# so no second division happens; signed divisions are safe because
+# DuckDB's integer // and Spark's div BOTH truncate toward zero
+# (measured at sf0.1 where θ goes negative).
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sx,
+             CAST(sum(post) AS BIGINT) AS sy,
+             CAST(sum(pre * pre) AS BIGINT) AS sxx,
+             CAST(sum(pre * post) AS BIGINT) AS sxy
+      FROM u),
+    th AS (
+      SELECT n, sx,
+             CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                  AS BIGINT) AS theta_milli,
+             CAST(sx * 1000 // n AS BIGINT) AS mean_pre_milli
+      FROM g),
+    adj AS (
+      SELECT u.arm, u.post, th.theta_milli,
+             u.post * 1000000
+               - th.theta_milli * (u.pre * 1000 - th.mean_pre_milli)
+               AS adj_micro
+      FROM u CROSS JOIN th)
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(theta_milli) AS BIGINT) AS theta_milli,
+           CAST(sum(post) * 1000000 // count(*) AS BIGINT)
+             AS mean_post_micro,
+           CAST(sum(adj_micro) // count(*) AS BIGINT) AS mean_adj_micro
+    FROM adj GROUP BY 1
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted per-arm experiment metric (section comment)."""
+    ev = load(spark, sf_dir, "events")
+    split = "2024-01-16"
+    dollars = F.round(F.col("value")).cast("long")
+    u = ev.groupBy("user_id").agg(
+        (F.first(F.col("user_id")) % 2).cast("long").alias("arm"),
+        F.sum(F.when(F.col("ts") < split, dollars).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= split, dollars).otherwise(0))
+        .cast("long")
+        .alias("post"),
+    )
+    g = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+    )
+    # DuckDB's integer // TRUNCATES toward zero (measured at sf0.1 where
+    # theta goes negative), exactly like Spark's div — plain div matches
+    fdiv = lambda a, b: f"CAST(({a}) div ({b}) AS BIGINT)"  # noqa: E731
+    th = g.select(
+        "n",
+        "sx",
+        F.expr(
+            fdiv("(n * sxy - sx * sy) * 1000", "n * sxx - sx * sx")
+        ).alias("theta_milli"),
+        F.expr(fdiv("sx * 1000", "n")).alias("mean_pre_milli"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "post",
+        "theta_milli",
+        (
+            F.col("post") * 1000000
+            - F.col("theta_milli")
+            * (F.col("pre") * 1000 - F.col("mean_pre_milli"))
+        ).alias("adj_micro"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.max("theta_milli").cast("long").alias("theta_milli"),
+        F.expr(fdiv("sum(post) * 1000000", "count(1)")).alias(
+            "mean_post_micro"
+        ),
+        F.expr(fdiv("sum(adj_micro)", "count(1)")).alias("mean_adj_micro"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19344,6 +19536,9 @@ def doc_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 64 (pack boundaries + CUPED)
+    "doc_pack_boundaries",
+    "events_ab_cuped",
     # new in batch 63 (CSV roundtrip + BPE offset alignment)
     "source_csv_roundtrip",
     "doc_tokenize_offsets",
