@@ -19520,6 +19520,149 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 65 (round 5): host shard planning + clustering-depth audit.
+# =============================================================================
+
+# -- host → shard placement plan ------------------------------------------------
+# [U LPT/multiway number partitioning; the "snake draft" (boustrophedon)
+# round]: hash-partitioning a frontier by host leaves the heaviest hosts
+# wherever the hash drops them — the skew a 1000-executor wave dies on.
+# True LPT (assign to the currently-lightest shard) is a sequential
+# recurrence; the ZIGZAG rank rule is its scalable stand-in: rank hosts
+# by load descending (assign_global_seq — range-partitioned, no global
+# window), then shard = zigzag(rank mod 2N) so every consecutive
+# 2N-block deals one heavy+one light host to each shard.  Deterministic,
+# one pass, imbalance bounded by the largest host in practice.  The
+# query emits the per-shard plan plus the imbalance audit
+# (max/mean load in ppm) both engines re-derive.
+
+_SHARD_PLAN_N = 8
+
+
+@register(
+    "crawl_host_shard_plan",
+    oracle=f"""
+    WITH h AS (
+      SELECT 'h' || (o_custkey % 97) AS host,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT host, n_urls,
+             CAST(row_number() OVER (ORDER BY n_urls DESC, host ASC) - 1
+                  AS BIGINT) AS rk
+      FROM h),
+    s AS (
+      SELECT host, n_urls, rk,
+             CAST(CASE WHEN rk % {2 * _SHARD_PLAN_N} < {_SHARD_PLAN_N}
+                       THEN rk % {2 * _SHARD_PLAN_N}
+                       ELSE {2 * _SHARD_PLAN_N - 1} - rk % {2 * _SHARD_PLAN_N}
+                  END AS BIGINT) AS shard
+      FROM r),
+    l AS (SELECT shard, sum(n_urls) AS load FROM s GROUP BY 1),
+    a AS (SELECT CAST(1000000 * max(load) * {_SHARD_PLAN_N}
+                      // sum(load) AS BIGINT) AS imbalance_ppm
+          FROM l)
+    SELECT s.host, s.n_urls, s.rk, s.shard,
+           CAST(l.load AS BIGINT) AS shard_load,
+           a.imbalance_ppm
+    FROM s JOIN l USING (shard) CROSS JOIN a
+    """,
+)
+def crawl_host_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zigzag-rank host placement + imbalance audit (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    h = orders.groupBy(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count("*").cast("long").alias("n_urls"))
+    neg = h.select(
+        "host", "n_urls", (-F.col("n_urls")).alias("_neg")
+    )
+    r = assign_global_seq(neg, ["_neg", "host"], 0, npartitions=8).select(
+        "host", "n_urls", F.col("seq").alias("rk")
+    )
+    m = 2 * _SHARD_PLAN_N
+    shard = F.when(
+        F.col("rk") % m < _SHARD_PLAN_N, F.col("rk") % m
+    ).otherwise(F.lit(m - 1) - F.col("rk") % m)
+    s = r.select("host", "n_urls", "rk", shard.cast("long").alias("shard"))
+    l = s.groupBy("shard").agg(F.sum("n_urls").alias("load"))
+    a = l.agg(
+        F.expr(
+            f"CAST(1000000 * max(load) * {_SHARD_PLAN_N} div sum(load)"
+            " AS BIGINT)"
+        ).alias("imbalance_ppm")
+    )
+    return (
+        s.join(F.broadcast(l), "shard")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "host", "n_urls", "rk", "shard",
+            F.col("load").cast("long").alias("shard_load"),
+            "imbalance_ppm",
+        )
+    )
+
+
+# -- clustering-depth audit -----------------------------------------------------
+# [U Iceberg rewrite_data_files / Delta OPTIMIZE clustering metrics]: how
+# well does the digest-shard layout actually cluster?  Per shard file the
+# zonemap is (min, max) of the clustering key; the clustering DEPTH of a
+# file is how many OTHER files' ranges overlap it — depth 0 everywhere
+# means perfectly disjoint ranges (scans prune to one file per key);
+# depth ≈ n_files means the layout is useless and a rewrite is due.
+# Both engines derive the zonemaps from the data (groupBy shard) and
+# count pairwise overlaps — the shard count is bounded (N_SHARDS), so the
+# audit join is N², tiny, and broadcastable.
+
+
+@register(
+    "warehouse_clustering_depth",
+    oracle=f"""
+    WITH z AS (
+      SELECT {sql_digest60("'u' || o_orderkey")} % 16 AS shard,
+             min({sql_digest60("'u' || o_orderkey")}) AS lo,
+             max({sql_digest60("'u' || o_orderkey")}) AS hi,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1)
+    SELECT CAST(a.shard AS BIGINT) AS shard, a.lo, a.hi, a.n_rows,
+           CAST(count(b.shard) AS BIGINT) AS depth
+    FROM z a LEFT JOIN z b
+      ON b.shard <> a.shard AND b.lo <= a.hi AND b.hi >= a.lo
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap overlap depth of the digest-shard layout (section
+    comment).  Sharding BY the clustering key's modulus interleaves
+    ranges (every shard spans nearly the full digest domain), so this
+    fixture pins the audit at the 'rewrite is due' end: depth = 15."""
+    orders = load(spark, sf_dir, "orders")
+    dg = digest60(F.concat(F.lit("u"), F.col("o_orderkey").cast("string")))
+    z = orders.groupBy((dg % 16).alias("shard")).agg(
+        F.min(dg).alias("lo"),
+        F.max(dg).alias("hi"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    j = a.join(
+        F.broadcast(b),
+        (F.col("b.shard") != F.col("a.shard"))
+        & (F.col("b.lo") <= F.col("a.hi"))
+        & (F.col("b.hi") >= F.col("a.lo")),
+        "left",
+    )
+    return j.groupBy(
+        F.col("a.shard").cast("long").alias("shard"),
+        F.col("a.lo").alias("lo"),
+        F.col("a.hi").alias("hi"),
+        F.col("a.n_rows").alias("n_rows"),
+    ).agg(F.count(F.col("b.shard")).cast("long").alias("depth"))
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19536,6 +19679,9 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 65 (host shard plan + clustering depth)
+    "crawl_host_shard_plan",
+    "warehouse_clustering_depth",
     # new in batch 64 (pack boundaries + CUPED)
     "doc_pack_boundaries",
     "events_ab_cuped",
