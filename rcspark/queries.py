@@ -19663,6 +19663,182 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 66 (round 5): hyphenation repair + b-bit minhash.
+# =============================================================================
+
+# -- line-break hyphenation repair ----------------------------------------------
+# [U PDF/print text-extraction cleanup practice (beside doc_encoding_fix's
+# mojibake repair)]: extracted text wraps words as 'exam-\nple'; the
+# repair joins letter-hyphen-newline-letter back into one word while
+# leaving REAL hyphenated compounds ('state-of-the-art') and hyphens at
+# line ends after digits alone.  Plants are word-wrapped deterministically
+# (every 7th separator becomes '-\n'), so the oracle can construct the
+# repaired text directly (same transform with the break removed) — the
+# regex repair is pinned against construction, not against itself.
+
+
+_HYP_REPAIR_SQL = (
+    "regexp_replace(broken, '([a-z0-9])-' || chr(10) || '([a-z0-9])', "
+    "'\\1\\2', 'g')"
+)
+
+
+@register(
+    "doc_hyphenation_repair",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    built AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             'state-of-the-art ' || list_aggregate(
+               list_transform(range(1, len(toks) + 1), i ->
+                 toks[i] || CASE WHEN i = len(toks) THEN ''
+                                 WHEN i % 7 = 0 THEN '-' || chr(10)
+                                 ELSE ' ' END), 'string_agg', '') AS broken,
+             'state-of-the-art ' || list_aggregate(
+               list_transform(range(1, len(toks) + 1), i ->
+                 toks[i] || CASE WHEN i = len(toks) THEN ''
+                                 WHEN i % 7 = 0 THEN ''
+                                 ELSE ' ' END), 'string_agg', '') AS expected
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((n_toks - 1) // 7 AS BIGINT) AS n_breaks,
+           {sql_digest60(_HYP_REPAIR_SQL)} AS repair_digest,
+           {_HYP_REPAIR_SQL} = expected AS matches_expected
+    FROM built
+    """,
+)
+def doc_hyphenation_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyphen-linebreak repair pinned against direct construction
+    (section comment).  The 'state-of-the-art' prefix proves real
+    compound hyphens survive untouched."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+
+    def build(break_sep):
+        return F.concat(
+            F.lit("state-of-the-art "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks")),
+                    lambda i: F.concat(
+                        F.element_at("toks", i.cast("int")),
+                        F.when(i == F.size("toks"), F.lit(""))
+                        .when(i % 7 == 0, F.lit(break_sep))
+                        .otherwise(F.lit(" ")),
+                    ),
+                ),
+                "",
+            ),
+        )
+
+    b = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        build("-\n").alias("broken"),
+        build("").alias("expected"),
+    )
+    repaired = F.regexp_replace(
+        F.col("broken"), "([a-z0-9])-\n([a-z0-9])", "$1$2"
+    )
+    return b.select(
+        "doc_id",
+        F.expr("CAST((n_toks - 1) div 7 AS BIGINT)").alias("n_breaks"),
+        digest60(repaired).alias("repair_digest"),
+        (repaired == F.col("expected")).alias("matches_expected"),
+    )
+
+
+# -- b-bit minhash --------------------------------------------------------------
+# [U Li & König WWW'10 "b-Bit Minwise Hashing"]: keep only the low b bits
+# of each MinHash value — a 30×+ signature-space cut at a KNOWN accuracy
+# cost, with a closed-form de-bias: E[collision_b] = J + (1−J)/2^b, so
+# Ĵ = (2^b·C − 1)/(2^b − 1) — for b=2 that is (4C−1)/3, a pure rational
+# correction (no floats).  Candidates come from the registered banded-LSH
+# rule (same bucket cap); per pair both the full-hash agreement fraction
+# (the unbiased J estimator) and the corrected 2-bit estimate are
+# emitted, so the space/accuracy trade is measurable per pair.
+
+
+@register(
+    "doc_minhash_bbit",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    sizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN sizes USING (band_id, band_hash)
+      WHERE b <= 1000),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    agr AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(CASE WHEN sa.band_hash = sb.band_hash
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_full,
+             CAST(sum(CASE WHEN sa.band_hash % 4 = sb.band_hash % 4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_b2
+      FROM pairs p
+      JOIN bands sa ON sa.doc_id = p.doc_a
+      JOIN bands sb ON sb.doc_id = p.doc_b AND sb.band_id = sa.band_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_eq_full, n_eq_b2,
+           CAST(1000000 * n_eq_full // {dd.MINHASH_K} AS BIGINT)
+             AS j_full_ppm,
+           CAST(greatest((4 * n_eq_b2 - {dd.MINHASH_K}) * 1000000
+                         // (3 * {dd.MINHASH_K}), 0) AS BIGINT)
+             AS j_bbit_ppm
+    FROM agr
+    """,
+)
+def doc_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-bit minhash Jaccard estimation with the rational de-bias
+    (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    bands = dd.minhash_rows(docs)
+    pairs = dd.lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    sa = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        "band_id",
+        F.col("band_hash").alias("_ha"),
+    )
+    sb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        "band_id",
+        F.col("band_hash").alias("_hb"),
+    )
+    agr = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "band_id"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("_ha") == F.col("_hb")).cast("long"))
+            .cast("long")
+            .alias("n_eq_full"),
+            F.sum((F.col("_ha") % 4 == F.col("_hb") % 4).cast("long"))
+            .cast("long")
+            .alias("n_eq_b2"),
+        )
+    )
+    K = dd.MINHASH_K
+    return agr.select(
+        "doc_a",
+        "doc_b",
+        "n_eq_full",
+        "n_eq_b2",
+        F.expr(f"CAST(1000000 * n_eq_full div {K} AS BIGINT)").alias(
+            "j_full_ppm"
+        ),
+        F.expr(
+            f"CAST(greatest((4 * n_eq_b2 - {K}) * 1000000 div (3 * {K}), 0)"
+            " AS BIGINT)"
+        ).alias("j_bbit_ppm"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19679,6 +19855,9 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 66 (hyphenation repair + b-bit minhash)
+    "doc_hyphenation_repair",
+    "doc_minhash_bbit",
     # new in batch 65 (host shard plan + clustering depth)
     "crawl_host_shard_plan",
     "warehouse_clustering_depth",
