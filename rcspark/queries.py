@@ -19839,6 +19839,158 @@ def doc_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 67 (round 5): DP randomized response + RLHF preference pairs.
+# =============================================================================
+
+# -- differentially-private corpus statistic ------------------------------------
+# [U Warner 1965 randomized response; its ε-DP analysis (ε = ln(p/(1−p)),
+# here p = 3/4 ⇒ ε = ln 3)]: release a sensitive per-document bit count
+# (here: "matches a PII-ish pattern") without trusting the aggregator —
+# each doc reports its TRUE bit with probability p via a digest coin,
+# the flipped bit otherwise, and the aggregate debiases exactly:
+# E[reports] = n(1−p) + true·(2p−1) ⇒ true ≈ (reports − n(1−p))/(2p−1);
+# with p = 3/4 that is (4·reports − n)/2 — a pure rational, no floats.
+# The digest coin makes the mechanism REPLAY-DETERMINISTIC (auditable
+# runs), which is the right trade for a data-release pipeline; swap the
+# coin's salt per release for fresh draws.
+
+
+@register(
+    "doc_dp_randomized_response",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(regexp_matches(text, '[0-9]{{3}}') AS INT) AS true_bit,
+             CAST(({sql_digest60("'rr:' || CAST(doc_id AS VARCHAR)")}) % 4 < 3
+                  AS INT) AS keep
+      FROM documents),
+    r AS (
+      SELECT doc_id, true_bit,
+             CASE WHEN keep = 1 THEN true_bit ELSE 1 - true_bit END
+               AS reported
+      FROM b),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(true_bit) AS BIGINT) AS true_count,
+             CAST(sum(reported) AS BIGINT) AS reported_count
+      FROM r)
+    SELECT n, true_count, reported_count,
+           CAST((4 * reported_count - n) // 2 AS BIGINT) AS dp_estimate,
+           CAST(abs((4 * reported_count - n) // 2 - true_count) AS BIGINT)
+             AS abs_err
+    FROM agg
+    """,
+)
+def doc_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε = ln 3 randomized-response release of a sensitive bit count
+    (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    true_bit = (
+        F.regexp_extract(F.col("text"), "[0-9]{3}", 0) != ""
+    ).cast("int")
+    keep = (
+        digest60(F.concat(F.lit("rr:"), F.col("doc_id").cast("string"))) % 4
+        < 3
+    ).cast("int")
+    r = docs.select(
+        true_bit.alias("true_bit"),
+        F.when(keep == 1, true_bit).otherwise(1 - true_bit).alias("reported"),
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("true_bit").cast("long").alias("true_count"),
+        F.sum("reported").cast("long").alias("reported_count"),
+    )
+    return agg.select(
+        "n",
+        "true_count",
+        "reported_count",
+        F.expr("CAST((4 * reported_count - n) div 2 AS BIGINT)").alias(
+            "dp_estimate"
+        ),
+        F.expr(
+            "CAST(abs((4 * reported_count - n) div 2 - true_count) AS BIGINT)"
+        ).alias("abs_err"),
+    )
+
+
+# -- RLHF preference-pair formatting --------------------------------------------
+# [U preference-data construction practice (chosen/rejected pairs for
+# DPO/RLHF reward modeling)]: the formatting operator that turns a
+# curated doc into a (prompt, chosen, rejected) triple — prompt = first 8
+# tokens, chosen = the real continuation, rejected = the classic
+# degenerate negative (truncate to half, then repeat the final token 3×,
+# the repetition pathology reward models are trained to punish).  Both
+# engines construct the identical serializations; digests + length/
+# repetition metadata ride under the driver hash; the rejected-is-worse
+# laws (shorter, more repetitious) are pinned in pytest.
+
+
+@register(
+    "doc_rlhf_pair_format",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS BIGINT) AS n,
+             list_slice(toks, 1, 8) AS ptoks,
+             list_slice(toks, 9, len(toks)) AS ctoks
+      FROM t WHERE len(toks) >= 12),
+    u AS (
+      SELECT doc_id, n,
+             array_to_string(ptoks, ' ') AS prompt,
+             array_to_string(ctoks, ' ') AS chosen,
+             array_to_string(list_slice(ctoks, 1, len(ctoks) // 2), ' ')
+               || repeat(' ' || ctoks[len(ctoks) // 2], 3) AS rejected
+      FROM s)
+    SELECT doc_id, n,
+           {sql_digest60("prompt")} AS prompt_digest,
+           {sql_digest60("chosen")} AS chosen_digest,
+           {sql_digest60("rejected")} AS rejected_digest,
+           CAST(len(chosen) AS BIGINT) AS chosen_len,
+           CAST(len(rejected) AS BIGINT) AS rejected_len
+    FROM u
+    """,
+)
+def doc_rlhf_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prompt, chosen, rejected) construction with the degenerate
+    repetition negative (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 12
+    )
+    s = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n"),
+        F.slice("toks", 1, 8).alias("ptoks"),
+        F.expr("slice(toks, 9, size(toks) - 8)").alias("ctoks"),
+    )
+    half = F.expr("size(ctoks) div 2").cast("int")
+    rep_tok = F.element_at("ctoks", half)
+    u = s.select(
+        "doc_id",
+        "n",
+        F.array_join("ptoks", " ").alias("prompt"),
+        F.array_join("ctoks", " ").alias("chosen"),
+        F.concat(
+            F.array_join(F.slice(F.col("ctoks"), F.lit(1), half), " "),
+            F.concat_ws(
+                "", F.array_repeat(F.concat(F.lit(" "), rep_tok), 3)
+            ),
+        ).alias("rejected"),
+    )
+    return u.select(
+        "doc_id",
+        "n",
+        digest60(F.col("prompt")).alias("prompt_digest"),
+        digest60(F.col("chosen")).alias("chosen_digest"),
+        digest60(F.col("rejected")).alias("rejected_digest"),
+        F.length("chosen").cast("long").alias("chosen_len"),
+        F.length("rejected").cast("long").alias("rejected_len"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -19855,6 +20007,9 @@ def doc_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 67 (DP randomized response + RLHF pairs)
+    "doc_dp_randomized_response",
+    "doc_rlhf_pair_format",
     # new in batch 66 (hyphenation repair + b-bit minhash)
     "doc_hyphenation_repair",
     "doc_minhash_bbit",
