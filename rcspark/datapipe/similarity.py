@@ -1503,3 +1503,55 @@ def sql_nn_descent_ctes(dim: int = 64, k: int = 5, rounds: int = 3) -> str:
       WHERE r <= {k})"""
     )
     return ",".join(parts)
+
+
+# -- OOD support: nearest-centroid distance in exact micro-unit integers --------
+# Same argmin rule as ivf_cell but EXACT-INTEGER end to end: vector and
+# centroids quantize to 1e-6 micro units (one double multiply + round per
+# element — the established deterministic step), the squared distance is
+# an int64 sum of squared micro deltas, and the cell election compares
+# integers — no double ever crosses an aggregation, so there is no ulp
+# seam (the round(·,6)-then-scale form measurably split the engines by
+# ±1 micro on scaled inputs).  d_u is in micro² units.
+
+
+def ivf_cell_dist(vec: Column, ncells: int = IVF_CELLS, dim: int = 64) -> Column:
+    """struct(d_u: long micro^2-units, c: int): nearest centroid + exact
+    integer squared distance."""
+    qv = F.transform(vec, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+    entries = []
+    for c in range(ncells):
+        cq = F.array(
+            *[F.lit(int(round(centroid_py(c, d) * 1000000))) for d in range(dim)]
+        )
+        dist = F.aggregate(
+            F.zip_with(qv, cq, lambda x, m: (x - m) * (x - m)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
+    m = F.array_min(F.array(*entries))
+    return F.struct(
+        m["d"].cast("long").alias("d_u"), m["c"].cast("int").alias("c")
+    )
+
+
+def sql_ivf_cell_dist(vec: str, ncells: int = IVF_CELLS, dim: int = 64) -> str:
+    """DuckDB twin of ivf_cell_dist: {'d_u': BIGINT, 'c': INT}."""
+    dists = []
+    for c in range(ncells):
+        cents = ",".join(
+            str(int(round(centroid_py(c, d) * 1000000))) for d in range(dim)
+        )
+        dists.append(
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST(round(CAST({vec}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+            f" - ([{cents}])[i]) "
+            f"* (CAST(round(CAST({vec}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+            f" - ([{cents}])[i])))"
+        )
+    structs = ", ".join(f"{{'d': {d}, 'c': {c}}}" for c, d in enumerate(dists))
+    return (
+        f"struct_pack(d_u := CAST(list_min([{structs}])['d'] AS BIGINT), "
+        f"c := CAST(list_min([{structs}])['c'] AS INT))"
+    )

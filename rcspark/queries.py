@@ -19991,6 +19991,170 @@ def doc_rlhf_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 68 (round 5): embedding OOD gate + integer Holt forecasting.
+# =============================================================================
+
+# -- distance-to-centroid OOD gate ----------------------------------------------
+# [U kNN/centroid-distance OOD detection practice (noise filtering for
+# training corpora)]: an embedding far from its OWN cell's centroid —
+# relative to that cell's typical spread — is an outlier candidate
+# (mislabeled, garbage, or genuinely novel).  Rule: is_ood ⟺
+# 2·dist² > 5·cell_mean_dist² (2.5× the cell mean, integers
+# cross-multiplied; micro-unit distances from the shared round(·,6)
+# double).  Cell means are a 16-row broadcast — no second shuffle.
+
+
+@register(
+    "emb_ood_gate",
+    oracle=f"""
+    WITH corpus AS (
+      -- the synthetic embeddings are homogeneous (measured max
+      -- dist/cell-mean ratio 1.14), so OOD plants carry the signal:
+      -- every 50th vector re-enters shifted +5 per dim — SPARSE on purpose: a dense outlier cluster would inflate its own cell's mean and hide (measured with 1-in-7 plants), the documented failure mode of relative-to-cell gates
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 5.0)
+      FROM embeddings WHERE vec_id % 50 = 0),
+    d AS (
+      SELECT vec_id,
+             {sim.sql_ivf_cell_dist("embedding", dim=_EMB_DIM)} AS cd
+      FROM corpus),
+    e AS (SELECT vec_id, cd.c AS cell, cd.d_u AS dist_u FROM d),
+    -- cell means come from the REFERENCE population only (vec_id <
+    -- 1000000): gating arrivals against trusted means is the deployment
+    -- shape, and it is what keeps a dense outlier cluster from hiding
+    -- behind its own inflated mean
+    m AS (SELECT cell, CAST(sum(dist_u) // count(*) AS BIGINT) AS mean_u
+          FROM e WHERE vec_id < 1000000 GROUP BY 1)
+    SELECT e.vec_id, CAST(e.cell AS BIGINT) AS cell, e.dist_u, m.mean_u,
+           2 * e.dist_u > 5 * m.mean_u AS is_ood
+    FROM e JOIN m USING (cell)
+    """,
+)
+def emb_ood_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell relative distance outlier gate (section comment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(5.0)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(plants)
+    e = corpus.select(
+        "vec_id", sim.ivf_cell_dist(F.col("embedding")).alias("cd")
+    ).select(
+        "vec_id",
+        F.col("cd.c").alias("cell"),
+        F.col("cd.d_u").alias("dist_u"),
+    )
+    m = (
+        e.filter(F.col("vec_id") < 1000000)
+        .groupBy("cell")
+        .agg(F.expr("CAST(sum(dist_u) div count(1) AS BIGINT)").alias("mean_u"))
+    )
+    return e.join(F.broadcast(m), "cell").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "dist_u",
+        "mean_u",
+        (2 * F.col("dist_u") > 5 * F.col("mean_u")).alias("is_ood"),
+    )
+
+
+# -- Holt double-exponential forecast -------------------------------------------
+# [U Holt 1957 linear exponential smoothing]: level+trend tracking of the
+# per-type hourly event rate — the forecast the crawl-rate monitor
+# compares arrivals against.  Exact integers: counts are held in eighths
+# (SCALE 8) and the smoothing constants are rationals (α = 1/4,
+# β = 1/8) applied with truncating div, so the recurrence
+#   l' = (8c + 3l) div 4,   t' = (l' − l + 7t) div 8
+# is bit-reproducible.  The fold runs over the chronologically-sorted
+# hourly series per type — Spark F.aggregate with a sentinel init, DuckDB
+# list_reduce (first element as init); both sides seed state = (8c₁, 0),
+# so the folds are element-for-element identical.
+
+
+@register(
+    "events_holt_forecast",
+    # NOTE: the natural oracle (list_reduce with a 2-field struct
+    # accumulator) MIS-EVALUATES in DuckDB 1.0 — on lists ≥3 the fold's
+    # intermediate state diverges from running the same lambda step-wise
+    # (isolated in this repo's round-5 notes; a simple a.t+1 counter is
+    # fine, arithmetic mixing both lambda args across fields is not).
+    # The oracle therefore folds with a RECURSIVE CTE, which is exact.
+    oracle="""
+    WITH RECURSIVE
+    h0 AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, c,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS rn
+      FROM h0),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+          FROM h GROUP BY 1),
+    steps AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS i,
+             CAST(8 * c AS BIGINT) AS l, CAST(0 AS BIGINT) AS t
+      FROM h WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.i + 1,
+             (8 * h.c + 3 * s.l) // 4,
+             ((8 * h.c + 3 * s.l) // 4 - s.l + 7 * s.t) // 8
+      FROM steps s JOIN h ON h.event_type = s.event_type AND h.rn = s.i + 1)
+    SELECT s.event_type, n.n_hours,
+           s.l AS level_8, s.t AS trend_8,
+           CAST(s.l + s.t AS BIGINT) AS forecast_next_8,
+           CAST((s.l + s.t) // 8 AS BIGINT) AS forecast_next
+    FROM steps s JOIN n USING (event_type) WHERE s.i = n.n_hours
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Holt level+trend forecast per event type (section
+    comment)."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count("*").cast("long").alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "c"))), lambda x: x["c"]
+        ).alias("cs")
+    )
+    # sentinel init (l = -1); the first element seeds state (8c, 0) —
+    # identical to DuckDB list_reduce's first-element-as-init semantics.
+    # The fold is a SQL-string aggregate (named_struct branches inside
+    # Python HOF lambdas trip the multi-expression-when codegen hazard
+    # documented in batch 59).
+    f = s.select(
+        "event_type",
+        F.size("cs").cast("long").alias("n_hours"),
+        F.expr(
+            "aggregate(cs, "
+            "named_struct('l', CAST(-1 AS BIGINT), 't', CAST(0 AS BIGINT)), "
+            "(a, c) -> CASE WHEN a.l = -1 "
+            "THEN named_struct('l', CAST(8 * c AS BIGINT), "
+            "                  't', CAST(0 AS BIGINT)) "
+            "ELSE named_struct('l', CAST((8 * c + 3 * a.l) div 4 AS BIGINT), "
+            "                  't', CAST(((8 * c + 3 * a.l) div 4 - a.l "
+            "                             + 7 * a.t) div 8 AS BIGINT)) END)"
+        ).alias("st"),
+    )
+    return f.select(
+        "event_type",
+        "n_hours",
+        F.col("st.l").alias("level_8"),
+        F.col("st.t").alias("trend_8"),
+        (F.col("st.l") + F.col("st.t")).cast("long").alias("forecast_next_8"),
+        F.expr("CAST((st.l + st.t) div 8 AS BIGINT)").alias("forecast_next"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20007,6 +20171,9 @@ def doc_rlhf_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 68 (OOD gate + Holt forecast)
+    "emb_ood_gate",
+    "events_holt_forecast",
     # new in batch 67 (DP randomized response + RLHF pairs)
     "doc_dp_randomized_response",
     "doc_rlhf_pair_format",
