@@ -20155,6 +20155,200 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 69 (round 5): rendezvous resharding + changepoint localization.
+# =============================================================================
+
+# -- rendezvous (HRW) hashing ---------------------------------------------------
+# [U Thaler & Ravishankar 1996 highest-random-weight hashing; consistent-
+# hashing practice]: shard = argmax over shards of digest(host, shard).
+# The property that matters at fleet scale: growing N → N+1 shards moves
+# EXACTLY the keys whose new shard wins — expected 1/(N+1) of them —
+# while modulo hashing reshuffles ~N/(N+1).  The query assigns every host
+# under N=8 and N=9, emits both placements plus the moved flag, and the
+# corpus-level moved_ppm rides on every row; pytest contrasts modulo
+# resharding on the same keys.
+
+
+@register(
+    "crawl_rendezvous_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT 'h' || (o_custkey % 211) AS host FROM orders),
+    w AS (
+      SELECT host,
+             list_max(list_transform(range(0, 8), s -> struct_pack(
+               w := {sql_digest60("'hrw:' || CAST(s AS VARCHAR) || ':' || host")},
+               s := s)))['s'] AS shard8,
+             list_max(list_transform(range(0, 9), s -> struct_pack(
+               w := {sql_digest60("'hrw:' || CAST(s AS VARCHAR) || ':' || host")},
+               s := s)))['s'] AS shard9
+      FROM h),
+    m AS (SELECT CAST(1000000 * sum(CASE WHEN shard8 <> shard9 THEN 1
+                                         ELSE 0 END) // count(*) AS BIGINT)
+            AS moved_ppm
+          FROM w)
+    SELECT host, CAST(shard8 AS BIGINT) AS shard8,
+           CAST(shard9 AS BIGINT) AS shard9,
+           shard8 <> shard9 AS moved, m.moved_ppm
+    FROM w CROSS JOIN m
+    """,
+)
+def crawl_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW shard election at N=8 and N=9 + minimal-motion audit
+    (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    h = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 211).cast("string")).alias(
+            "host"
+        )
+    ).distinct()
+
+    def hrw(n):
+        entries = [
+            F.struct(
+                digest60(
+                    F.concat(F.lit(f"hrw:{s}:"), F.col("host"))
+                ).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n)
+        ]
+        return F.array_max(F.array(*entries))["s"]
+
+    w = h.select(
+        "host", hrw(8).alias("shard8"), hrw(9).alias("shard9")
+    )
+    m = w.agg(
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("moved_ppm")
+    )
+    return w.crossJoin(F.broadcast(m)).select(
+        "host",
+        F.col("shard8").cast("long").alias("shard8"),
+        F.col("shard9").cast("long").alias("shard9"),
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+        "moved_ppm",
+    )
+
+
+# -- binary-segmentation changepoint --------------------------------------------
+# [U binary segmentation / CUSUM changepoint literature (Scott & Knott
+# 1974 onward)]: WHERE did the rate change?  events_cusum_drift detects
+# THAT a drift happened; this localizes the single best split k of each
+# per-type hourly series by maximizing the between-segment SSE reduction
+# G(k) = A²/(k(n−k)) with A = n·S1_k − k·S — all exact integers from
+# prefix sums (stratified_cumsum, no per-type window funnel).  The
+# election compares (A² div D, k) — both engines compute identical
+# integers, so the integer-division score elects identically; split
+# means ride along in milli-units.
+
+
+@register(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, hr, c,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS k,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS s1
+      FROM h),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s
+          FROM h GROUP BY 1),
+    sc AS (
+      SELECT o.event_type, o.hr, o.k, g.n, g.s,
+             (g.n * o.s1 - o.k * g.s) * (g.n * o.s1 - o.k * g.s)
+               // (o.k * (g.n - o.k)) AS score,
+             o.s1
+      FROM o JOIN g USING (event_type) WHERE o.k < g.n),
+    best AS (
+      SELECT event_type,
+             max(struct_pack(score := score, k := -k, hr := hr,
+                             s1 := s1, n := n, s := s)) AS b
+      FROM sc GROUP BY 1)
+    SELECT event_type,
+           CAST(-b.k AS BIGINT) AS split_k,
+           b.hr AS split_hr,
+           CAST(b.score AS BIGINT) AS score,
+           CAST(1000 * b.s1 // (-b.k) AS BIGINT) AS mean_before_milli,
+           CAST(1000 * (b.s - b.s1) // (b.n - (-b.k)) AS BIGINT)
+             AS mean_after_milli
+    FROM best
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer single-changepoint localization per event type
+    (section comment).  Ties elect the EARLIEST k (max on (score, −k))."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count("*").cast("long").alias("c"))
+    o = tx.stratified_cumsum(
+        h, "event_type", "hr", "c", out_col="_pre", npartitions=8
+    ).select(
+        "event_type",
+        "hr",
+        "c",
+        (F.col("_pre") + F.col("c")).alias("s1"),
+    )
+    o = assign_global_seq(
+        o.select("event_type", "hr", "s1"), ["event_type", "hr"], 0,
+        npartitions=8,
+    )
+    offs = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    # per-type k = global seq − per-type min seq (broadcast offsets)
+    mins = o.groupBy("event_type").agg(F.min("seq").alias("_m0"))
+    sc = (
+        o.join(F.broadcast(mins), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "s1",
+            (F.col("seq") - F.col("_m0") + 1).alias("k"),
+        )
+        .join(F.broadcast(offs), "event_type")
+        .filter(F.col("k") < F.col("n"))
+    )
+    sc = sc.withColumn(
+        "score", F.expr("(n*s1 - k*s) * (n*s1 - k*s) div (k * (n - k))")
+    )
+    best = sc.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("k")).alias("k"),
+                F.col("hr"),
+                F.col("s1"),
+                F.col("n"),
+                F.col("s"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.k")).cast("long").alias("split_k"),
+        F.col("b.hr").alias("split_hr"),
+        F.col("b.score").cast("long").alias("score"),
+        F.expr("CAST(1000 * b.s1 div (-b.k) AS BIGINT)").alias(
+            "mean_before_milli"
+        ),
+        F.expr(
+            "CAST(1000 * (b.s - b.s1) div (b.n - (-b.k)) AS BIGINT)"
+        ).alias("mean_after_milli"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20171,6 +20365,9 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 69 (rendezvous resharding + changepoint)
+    "crawl_rendezvous_shards",
+    "events_changepoint_binseg",
     # new in batch 68 (OOD gate + Holt forecast)
     "emb_ood_gate",
     "events_holt_forecast",
