@@ -20349,6 +20349,207 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 70 (round 5): video sitemaps + RFC 9309 robots size limit.
+# =============================================================================
+
+# -- video-sitemap extension ----------------------------------------------------
+# [U Google video sitemap extension (<video:video> under <url>)]: the
+# video-corpus sibling of crawl_sitemap_images — publishers declare
+# content_loc, title, and DURATION, which powers the pre-fetch clip gate
+# (too-short/too-long videos never get fetched).  Pages without a video
+# block yield no row (the regexp arrays stay empty); the oracle builds
+# expected rows arithmetically, never parsing XML.
+
+
+@register(
+    "crawl_sitemap_videos",
+    oracle="""
+    SELECT 'h' || (o_custkey % 9) AS host,
+           'http://h' || (o_custkey % 9) || '.example/v/' || o_orderkey
+             AS page_loc,
+           'http://cdn.example/vid/' || o_orderkey || '.mp4' AS video_loc,
+           'clip ' || o_orderkey AS title,
+           CAST(o_orderkey % 20000 AS BIGINT) AS duration_s,
+           o_orderkey % 20000 BETWEEN 10 AND 3600 AS keep
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def crawl_sitemap_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-sitemap parse + duration gate (section comment)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    vid = F.when(
+        k % 5 != 0,
+        F.concat(
+            F.lit("<video:video><video:content_loc>http://cdn.example/vid/"),
+            k.cast("string"),
+            F.lit(".mp4</video:content_loc><video:title>clip "),
+            k.cast("string"),
+            F.lit("</video:title><video:duration>"),
+            (k % 20000).cast("string"),
+            F.lit("</video:duration></video:video>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>http://h"),
+        (F.col("o_custkey") % 9).cast("string"),
+        F.lit(".example/v/"),
+        k.cast("string"),
+        F.lit("</loc>"),
+        vid,
+        F.lit("</url>"),
+    )
+    pages = (
+        orders.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 9).cast("string")).alias(
+                "host"
+            ),
+            entry.alias("_e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("_e")), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    blocks = F.regexp_extract_all(
+        F.col("body"), F.lit("<url>(.*?)</url>"), F.lit(1)
+    )
+    per = pages.select(
+        "host", F.posexplode(blocks).alias("_i", "_b")
+    ).select(
+        "host",
+        F.regexp_extract(F.col("_b"), "<loc>([^<]*)</loc>", 1).alias(
+            "page_loc"
+        ),
+        F.regexp_extract(
+            F.col("_b"),
+            "<video:content_loc>([^<]*)</video:content_loc>",
+            1,
+        ).alias("video_loc"),
+        F.regexp_extract(
+            F.col("_b"), "<video:title>([^<]*)</video:title>", 1
+        ).alias("title"),
+        F.regexp_extract(
+            F.col("_b"), "<video:duration>([0-9]+)</video:duration>", 1
+        ).alias("_d"),
+    )
+    return per.filter(F.col("video_loc") != "").select(
+        "host",
+        "page_loc",
+        "video_loc",
+        "title",
+        F.col("_d").cast("long").alias("duration_s"),
+        F.col("_d").cast("long").between(10, 3600).alias("keep"),
+    )
+
+
+# -- RFC 9309 robots size limit -------------------------------------------------
+# [U RFC 9309 §2.4: crawlers MUST process at least 500 KiB and MAY
+# truncate beyond it — rules past the limit are simply never seen; a
+# truncation that lands MID-LINE drops the partial line]: a site whose
+# robots.txt bloats past the parse limit silently loses its late rules —
+# the fixture plants a Disallow AFTER the cutoff for every 3rd host
+# (filler comment lines), probes three paths, and pins both semantics:
+# the late rule is active only for small files, and the cut never parses
+# a partial trailing line as a rule (the effective text ends at the last
+# newline inside the limit).  Fixture limit 512 B; production = 500 KiB,
+# same arithmetic.
+
+_ROBOTS_SIZE_LIMIT = 512
+
+
+@register(
+    "crawl_robots_size_limit",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_custkey % 30 AS hn FROM orders),
+    b AS (
+      SELECT hn, 'h' || hn AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /pre' || chr(10)
+               || repeat('# filler padding line for size accounting'
+                         || chr(10),
+                         CASE WHEN hn % 3 = 0 THEN 40 ELSE 2 END)
+               || 'Disallow: /late' || chr(10) AS body
+      FROM h),
+    e AS (
+      SELECT hn, host, body,
+             CAST(len(body) AS BIGINT) AS body_bytes,
+             -- cut at the LAST newline inside the limit (arithmetic, not
+             -- regex: Java's $ matches before a final newline, RE2's
+             -- does not — a '[^\\n]*$' trim splits the engines)
+             substr(substr(body, 1, {_ROBOTS_SIZE_LIMIT}), 1,
+                    len(substr(body, 1, {_ROBOTS_SIZE_LIMIT}))
+                    - strpos(reverse(substr(body, 1, {_ROBOTS_SIZE_LIMIT})),
+                             chr(10)) + 1) AS eff
+      FROM b),
+    v AS (
+      SELECT hn, host, body_bytes,
+             body_bytes > {_ROBOTS_SIZE_LIMIT} AS truncated,
+             contains(eff, 'Disallow: /late') AS late_active
+      FROM e)
+    SELECT host, body_bytes, truncated, late_active,
+           p.path,
+           NOT (starts_with(p.path, '/pre')
+                OR (late_active AND starts_with(p.path, '/late')))
+             AS allowed
+    FROM v CROSS JOIN (
+      SELECT unnest(['/pre/x', '/late/y', '/other']) AS path) p
+    """,
+)
+def crawl_robots_size_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-limit truncation semantics per RFC 9309 §2.4 (section
+    comment)."""
+    orders = load(spark, sf_dir, "orders")
+    h = orders.select((F.col("o_custkey") % 30).alias("hn")).distinct()
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /pre\n"),
+        F.repeat(
+            F.lit("# filler padding line for size accounting\n"),
+            F.when(F.col("hn") % 3 == 0, 40).otherwise(2),
+        ),
+        F.lit("Disallow: /late\n"),
+    )
+    b = h.select("hn", F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"), body.alias("body"))
+    # arithmetic last-newline cut (see oracle comment: Java vs RE2 '$')
+    pre = F.substring(F.col("body"), 1, _ROBOTS_SIZE_LIMIT)
+    eff = F.substring(
+        pre,
+        F.lit(1),
+        F.length(pre) - F.instr(F.reverse(pre), "\n") + 1,
+    )
+    v = b.select(
+        "host",
+        F.length("body").cast("long").alias("body_bytes"),
+        (F.length("body") > _ROBOTS_SIZE_LIMIT).alias("truncated"),
+        eff.contains("Disallow: /late").alias("late_active"),
+    )
+    probes = F.array(F.lit("/pre/x"), F.lit("/late/y"), F.lit("/other"))
+    return v.select(
+        "host",
+        "body_bytes",
+        "truncated",
+        "late_active",
+        F.explode(probes).alias("path"),
+    ).select(
+        "host",
+        "body_bytes",
+        "truncated",
+        "late_active",
+        "path",
+        (
+            ~(
+                F.col("path").startswith("/pre")
+                | (F.col("late_active") & F.col("path").startswith("/late"))
+            )
+        ).alias("allowed"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20365,6 +20566,9 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 70 (video sitemaps + robots size limit)
+    "crawl_sitemap_videos",
+    "crawl_robots_size_limit",
     # new in batch 69 (rendezvous resharding + changepoint)
     "crawl_rendezvous_shards",
     "events_changepoint_binseg",
