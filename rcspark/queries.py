@@ -18361,7 +18361,12 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def crawl_jsonld_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD ImageObject caption mining (section comment)."""
-    orders = load(spark, sf_dir, "orders")
+    return _jsonld_caption_rows(load(spark, sf_dir, "orders"))
+
+
+def _jsonld_caption_rows(orders: DataFrame) -> DataFrame:
+    """The shared build→embed→extract transformation (batch-58 rule) —
+    works identically on a batch frame or a file stream (batch 71 twin)."""
     k = F.col("o_orderkey")
     ld = F.when(
         k % 3 != 0,
@@ -20550,6 +20555,107 @@ def crawl_robots_size_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 71 (round 5): gate-threshold calibration sweep + streaming JSON-LD.
+# =============================================================================
+
+# -- CLIP-gate threshold sweep --------------------------------------------------
+# [U LAION-400M/5B calibration practice (the 0.3/0.28 CLIP thresholds
+# were picked from exactly this curve)]: before fixing the pair gate's
+# cosine threshold, sweep it — keep-rate as a function of threshold is
+# the evidence the cut is chosen from.  One pass over the pair cosines,
+# exploded against the 9-point threshold grid, aggregated to a 9-row
+# calibration table.
+
+
+@register(
+    "emb_gate_threshold_sweep",
+    oracle=f"""
+    WITH p AS (
+      SELECT i.vec_id AS img_id,
+             {sim.sql_cosine('i.embedding', 't.embedding', _EMB_DIM)} AS cos
+      FROM embeddings i JOIN embeddings t ON t.vec_id = xor(i.vec_id, 1)
+      WHERE i.vec_id % 2 = 0),
+    th AS (SELECT unnest(range(1, 10)) * 100 AS thresh_cpm)
+    SELECT CAST(th.thresh_cpm AS BIGINT) AS thresh_cpm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.cos * 1000 >= th.thresh_cpm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(1000000 * sum(CASE WHEN p.cos * 1000 >= th.thresh_cpm
+                                   THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+             AS keep_ppm
+    FROM p CROSS JOIN th GROUP BY 1
+    """,
+)
+def emb_gate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate calibration curve for the pair cosine gate (section
+    comment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    i = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"), F.col("embedding").alias("_iv")
+    )
+    t = emb.select(
+        F.expr("CAST(vec_id AS BIGINT)").alias("_tid"),
+        F.col("embedding").alias("_tv"),
+    )
+    p = i.join(
+        t, F.col("_tid") == F.expr("CAST(img_id AS BIGINT) ^ 1")
+    ).select("img_id", sim.cosine(F.col("_iv"), F.col("_tv")).alias("cos"))
+    th = spark.range(1, 10).select((F.col("id") * 100).alias("thresh_cpm"))
+    return (
+        p.crossJoin(F.broadcast(th))
+        .groupBy("thresh_cpm")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("cos") * 1000 >= F.col("thresh_cpm")).cast("long")
+            ).cast("long").alias("n_keep"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN cos * 1000 >= thresh_cpm"
+                " THEN 1 ELSE 0 END) div count(1) AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .select(
+            F.col("thresh_cpm").cast("long").alias("thresh_cpm"),
+            "n_pairs",
+            "n_keep",
+            "keep_ppm",
+        )
+    )
+
+
+# -- streaming JSON-LD caption mining -------------------------------------------
+# The fourth streaming==batch twin: the JSON-LD extraction (batch 58)
+# rerun over a file stream of the same orders rows, same shared
+# transformation, registered with the IDENTICAL oracle — the driver hash
+# itself pins stream == batch for the structured-metadata parse lane.
+# Pure map lane: append mode, no state store, no shuffle.
+
+
+@register("stream_jsonld_captions", oracle=ORACLE["crawl_jsonld_captions"])
+def stream_jsonld_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of crawl_jsonld_captions (section comment)."""
+    import uuid
+
+    from .streaming import file_stream_dir
+
+    orders_schema = load(spark, sf_dir, "orders").schema
+    orders = spark.readStream.schema(orders_schema).parquet(
+        file_stream_dir(sf_dir, "orders")
+    )
+    out = _jsonld_caption_rows(orders)
+    sink = f"stream_jsonld_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20566,6 +20672,9 @@ def crawl_robots_size_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 71 (threshold sweep + streaming JSON-LD twin)
+    "emb_gate_threshold_sweep",
+    "stream_jsonld_captions",
     # new in batch 70 (video sitemaps + robots size limit)
     "crawl_sitemap_videos",
     "crawl_robots_size_limit",
