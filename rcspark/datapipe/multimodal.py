@@ -1798,6 +1798,52 @@ def text_overlay_density(ids: DataFrame, id_col: str = "item_id") -> DataFrame:
     return src.mapInPandas(run, TEXT_DENSITY_SCHEMA)
 
 
+# -- audio band energies (batch 72) --------------------------------------------
+# Spec in queries.py batch-72 section: |X_k|² rounds to integer per bin
+# (ONE deterministic round), band sums are exact int64 over 8 linear
+# bands of the rFFT (DC excluded), shares in ppm.
+
+BAND_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("share_ppm", T.LongType(), False),
+    ]
+)
+
+N_AUDIO_BANDS = 8
+
+
+def band_energies(clips: DataFrame) -> DataFrame:
+    """(audio_id, bytes=RIFF/WAVE) → 8 rows per clip with integer band
+    energy + ppm share."""
+    from ..wav import decode_wav
+
+    src = clips.select("audio_id", "bytes")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate, _ = decode_wav(bytes(data))
+                x = s.astype(np.float64) / 32767.0
+                spec = np.fft.rfft(x)
+                e = np.round(spec.real**2 + spec.imag**2).astype(np.int64)
+                e[0] = 0  # exclude DC
+                nbins = len(e) - 1  # bins 1..len-1 split into 8 bands
+                bounds = [1 + nbins * b // N_AUDIO_BANDS for b in range(N_AUDIO_BANDS + 1)]
+                bands = [int(e[bounds[b] : bounds[b + 1]].sum()) for b in range(N_AUDIO_BANDS)]
+                total = max(sum(bands), 1)
+                for b, en in enumerate(bands):
+                    rows.append((aid, b, en, 1_000_000 * en // total))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BAND_ENERGY_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, BAND_ENERGY_SCHEMA)
+
+
 PHASH_MAX_BUCKET = 10_000  # shared with the DuckDB oracle's guard CTE
 
 

@@ -20656,6 +20656,128 @@ def stream_jsonld_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 72 (round 5): token-distribution drift + audio band energies.
+# =============================================================================
+
+# -- token-distribution drift ---------------------------------------------------
+# [U corpus drift monitoring practice; the text-lane sibling of
+# emb_cell_drift's embedding TVD]: compare the token distributions of
+# two corpus waves over the top-32 joint tokens — per-token frequency in
+# ppm plus the total-variation distance (½ Σ|fa − fb|), the alarm number
+# a continuous-ingest pipeline watches.  Top-k election by (count desc,
+# token asc) — a total order, TakeOrderedAndProject-safe.
+
+
+@register(
+    "doc_token_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id % 2 = 0 AS in_a, unnest({_TOKS}) AS tok
+      FROM documents),
+    c AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM t GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+             CAST(sum(cnt_b) AS BIGINT) AS nb
+      FROM c),
+    top AS (
+      SELECT c.*, tot.na, tot.nb
+      FROM c CROSS JOIN tot
+      ORDER BY cnt_a + cnt_b DESC, tok ASC LIMIT 32),
+    f AS (
+      SELECT tok, cnt_a, cnt_b,
+             1000000 * cnt_a // na AS fa_ppm,
+             1000000 * cnt_b // nb AS fb_ppm
+      FROM top),
+    tvd AS (
+      SELECT CAST(sum(abs(fa_ppm - fb_ppm)) // 2 AS BIGINT) AS tvd_ppm
+      FROM f)
+    SELECT f.tok, f.cnt_a, f.cnt_b,
+           CAST(f.fa_ppm AS BIGINT) AS fa_ppm,
+           CAST(f.fb_ppm AS BIGINT) AS fb_ppm,
+           tvd.tvd_ppm
+    FROM f CROSS JOIN tvd
+    """,
+)
+def doc_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-32 token frequency drift + TVD between corpus halves
+    (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(tx.tokens(F.col("text"))).alias("tok"),
+    )
+    c = t.groupBy("tok").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("cnt_a"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("cnt_b"),
+    )
+    tot = c.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+    )
+    top = (
+        c.crossJoin(F.broadcast(tot))
+        .orderBy((F.col("cnt_a") + F.col("cnt_b")).desc(), F.col("tok").asc())
+        .limit(32)
+    )
+    f = top.select(
+        "tok",
+        "cnt_a",
+        "cnt_b",
+        F.expr("1000000 * cnt_a div na").alias("fa_ppm"),
+        F.expr("1000000 * cnt_b div nb").alias("fb_ppm"),
+    )
+    tvd = f.agg(
+        F.expr("CAST(sum(abs(fa_ppm - fb_ppm)) div 2 AS BIGINT)").alias(
+            "tvd_ppm"
+        )
+    )
+    return f.crossJoin(F.broadcast(tvd)).select(
+        "tok",
+        "cnt_a",
+        "cnt_b",
+        F.col("fa_ppm").cast("long").alias("fa_ppm"),
+        F.col("fb_ppm").cast("long").alias("fb_ppm"),
+        "tvd_ppm",
+    )
+
+
+# -- audio spectral band energies -----------------------------------------------
+# [U spectrogram band features (the linear-band precursor of mel
+# filterbanks)]: per clip, rFFT magnitudes bucketed into 8 linear bands
+# over [0, rate/2]; |X_k|² rounds to INTEGER first (one deterministic
+# round per bin), so the band sums are exact int64 and the twin
+# (scripts/gen_media_expected.py expected_audio_bands, a plain Python
+# loop over the same np.fft output — FFT shared by the media-twin
+# convention) reproduces them bit-for-bit.  Share in ppm per band.
+
+
+@register(
+    "audio_band_energy",
+    oracle=f"""
+    SELECT e.audio_id, e.band, e.energy, e.share_ppm
+    FROM '{_MEDIA_EXPECTED}/audio_bands.parquet' e
+    JOIN (SELECT 'bnd' || p_partkey AS audio_id FROM part
+          WHERE p_partkey % 20 = 10) i USING (audio_id)
+    """,
+)
+def audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-band spectral energy profile per clip (section comment)."""
+    from .datapipe.multimodal import band_energies, synthesize_wav
+
+    part = load(spark, sf_dir, "part")
+    ids = part.filter(F.col("p_partkey") % 20 == 10).select(
+        F.concat(F.lit("bnd"), F.col("p_partkey").cast("string")).alias(
+            "audio_id"
+        )
+    )
+    return band_energies(synthesize_wav(ids))
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20672,6 +20794,9 @@ def stream_jsonld_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 72 (token drift + audio band energies)
+    "doc_token_drift",
+    "audio_band_energy",
     # new in batch 71 (threshold sweep + streaming JSON-LD twin)
     "emb_gate_threshold_sweep",
     "stream_jsonld_captions",

@@ -340,6 +340,42 @@ def expected_img_bicubic() -> pd.DataFrame:
                                    "c_r", "c_g", "c_b"]})
 
 
+def expected_audio_bands() -> pd.DataFrame:
+    """Band-energy twin (batch 72): clip content regenerated from the
+    documented synthesize law ('bnd' ids, 0.5 s @ 8 kHz sine + noise);
+    np.fft.rfft shared per the media-twin convention; the per-bin round
+    and the band sums re-done with a plain Python int loop."""
+    rows = []
+    for k in range(10, MAX_PARTKEY, 20):
+        aid = f"bnd{k}"
+        h64 = xxh64(aid.encode())
+        rate, n = 8000, 4000
+        freq = 100.0 + (h64 % 1900)
+        t = np.arange(n) / rate
+        rng = np.random.default_rng(h64 & 0xFFFFFFFF)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        x = s.astype(np.float64) / 32767.0
+        spec = np.fft.rfft(x)
+        bands = [0] * 8
+        nbins = len(spec) - 1
+        # same documented bounds rule as the engine (1 + nbins*b//8),
+        # applied by scanning per bin instead of slicing
+        bounds = [1 + nbins * b // 8 for b in range(9)]
+        for i in range(1, len(spec)):
+            e = int(round(spec.real[i] ** 2 + spec.imag[i] ** 2))
+            b = max(bb for bb in range(8) if bounds[bb] <= i)
+            bands[b] += e
+        total = max(sum(bands), 1)
+        for b in range(8):
+            rows.append(
+                (aid, np.int32(b), bands[b], 1_000_000 * bands[b] // total)
+            )
+    return pd.DataFrame(
+        rows, columns=["audio_id", "band", "energy", "share_ppm"]
+    ).astype({"band": "int32"})
+
+
 def expected_img_patchify(patch: int = 12) -> pd.DataFrame:
     """Patchify twin: same shared make_image generator; the crop / patch-sum
     reduction is re-implemented via np.add.reduceat block sums (the engine
@@ -2047,6 +2083,7 @@ def main() -> None:
         ("wav_features", expected_wav_features),
         ("img_textdensity", expected_img_textdensity),
         ("img_bicubic", expected_img_bicubic),
+        ("audio_bands", expected_audio_bands),
     ]:
         # optional name filter: gen_media_expected.py [out_dir] [name ...]
         if len(sys.argv) > 2 and name not in sys.argv[2:]:
