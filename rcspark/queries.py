@@ -20778,6 +20778,150 @@ def audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 73 (round 5): farthest-point (k-center) centroid seeding.
+# =============================================================================
+# [U Gonzalez 1985 farthest-point clustering (2-approx k-center); the
+# deterministic sibling of k-means++ D² seeding]: pick the digest-min
+# point, then 7× re-pick the point FARTHEST from the chosen set (exact
+# micro-int distances, argmax with total-order tie-break).  This is the
+# seeding-quality upgrade over the digest-seeded init the trained-IVF
+# tier uses: the selected centers are provably spread — every pairwise
+# center distance ≥ the final covering radius (the Gonzalez invariant,
+# pinned in pytest).  Scale shape per round: one broadcast of the
+# single chosen center, one map-side min update, one 1-row argmax agg
+# (a model collect, never data rows); the oracle re-derives all 8
+# rounds with unrolled CTEs.
+
+_KCENTER_K = 8
+
+
+def _kc_sql_d2(q: str, cq: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> ({q}[i] - {cq}[i]) * ({q}[i] - {cq}[i])))"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        f"""
+    pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id, q FROM pts
+      ORDER BY {sql_digest60("'kpp:' || CAST(vec_id AS VARCHAR)")} ASC,
+               vec_id ASC LIMIT 1),
+    d1 AS (
+      SELECT p.vec_id, p.q, {_kc_sql_d2('p.q', 'c0.q')} AS dmin
+      FROM pts p CROSS JOIN c0)"""
+    ]
+    for t in range(1, _KCENTER_K):
+        parts.append(
+            f"""
+    c{t} AS (
+      SELECT -(b.s['nid']) AS vec_id, b.s['q'] AS q, b.s['d'] AS d_sel
+      FROM (SELECT max(struct_pack(d := dmin, nid := -vec_id, q := q)) AS s
+            FROM d{t}) b),
+    d{t + 1} AS (
+      SELECT p.vec_id, p.q,
+             least(p.dmin, {_kc_sql_d2('p.q', f'c{t}.q')}) AS dmin
+      FROM d{t} p CROSS JOIN c{t})"""
+        )
+    sels = ["SELECT CAST(0 AS BIGINT) AS round, c0.vec_id, "
+            "CAST(NULL AS BIGINT) AS d_sel FROM c0"]
+    for t in range(1, _KCENTER_K):
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT), c{t}.vec_id, CAST(c{t}.d_sel AS BIGINT)"
+            f" FROM c{t}"
+        )
+    radius = (
+        f"(SELECT CAST(max(dmin) AS BIGINT) FROM d{_KCENTER_K})"
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+    sel AS ({' UNION ALL '.join(sels)})
+    SELECT sel.round, sel.vec_id, sel.d_sel, {radius} AS final_radius
+    FROM sel
+    """
+    )
+
+
+@register("emb_kcenter_init", oracle=_kcenter_oracle())
+def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point seeding, 8 centers (section comment)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    def d2_to(center_q: list):
+        cq = F.array(*[F.lit(int(v)) for v in center_q])
+        return F.aggregate(
+            F.zip_with(F.col("q"), cq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    first = (
+        pts.select(
+            "vec_id",
+            "q",
+            digest60(
+                F.concat(F.lit("kpp:"), F.col("vec_id").cast("string"))
+            ).alias("_dg"),
+        )
+        .orderBy(F.col("_dg").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(0, int(first.vec_id), None)]
+    center_q = list(first.q)
+    d = pts.select("vec_id", "q", d2_to(center_q).alias("dmin"))
+    for t in range(1, _KCENTER_K):
+        d = d.persist()
+        top = (
+            d.agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin").alias("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("q").alias("q"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                (-F.col("s.nid")).alias("vec_id"),
+                F.col("s.d").alias("d_sel"),
+                F.col("s.q").alias("q"),
+            )
+            .collect()[0]
+        )
+        chosen.append((t, int(top.vec_id), int(top.d_sel)))
+        d = d.select(
+            "vec_id",
+            "q",
+            F.least(F.col("dmin"), d2_to(list(top.q))).alias("dmin"),
+        )
+    radius = int(d.agg(F.max("dmin")).collect()[0][0])
+    sel = spark.createDataFrame(
+        [(r, v, ds) for (r, v, ds) in chosen],
+        "round long, vec_id long, d_sel long",
+    )
+    return sel.select(
+        "round", "vec_id", "d_sel", F.lit(radius).cast("long").alias("final_radius")
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20794,6 +20938,8 @@ def audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 73 (k-center seeding)
+    "emb_kcenter_init",
     # new in batch 72 (token drift + audio band energies)
     "doc_token_drift",
     "audio_band_energy",
