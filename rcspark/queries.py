@@ -20922,6 +20922,204 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 74 (round 5): MIME-sniff mismatch gate + token-bucket limiter.
+# =============================================================================
+
+# -- Content-Type vs magic-bytes mismatch ---------------------------------------
+# [U X-Content-Type-Options: nosniff semantics; polyglot-file hardening]:
+# a server that declares text/html but ships PNG bytes (or vice versa)
+# is either misconfigured or hostile — the ingest edge must trust the
+# BYTES, not the header, and quarantine disagreements instead of
+# processing as declared.  The fixture carries the real magic prefixes
+# (as hex strings — cross-engine binary literals are not a contract),
+# declared types rotate independently, and the verdict table pins the
+# trust-bytes rule.
+
+
+@register(
+    "crawl_mime_mismatch_gate",
+    oracle="""
+    WITH a AS (
+      SELECT p_partkey,
+             CASE p_partkey % 4
+               WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'text/html' ELSE 'application/octet-stream'
+             END AS declared,
+             CASE p_partkey % 3
+               WHEN 0 THEN '89504e470d0a1a0a'   -- PNG signature
+               WHEN 1 THEN 'ffd8ffe000104a46'   -- JFIF
+               ELSE '3c21444f43545950'          -- '<!DOCTYP'
+             END AS prefix_hex
+      FROM part),
+    s AS (
+      SELECT *,
+             CASE WHEN starts_with(prefix_hex, '89504e47') THEN 'image/png'
+                  WHEN starts_with(prefix_hex, 'ffd8ff') THEN 'image/jpeg'
+                  WHEN starts_with(prefix_hex, '3c21444f') THEN 'text/html'
+                  ELSE 'unknown' END AS sniffed
+      FROM a)
+    SELECT p_partkey, declared, sniffed,
+           declared <> sniffed AS mismatch,
+           CASE WHEN declared = sniffed THEN 'ok'
+                WHEN declared = 'application/octet-stream' THEN 'sniff_upgrade'
+                ELSE 'quarantine' END AS verdict
+    FROM s
+    """,
+)
+def crawl_mime_mismatch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-bytes MIME gate (section comment): octet-stream declarations
+    upgrade to the sniffed type; concrete disagreements quarantine."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    declared = (
+        F.when(k % 4 == 0, "image/png")
+        .when(k % 4 == 1, "image/jpeg")
+        .when(k % 4 == 2, "text/html")
+        .otherwise("application/octet-stream")
+    )
+    prefix = (
+        F.when(k % 3 == 0, "89504e470d0a1a0a")
+        .when(k % 3 == 1, "ffd8ffe000104a46")
+        .otherwise("3c21444f43545950")
+    )
+    s = part.select(
+        "p_partkey", declared.alias("declared"), prefix.alias("prefix_hex")
+    ).withColumn(
+        "sniffed",
+        F.when(F.col("prefix_hex").startswith("89504e47"), "image/png")
+        .when(F.col("prefix_hex").startswith("ffd8ff"), "image/jpeg")
+        .when(F.col("prefix_hex").startswith("3c21444f"), "text/html")
+        .otherwise("unknown"),
+    )
+    return s.select(
+        "p_partkey",
+        "declared",
+        "sniffed",
+        (F.col("declared") != F.col("sniffed")).alias("mismatch"),
+        F.when(F.col("declared") == F.col("sniffed"), "ok")
+        .when(F.col("declared") == "application/octet-stream", "sniff_upgrade")
+        .otherwise("quarantine")
+        .alias("verdict"),
+    )
+
+
+# -- token-bucket rate limiter --------------------------------------------------
+# [U token-bucket algorithm (the standard burst-tolerant rate limiter);
+# the admission-control sibling of AutoThrottle's control law]: per
+# user/host, a bucket of capacity 5 tokens refilling at 1 token / 2 s
+# admits or rejects each arrival — exact milli-token integers, refill =
+# (Δms) // 2.  The fold is a per-key chronological recurrence: Spark
+# runs it as a SQL aggregate over the per-key sorted arrival array
+# (bounded per key; the batch-68-safe fold shape), the oracle as a
+# RECURSIVE CTE (the list_reduce bug).
+
+
+@register(
+    "events_token_bucket",
+    oracle="""
+    WITH RECURSIVE
+    raw AS (
+      SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+      FROM events
+      UNION ALL
+      -- planted same-millisecond burst (8 arrivals) per user at t0:
+      -- the testdata inter-arrival (~tens of minutes) never drains the
+      -- bucket, so the burst is what exercises rejection (5 admit /
+      -- 3 reject from a full bucket)
+      SELECT u.user_id, 1000000000 + u.user_id * 10 + b.j,
+             CAST(epoch_ms(TIMESTAMP '2024-01-01') AS BIGINT)
+               - 3600000 + u.user_id
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS j) b),
+    e AS (
+      SELECT user_id, ms,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms,
+                                     event_id) AS BIGINT) AS rn
+      FROM raw),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM e GROUP BY 1),
+    steps AS (
+      SELECT user_id, rn, ms,
+             CAST(4000 AS BIGINT) AS tokens,
+             CAST(1 AS BIGINT) AS n_admitted
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, e.rn, e.ms,
+             CASE WHEN least(5000, s.tokens + (e.ms - s.ms) // 2) >= 1000
+                  THEN least(5000, s.tokens + (e.ms - s.ms) // 2) - 1000
+                  ELSE least(5000, s.tokens + (e.ms - s.ms) // 2) END,
+             s.n_admitted
+               + CASE WHEN least(5000, s.tokens + (e.ms - s.ms) // 2)
+                           >= 1000 THEN 1 ELSE 0 END
+      FROM steps s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+    SELECT s.user_id, n.n_events, s.n_admitted,
+           CAST(n.n_events - s.n_admitted AS BIGINT) AS n_rejected,
+           s.tokens AS final_tokens_milli
+    FROM steps s JOIN n USING (user_id) WHERE s.rn = n.n_events
+    """,
+)
+def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket admission over the event stream (section
+    comment).  The first arrival consumes from a full bucket (5000 →
+    4000 milli)."""
+    ev = load(spark, sf_dir, "events")
+    base_ms = 1704067200000 - 3600000  # epoch_ms('2024-01-01') - 1 h
+    bursts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("_j"),
+        )
+        .select(
+            "user_id",
+            (F.lit(base_ms) + F.col("user_id")).cast("long").alias("ms"),
+            (F.lit(1000000000) + F.col("user_id") * 10 + F.col("_j")).alias(
+                "event_id"
+            ),
+        )
+    )
+    e = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    ).unionByName(bursts.select("user_id", "ms", "event_id"))
+    s = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ms", "event_id"))),
+            lambda x: x["ms"],
+        ).alias("mss")
+    )
+    return s.select(
+        "user_id",
+        F.size("mss").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(mss, 2, size(mss) - 1), "
+            "named_struct('tokens', CAST(4000 AS BIGINT), "
+            "             'adm', CAST(1 AS BIGINT), "
+            "             'last', CAST(element_at(mss, 1) AS BIGINT)), "
+            "(a, m) -> named_struct("
+            "  'tokens', CASE WHEN least(5000, a.tokens + (m - a.last) div 2)"
+            "                      >= 1000"
+            "                 THEN least(5000, a.tokens + (m - a.last) div 2)"
+            "                      - 1000"
+            "                 ELSE least(5000, a.tokens + (m - a.last) div 2)"
+            "            END, "
+            "  'adm', a.adm + CASE WHEN least(5000, a.tokens"
+            "                                + (m - a.last) div 2) >= 1000"
+            "                      THEN 1 ELSE 0 END, "
+            "  'last', CAST(m AS BIGINT)))"
+        ).alias("st"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("st.adm").cast("long").alias("n_admitted"),
+        (F.col("n_events") - F.col("st.adm")).cast("long").alias("n_rejected"),
+        F.col("st.tokens").cast("long").alias("final_tokens_milli"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -20938,6 +21136,9 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 74 (MIME mismatch gate + token bucket)
+    "crawl_mime_mismatch_gate",
+    "events_token_bucket",
     # new in batch 73 (k-center seeding)
     "emb_kcenter_init",
     # new in batch 72 (token drift + audio band energies)
