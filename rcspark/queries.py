@@ -21120,6 +21120,72 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 75 (round 5): n-gram novelty rate.
+# =============================================================================
+# [U corpus saturation monitoring — the diminishing-returns signal a
+# continuous crawl watches]: what fraction of wave B's 3-gram shingles
+# was never seen in the accumulated corpus (wave A)?  A falling novelty
+# rate says the crawl is re-reading the web.  Distinct shingles per
+# side, LEFT ANTI join B∖A, rates in ppm — one row.  Scale shape: the
+# anti-join shuffles on the shingle digest (the same key both sides),
+# and distinct-per-side is a map-side partial aggregate.
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT unnest({tx.sql_shingles(tx.sql_tokens('text'))}) AS sh
+      FROM documents WHERE doc_id % 2 = 0),
+    b AS (
+      SELECT DISTINCT unnest({tx.sql_shingles(tx.sql_tokens('text'))}) AS sh
+      FROM documents WHERE doc_id % 2 = 1),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_base,
+             CAST((SELECT count(*) FROM b) AS BIGINT) AS n_wave,
+             CAST((SELECT count(*) FROM b ANTI JOIN a USING (sh)) AS BIGINT)
+               AS n_novel)
+    SELECT n_base, n_wave, n_novel,
+           CAST(1000000 * n_novel // n_wave AS BIGINT) AS novelty_ppm
+    FROM m
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-vs-corpus 3-gram novelty rate (section comment)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def side(pred):
+        return (
+            docs.filter(pred)
+            .select(
+                F.explode(
+                    tx.shingles(tx.tokens(F.col("text")))
+                ).alias("sh")
+            )
+            .distinct()
+        )
+
+    a = side(F.col("doc_id") % 2 == 0)
+    b = side(F.col("doc_id") % 2 == 1)
+    novel = b.join(a, "sh", "left_anti")
+    na = a.agg(F.count("*").alias("n_base"))
+    nb = b.agg(F.count("*").alias("n_wave"))
+    nn = novel.agg(F.count("*").alias("n_novel"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nn)
+        .select(
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_wave").cast("long").alias("n_wave"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("CAST(1000000 * n_novel div n_wave AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -21136,6 +21202,8 @@ def events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 75 (n-gram novelty)
+    "doc_ngram_novelty",
     # new in batch 74 (MIME mismatch gate + token bucket)
     "crawl_mime_mismatch_gate",
     "events_token_bucket",
