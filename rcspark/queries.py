@@ -21186,6 +21186,73 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 76 (round 5): index-of-dispersion arrival audit.
+# =============================================================================
+# [U Fisher's index of dispersion (variance-to-mean ratio); Poisson
+# arrivals have D = 1]: are the per-type hourly arrivals Poisson-like or
+# bursty?  D > 1 (overdispersed) says the rate model behind the
+# politeness/forecast tiers is optimistic; exact integers via the
+# cross-multiplied form D_ppm = 10⁶·Σ(n·c − S)² // (n·(n−1)·S) (sample
+# variance over mean, all int64 — |n·c − S| ≤ n·max c).
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM h GROUP BY 1),
+    d AS (
+      SELECT h.event_type, g.n, g.s,
+             CAST(sum((g.n * h.c - g.s) * (g.n * h.c - g.s)) AS BIGINT)
+               AS ss
+      FROM h JOIN g USING (event_type) GROUP BY 1, 2, 3)
+    SELECT event_type, n, s,
+           CAST(1000000 * ss // (n * (n - 1) * s) AS BIGINT)
+             AS dispersion_ppm,
+           1000000 * ss // (n * (n - 1) * s) > 2000000 AS overdispersed
+    FROM d
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean arrival audit per event type (section comment)."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count("*").cast("long").alias("c"))
+    g = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    d = (
+        h.join(F.broadcast(g), "event_type")
+        .groupBy("event_type", "n", "s")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("c") - F.col("s"))
+                * (F.col("n") * F.col("c") - F.col("s"))
+            )
+            .cast("long")
+            .alias("ss")
+        )
+    )
+    disp = F.expr("1000000 * ss div (n * (n - 1) * s)")
+    return d.select(
+        "event_type",
+        "n",
+        "s",
+        disp.cast("long").alias("dispersion_ppm"),
+        (disp > 2000000).alias("overdispersed"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -21202,6 +21269,8 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 76 (dispersion index)
+    "events_dispersion_index",
     # new in batch 75 (n-gram novelty)
     "doc_ngram_novelty",
     # new in batch 74 (MIME mismatch gate + token bucket)
