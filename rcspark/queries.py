@@ -21253,6 +21253,155 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 77 (round 5): containment pairs + IDN homograph gate.
+# =============================================================================
+
+# -- asymmetric containment -----------------------------------------------------
+# [U containment vs Jaccard (Broder's resemblance/containment pair)]:
+# symmetric Jaccard misses WHOLESALE INCLUSION — a short doc quoted
+# entirely inside a long one scores low Jaccard but containment ≈ 1 on
+# the short side.  Over the registered banded-LSH candidates, emit both
+# directed containments (ppm) beside Jaccard and classify: duplicate
+# (j ≥ 0.8) → inclusion (max containment ≥ 0.9) → overlap.  Same scale
+# guards as doc_jaccard_pairs (candidate-driven, no shingle self-join).
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH bands0 AS ({_BANDS_SQL}),
+    bands AS (SELECT * FROM bands0 WHERE band_hash IS NOT NULL),
+    bsizes AS (SELECT band_id, band_hash, count(*) AS b FROM bands GROUP BY 1, 2),
+    bounded AS (
+      SELECT bands.* FROM bands JOIN bsizes USING (band_id, band_hash)
+      WHERE b <= 1000),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bounded a JOIN bounded b USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t),
+    rows_ AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM rows_ GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN rows_ a ON a.doc_id = c.doc_a
+      JOIN rows_ b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    m AS (
+      SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+             1000000 * inter // (sa.sz + sb.sz - inter) AS j_ppm,
+             1000000 * inter // sa.sz AS cont_a_ppm,
+             1000000 * inter // sb.sz AS cont_b_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, inter, size_a, size_b,
+           CAST(j_ppm AS BIGINT) AS j_ppm,
+           CAST(cont_a_ppm AS BIGINT) AS cont_a_ppm,
+           CAST(cont_b_ppm AS BIGINT) AS cont_b_ppm,
+           CASE WHEN j_ppm >= 800000 THEN 'duplicate'
+                WHEN greatest(cont_a_ppm, cont_b_ppm) >= 900000
+                  THEN 'inclusion'
+                ELSE 'overlap' END AS verdict
+    FROM m
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment beside Jaccard over LSH candidates (section
+    comment)."""
+    docs = load(spark, sf_dir, "documents")
+    bands = dd.minhash_rows(docs)
+    cands = dd.lsh_candidate_pairs(bands, min_bands=1).select(
+        "doc_a", "doc_b"
+    )
+    j = dd.jaccard_pairs(docs, candidates=cands)
+    m = j.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.expr(
+            "CAST(1000000 * inter div (size_a + size_b - inter) AS BIGINT)"
+        ).alias("j_ppm"),
+        F.expr("CAST(1000000 * inter div size_a AS BIGINT)").alias(
+            "cont_a_ppm"
+        ),
+        F.expr("CAST(1000000 * inter div size_b AS BIGINT)").alias(
+            "cont_b_ppm"
+        ),
+    )
+    return m.select(
+        "*",
+        F.when(F.col("j_ppm") >= 800000, "duplicate")
+        .when(
+            F.greatest("cont_a_ppm", "cont_b_ppm") >= 900000, "inclusion"
+        )
+        .otherwise("overlap")
+        .alias("verdict"),
+    )
+
+
+# -- IDN homograph gate ---------------------------------------------------------
+# [U IDN homograph attacks (Unicode TR#39 mixed-script confusables);
+# browser IDN display policies]: a hostname label mixing Latin with
+# Cyrillic lookalikes ('shоp' with U+043E) is a spoof signal — crawlers
+# feeding a training corpus should flag or quarantine such hosts.
+# Plants swap 'o' → 'о' on every 10th host; detection = per-label
+# script presence via literal-character classes (identical UTF-8
+# patterns in Java regex and RE2).
+
+
+@register(
+    "crawl_hostname_confusables",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT p_partkey % 50 AS hn,
+             CASE WHEN p_partkey % 50 % 10 = 3
+                  THEN 'shоp' || (p_partkey % 50) || '.example'
+                  ELSE 'shop' || (p_partkey % 50) || '.example' END AS hostname
+      FROM part),
+    s AS (
+      SELECT hostname,
+             regexp_matches(hostname, '[a-z]') AS has_latin,
+             regexp_matches(hostname, '[а-яА-Я]') AS has_cyrillic
+      FROM h)
+    SELECT hostname, has_latin, has_cyrillic,
+           has_latin AND has_cyrillic AS mixed_script,
+           CASE WHEN has_latin AND has_cyrillic THEN 'homograph_suspect'
+                ELSE 'ok' END AS verdict
+    FROM s
+    """,
+)
+def crawl_hostname_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script hostname spoof gate (section comment)."""
+    part = load(spark, sf_dir, "part")
+    hn = F.col("p_partkey") % 50
+    hostname = F.when(
+        hn % 10 == 3,
+        F.concat(F.lit("shоp"), hn.cast("string"), F.lit(".example")),
+    ).otherwise(
+        F.concat(F.lit("shop"), hn.cast("string"), F.lit(".example"))
+    )
+    h = part.select(hostname.alias("hostname")).distinct()
+    has_lat = F.col("hostname").rlike("[a-z]")
+    has_cyr = F.col("hostname").rlike("[а-яА-Я]")
+    return h.select(
+        "hostname",
+        has_lat.alias("has_latin"),
+        has_cyr.alias("has_cyrillic"),
+        (has_lat & has_cyr).alias("mixed_script"),
+        F.when(has_lat & has_cyr, "homograph_suspect")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -21269,6 +21418,9 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 77 (containment pairs + homograph gate)
+    "doc_containment_pairs",
+    "crawl_hostname_confusables",
     # new in batch 76 (dispersion index)
     "events_dispersion_index",
     # new in batch 75 (n-gram novelty)
