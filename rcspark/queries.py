@@ -21402,6 +21402,97 @@ def crawl_hostname_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Batch 78 (round 5): politeness-invariant self-audit.
+# =============================================================================
+# [U politeness SLO auditing practice — verify the scheduler's OUTPUT,
+# not its code]: over the real schedule (the crawl_schedule pipeline),
+# per host re-derive the required delay from the same crawl-delay law
+# and check the ACTUAL consecutive fetch_ms gaps: min gap, violation
+# count (must be 0 — the invariant the whole politeness tier exists
+# for), single-fetch hosts carry NULL gaps.  Per-host fetch lists are
+# budget-bounded (≤ PER_HOST_CAP), so the sorted-array fold is O(cap).
+
+
+@register(
+    "crawl_politeness_audit",
+    oracle=f"""
+    WITH s AS ({_SCHEDULE_SQL}),
+    g AS (
+      SELECT host,
+             CAST(list_sort(list(fetch_ms)) AS BIGINT[]) AS arr,
+             CAST(count(*) AS BIGINT) AS n_scheduled
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT host, n_scheduled, arr,
+             CAST(round(greatest(
+               CASE CAST(regexp_extract(host, 'h([0-9]+)', 1) AS BIGINT) % 4
+                 WHEN 0 THEN 0.0 WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
+                 ELSE 2.0 END, {C.DOWNLOAD_DELAY}) * 1000) AS BIGINT)
+               AS delay_ms,
+             CASE WHEN len(arr) > 1
+                  THEN list_min(list_transform(range(1, len(arr)),
+                                               i -> arr[i + 1] - arr[i]))
+             END AS min_gap_ms
+      FROM g)
+    SELECT host, n_scheduled, delay_ms,
+           CAST(min_gap_ms AS BIGINT) AS min_gap_ms,
+           CAST(CASE WHEN min_gap_ms IS NULL THEN 0
+                     WHEN min_gap_ms < delay_ms THEN 1 ELSE 0 END AS BIGINT)
+             AS violations,
+           min_gap_ms IS NULL OR min_gap_ms >= delay_ms AS polite
+    FROM d
+    """,
+)
+def crawl_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler-output politeness audit (section comment)."""
+    s = _schedule(spark, sf_dir)
+    g = s.groupBy("host").agg(
+        F.array_sort(F.collect_list("fetch_ms")).alias("arr"),
+        F.count("*").cast("long").alias("n_scheduled"),
+    )
+    hn = F.regexp_extract(F.col("host"), "h([0-9]+)", 1).cast("long")
+    delay = F.round(
+        F.greatest(
+            F.when(hn % 4 == 0, 0.0)
+            .when(hn % 4 == 1, 0.5)
+            .when(hn % 4 == 2, 1.0)
+            .otherwise(2.0),
+            F.lit(C.DOWNLOAD_DELAY),
+        )
+        * 1000
+    ).cast("long")
+    min_gap = F.when(
+        F.size("arr") > 1,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - 1),
+                lambda i: F.element_at("arr", (i + 1).cast("int"))
+                - F.element_at("arr", i.cast("int")),
+            )
+        ),
+    )
+    d = g.select(
+        "host", "n_scheduled", delay.alias("delay_ms"),
+        min_gap.cast("long").alias("min_gap_ms"),
+    )
+    return d.select(
+        "host",
+        "n_scheduled",
+        "delay_ms",
+        "min_gap_ms",
+        F.when(F.col("min_gap_ms").isNull(), 0)
+        .when(F.col("min_gap_ms") < F.col("delay_ms"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("violations"),
+        (
+            F.col("min_gap_ms").isNull()
+            | (F.col("min_gap_ms") >= F.col("delay_ms"))
+        ).alias("polite"),
+    )
+
+
+# =============================================================================
 # Driver-sample rotation (VERDICT r3 item 2)
 # =============================================================================
 # The external driver cross-checks only the FIRST ~50 registry entries per
@@ -21418,6 +21509,8 @@ def crawl_hostname_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHANGED_THIS_ROUND = [
     # --- round 5 ---
+    # new in batch 78 (politeness self-audit)
+    "crawl_politeness_audit",
     # new in batch 77 (containment pairs + homograph gate)
     "doc_containment_pairs",
     "crawl_hostname_confusables",

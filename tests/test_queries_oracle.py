@@ -35,7 +35,7 @@ ORACLES = entrymod.oracle_sql()
 
 # VERDICT r2 #5: prose ("N queries" in CLAUDE.md / BENCH/*.md) must not
 # drift from the registry. Bump this constant — and the prose — together.
-EXPECTED_QUERY_COUNT = 323
+EXPECTED_QUERY_COUNT = 324
 
 
 def test_registry_shape():
